@@ -1,0 +1,61 @@
+"""linkgraph — a from-scratch PySpark-native link-graph analytics engine.
+
+Distributed re-expression of the NetworkX link-analysis core (reference:
+TeamNotJava/networkx, surveyed in SURVEY.md) on an edge-table data model:
+a graph is a pair of DataFrames ``vertices(id BIGINT, ...)`` and
+``edges(src BIGINT, dst BIGINT, weight DOUBLE)``, and every algorithm is an
+iterative composition of DataFrame joins and aggregations (Catalyst-optimized,
+whole-stage-codegen'd), never per-row Python.
+
+Public API mirrors the NetworkX names so parity tests read 1:1:
+
+- :func:`linkgraph.algos.pagerank.pagerank`            (nx.pagerank)
+- :func:`linkgraph.algos.components.connected_components`
+- :func:`linkgraph.algos.lpa.label_propagation_communities`
+- :func:`linkgraph.algos.triangles.triangles`
+"""
+
+from linkgraph.graph import SparkGraph
+from linkgraph.algos.pagerank import pagerank, PowerIterationFailedConvergence
+from linkgraph.algos.components import (
+    connected_components,
+    weakly_connected_components,
+    number_connected_components,
+)
+from linkgraph.algos.triangles import (
+    triangles,
+    triangle_count,
+    clustering,
+    average_clustering,
+    transitivity,
+)
+from linkgraph.algos.lpa import label_propagation_communities
+from linkgraph.algos.degrees import (
+    degrees,
+    in_degrees,
+    out_degrees,
+    degree_histogram,
+    degree_centrality,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SparkGraph",
+    "pagerank",
+    "PowerIterationFailedConvergence",
+    "connected_components",
+    "weakly_connected_components",
+    "number_connected_components",
+    "triangles",
+    "triangle_count",
+    "clustering",
+    "average_clustering",
+    "transitivity",
+    "label_propagation_communities",
+    "degrees",
+    "in_degrees",
+    "out_degrees",
+    "degree_histogram",
+    "degree_centrality",
+]

@@ -1,0 +1,77 @@
+"""Degree views and degree-derived statistics.
+
+The reference's ``DegreeView`` family (``networkx/classes/reportviews.py:383-737``)
+becomes one-shot groupBy aggregations; Spark's partial+final HashAggregate
+gives the map-side combine for free, so hub skew is bounded at ≤ one partial
+row per task per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import SparkGraph
+
+
+def out_degrees(g: SparkGraph, weighted: bool = False) -> DataFrame:
+    """(id, degree): out-degree for directed graphs
+    (``reportviews.py:569`` OutDegreeView). For undirected graphs this equals
+    :func:`degrees`."""
+    e = g.symmetric_edges()
+    agg = F.sum("weight") if weighted else F.count(F.lit(1))
+    d = e.groupBy(F.col("src").alias("id")).agg(agg.alias("degree"))
+    return _with_zeros(g, d, weighted)
+
+
+def in_degrees(g: SparkGraph, weighted: bool = False) -> DataFrame:
+    """(id, degree): in-degree (``reportviews.py:546`` InDegreeView)."""
+    e = g.symmetric_edges()
+    agg = F.sum("weight") if weighted else F.count(F.lit(1))
+    d = e.groupBy(F.col("dst").alias("id")).agg(agg.alias("degree"))
+    return _with_zeros(g, d, weighted)
+
+
+def degrees(g: SparkGraph, weighted: bool = False) -> DataFrame:
+    """(id, degree): total degree (``reportviews.py:478`` DegreeView).
+    Undirected self-loops count twice, matching ``G.degree``; directed degree
+    is in+out."""
+    if g.directed:
+        e = g.edges
+    else:
+        e = g.edges  # canonical rows: explode both endpoints counts loops twice
+    ends = e.select(F.col("src").alias("id"), "weight").unionAll(
+        e.select(F.col("dst").alias("id"), "weight")
+    )
+    agg = F.sum("weight") if weighted else F.count(F.lit(1))
+    d = ends.groupBy("id").agg(agg.alias("degree"))
+    return _with_zeros(g, d, weighted)
+
+
+def _with_zeros(g: SparkGraph, d: DataFrame, weighted: bool) -> DataFrame:
+    zero = F.lit(0.0) if weighted else F.lit(0)
+    out = g.vertices.select("id").join(d, "id", "left")
+    col = F.coalesce("degree", zero)
+    if not weighted:
+        col = col.cast("long")
+    return out.select("id", col.alias("degree"))
+
+
+def degree_histogram(g: SparkGraph) -> DataFrame:
+    """(degree, frequency) — ``networkx/classes/function.py:141`` as a
+    two-level aggregation (degree counts, then counts of counts)."""
+    return (
+        degrees(g)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("frequency"))
+        .orderBy("degree")
+    )
+
+
+def degree_centrality(g: SparkGraph) -> DataFrame:
+    """(id, centrality) = degree/(n-1)
+    (``networkx/algorithms/centrality/degree_alg.py:10``)."""
+    n = g.number_of_nodes()
+    s = 1.0 / (n - 1) if n > 1 else 1.0
+    return degrees(g).select(
+        "id", (F.col("degree") * F.lit(s)).alias("centrality")
+    )

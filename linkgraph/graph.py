@@ -1,0 +1,267 @@
+"""SparkGraph — the distributed edge-table graph model.
+
+Replaces the reference's dict-of-dict-of-dict adjacency
+(``networkx/classes/graph.py:233-247``) with two DataFrames:
+
+- ``vertices(id BIGINT, ...attrs)`` — the node dictionary; ``id`` is the key.
+- ``edges(src BIGINT, dst BIGINT, weight DOUBLE)`` — one row per edge.
+
+Conventions (mirroring the reference where semantics demand):
+
+- **Directed** graphs store each arc once (``DiGraph._succ``/``_pred`` are not
+  duplicated; the reverse direction is a ``groupBy(dst)`` instead of a
+  pre-built index — Spark shuffles instead of double-storing,
+  cf. ``networkx/classes/digraph.py:330-332``).
+- **Undirected** graphs are stored canonically (``src <= dst``, deduped) and
+  symmetrized on demand, exactly as ``to_scipy_sparse_array`` symmetrizes at
+  conversion time (``networkx/convert_matrix.py:697-711``).
+- **Parallel (multigraph) edges** coalesce by summing weights, matching
+  ``networkx/convert_matrix.py:649-656``.
+- Self-loops are kept in storage; algorithms that ignore them (e.g. triangle
+  counting, ``networkx/algorithms/cluster.py:61``) filter them out themselves.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+EDGE_SCHEMA = StructType(
+    [
+        StructField("src", LongType(), False),
+        StructField("dst", LongType(), False),
+        StructField("weight", DoubleType(), True),
+    ]
+)
+
+VERTEX_SCHEMA = StructType([StructField("id", LongType(), False)])
+
+
+class SparkGraph:
+    """A graph as a pair of DataFrames.
+
+    Parameters
+    ----------
+    edges : DataFrame with columns ``src``, ``dst`` and optionally ``weight``.
+    vertices : optional DataFrame with column ``id`` (plus attribute columns).
+        If omitted, the vertex set is derived lazily from edge endpoints
+        (implicit node creation, like ``add_edges_from`` creating missing
+        nodes, ``networkx/classes/graph.py:986``).
+    directed : bool. Undirected graphs are canonicalized on construction.
+    coalesce_edges : if True (default), duplicate (src, dst) rows are merged
+        by summing weights (multigraph → weighted simple graph semantics of
+        ``networkx/convert_matrix.py:649-656``). Set False when the caller
+        guarantees uniqueness (skips a shuffle).
+    """
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        vertices: Optional[DataFrame] = None,
+        *,
+        directed: bool = True,
+        coalesce_edges: bool = True,
+        num_partitions: Optional[int] = None,
+    ):
+        self.directed = directed
+        self.spark = edges.sparkSession
+        self.num_partitions = num_partitions
+
+        e = edges
+        if "weight" not in e.columns:
+            e = e.withColumn("weight", F.lit(1.0))
+        e = e.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("weight").cast("double").alias("weight"),
+        )
+        if not directed:
+            # Canonical single-row storage: src <= dst (reference stores the
+            # attr dict once, shared by _adj[u][v] and _adj[v][u]).
+            e = e.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                "weight",
+            )
+        if coalesce_edges:
+            e = e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+        if num_partitions:
+            e = e.repartition(num_partitions, "src")
+        self.edges = e
+
+        if vertices is not None:
+            self._vertices = vertices.withColumn("id", F.col("id").cast("long"))
+        else:
+            self._vertices = None
+
+    # ------------------------------------------------------------------ #
+    # vertex / edge access
+    # ------------------------------------------------------------------ #
+
+    @property
+    def vertices(self) -> DataFrame:
+        """Vertex DataFrame; derived from edge endpoints when not supplied."""
+        if self._vertices is None:
+            self._vertices = (
+                self.edges.select(F.col("src").alias("id"))
+                .unionAll(self.edges.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+        return self._vertices
+
+    def symmetric_edges(self) -> DataFrame:
+        """Both-direction arc view (src, dst, weight).
+
+        For an undirected graph this is the union of the canonical rows and
+        their swaps (self-loops not duplicated) — the same symmetrization
+        ``to_scipy_sparse_array`` applies (``convert_matrix.py:697-711``).
+        For a directed graph it is the arcs as stored.
+        """
+        if self.directed:
+            return self.edges
+        e = self.edges
+        return e.unionAll(
+            e.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+
+    def undirected_view(self) -> "SparkGraph":
+        """This graph with directions dropped (``Graph.to_undirected``,
+        ``networkx/classes/graph.py:1737``)."""
+        if not self.directed:
+            return self
+        return SparkGraph(self.edges, self._vertices, directed=False)
+
+    def reverse(self) -> "SparkGraph":
+        """Arc-reversed graph (``networkx/algorithms/operators/unary.py:45``)."""
+        if not self.directed:
+            return self
+        rev = self.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+        return SparkGraph(rev, self._vertices, directed=True, coalesce_edges=False)
+
+    # ------------------------------------------------------------------ #
+    # scalar stats
+    # ------------------------------------------------------------------ #
+
+    def number_of_nodes(self) -> int:
+        return self.vertices.count()
+
+    def number_of_edges(self) -> int:
+        return self.edges.count()
+
+    def number_of_selfloops(self) -> int:
+        """``networkx/classes/function.py:1361``."""
+        return self.edges.filter(F.col("src") == F.col("dst")).count()
+
+    def density(self) -> float:
+        """``networkx/classes/function.py:106``: m/(n(n-1)) directed,
+        2m/(n(n-1)) undirected."""
+        n = self.number_of_nodes()
+        m = self.number_of_edges()
+        if n <= 1:
+            return 0.0
+        d = m / (n * (n - 1))
+        return d if self.directed else 2 * d
+
+    # ------------------------------------------------------------------ #
+    # subgraph / mutation analogs (DataFrames are immutable: every op
+    # returns a new SparkGraph; "copy is free")
+    # ------------------------------------------------------------------ #
+
+    def subgraph(self, node_ids: DataFrame) -> "SparkGraph":
+        """Induced subgraph (``networkx/classes/graph.py:1794``) via two
+        semi-joins; the id set is broadcast when small enough for Catalyst/AQE
+        to decide."""
+        ids = node_ids.select(F.col(node_ids.columns[0]).cast("long").alias("id"))
+        e = (
+            self.edges.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst", "weight")
+        )
+        v = self.vertices.join(ids, "id", "left_semi")
+        return SparkGraph(e, v, directed=self.directed, coalesce_edges=False)
+
+    def remove_nodes(self, node_ids: DataFrame) -> "SparkGraph":
+        """``Graph.remove_nodes_from`` (``graph.py:703``) — anti-join on both
+        endpoints."""
+        ids = node_ids.select(F.col(node_ids.columns[0]).cast("long").alias("id"))
+        e = (
+            self.edges.join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
+        )
+        v = self.vertices.join(ids, "id", "left_anti")
+        return SparkGraph(e, v, directed=self.directed, coalesce_edges=False)
+
+    def selfloop_edges(self) -> DataFrame:
+        return self.edges.filter(F.col("src") == F.col("dst"))
+
+    def isolates(self) -> DataFrame:
+        """Nodes with no incident edges (``networkx/algorithms/isolate.py``)."""
+        endpoints = (
+            self.edges.select(F.col("src").alias("id"))
+            .unionAll(self.edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return self.vertices.join(endpoints, "id", "left_anti")
+
+    def persist(self) -> "SparkGraph":
+        self.edges = self.edges.persist()
+        return self
+
+
+# ---------------------------------------------------------------------- #
+# constructors (the `convert.to_networkx_graph` dispatcher analog,
+# `networkx/convert.py:34`)
+# ---------------------------------------------------------------------- #
+
+
+def from_edgelist(
+    spark: SparkSession,
+    edges: Iterable[Sequence],
+    *,
+    directed: bool = False,
+    num_partitions: Optional[int] = None,
+) -> SparkGraph:
+    """Build from a Python iterable of (u, v) or (u, v, weight) tuples with
+    integer node ids (``networkx/convert.py:479`` ``from_edgelist``)."""
+    rows = []
+    for t in edges:
+        if len(t) == 2:
+            rows.append((int(t[0]), int(t[1]), 1.0))
+        else:
+            rows.append((int(t[0]), int(t[1]), float(t[2])))
+    df = spark.createDataFrame(rows, schema=EDGE_SCHEMA)
+    return SparkGraph(df, directed=directed, num_partitions=num_partitions)
+
+
+def from_nx(spark: SparkSession, G, *, num_partitions: Optional[int] = None):
+    """Parity-test bridge from a NetworkX graph with *integer* node labels
+    (``networkx/convert_matrix.py:312`` ``from_pandas_edgelist`` analog).
+
+    Returns (SparkGraph, vertices DataFrame). Isolated nodes are preserved by
+    passing the explicit vertex set.
+    """
+    edge_rows = [
+        (int(u), int(v), float(d.get("weight", 1.0))) for u, v, d in G.edges(data=True)
+    ]
+    vert_rows = [(int(n),) for n in G.nodes()]
+    edf = spark.createDataFrame(edge_rows, schema=EDGE_SCHEMA) if edge_rows else (
+        spark.createDataFrame([], schema=EDGE_SCHEMA)
+    )
+    vdf = spark.createDataFrame(vert_rows, schema=VERTEX_SCHEMA)
+    return SparkGraph(
+        edf,
+        vdf,
+        directed=G.is_directed(),
+        num_partitions=num_partitions,
+    )
