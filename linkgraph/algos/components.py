@@ -40,7 +40,8 @@ from linkgraph.state import CheckpointStore, IterationMetrics
 def _fingerprint(e: DataFrame):
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("src", "dst")).alias("h"),
+        # decimal(38,0) accumulator: exact and overflow-free under ANSI mode
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
     ).first()
     return (row["n"], row["h"])
 

@@ -173,10 +173,12 @@ def label_propagation_communities(
                     .alias("label"),
                 )
             )
-            labels = labels.join(upd, "id", "left_anti").unionByName(upd)
-        # One parquet roundtrip per sweep: materializes the whole sweep's
-        # color-class chain and truncates its lineage.
-        labels = cache.truncate(labels)
+            # Truncate lineage per color class: each class references the
+            # previous labels plan ~5×, so chaining a whole sweep lazily
+            # grows the Catalyst tree exponentially in the color count.
+            labels = cache.truncate(
+                labels.join(upd, "id", "left_anti").unionByName(upd)
+            )
         sweeps += 1
         if checkpoint_store is not None:
             labels = checkpoint_store.commit(
