@@ -1,0 +1,152 @@
+"""Headline benchmark suite.
+
+Runs the engine's flagship workloads at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "pagerank_edges_per_sec_per_iter": <float>}
+
+Workloads (the north-rule core):
+
+- ``pages_build``    — synthesize the Common-Crawl-style pages table at a
+  size proportional to sf, extract href edges via the vectorized Arrow UDF,
+  materialize the edge table (the engine's primary scan).
+- ``pages_pagerank`` — 10 fixed power iterations over the crawl graph.
+- ``pages_cc``       — connected components (large-star/small-star).
+- ``pages_triangles``— per-vertex triangle counts (degree-oriented join).
+- ``copurchase_pagerank`` — 10 iterations over the TPC-H copurchase graph.
+- ``doc_minhash``    — MinHash-LSH near-dup candidates over documents.
+- ``emb_topk``       — brute-force cosine top-10 for 50 query vectors.
+
+Scaling-efficiency evidence (north rule: N vs 4N cores) is produced by
+``scripts/scaling_bench.py``, which re-runs this file at two parallelism
+levels in fresh JVMs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession, functions as F
+
+PAGES_PER_SF = 1_000_000  # sf0.1 -> 100k synthetic pages
+PR_ITERS = 10
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("linkgraph-bench")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.default.parallelism", str(2 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = 0.1
+    n_pages = max(2000, int(PAGES_PER_SF * sf))
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from linkgraph.io.pages import synthesize_pages, build_link_graph
+    from linkgraph.algos.pagerank import pagerank
+    from linkgraph.algos.components import connected_components
+    from linkgraph.algos.triangles import triangles
+    from linkgraph import datasets as DS
+    from linkgraph import text as TX
+    from linkgraph import embeddings as EMB
+
+    timings: dict[str, float] = {}
+    pr_edges = 0
+
+    def bench(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # -- pages pipeline ------------------------------------------------- #
+    pages = synthesize_pages(spark, n_pages, seed=42, num_partitions=2 * cpus)
+
+    def build():
+        g = build_link_graph(pages, num_partitions=2 * cpus)
+        g.edges = g.edges.persist()
+        m = g.edges.count()
+        return g, m
+
+    g_pages, m_pages = bench("pages_build", build)
+    pr_edges = m_pages
+
+    bench(
+        "pages_pagerank",
+        lambda: pagerank(g_pages, fixed_iter=PR_ITERS).agg(F.sum("rank")).collect(),
+    )
+    bench(
+        "pages_cc",
+        lambda: connected_components(g_pages.undirected_view())
+        .agg(F.countDistinct("component"))
+        .collect(),
+    )
+    bench(
+        "pages_triangles",
+        lambda: triangles(g_pages.undirected_view()).agg(F.sum("triangles")).collect(),
+    )
+
+    # -- TPC-H copurchase graph ---------------------------------------- #
+    def copurchase_pr():
+        g = DS.copurchase_graph(spark, sf_dir)
+        g.edges = g.edges.persist()
+        g.edges.count()
+        return pagerank(g, fixed_iter=PR_ITERS).agg(F.sum("rank")).collect()
+
+    bench("copurchase_pagerank", copurchase_pr)
+
+    # -- documents / embeddings ----------------------------------------- #
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench("doc_minhash", lambda: TX.minhash_lsh_pairs(docs).count())
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 50)
+    bench("emb_topk", lambda: EMB.cosine_topk(emb, queries, k=10).count())
+
+    total = round(sum(timings.values()), 3)
+    eps = round(pr_edges * PR_ITERS / timings["pages_pagerank"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (pages link-graph + tpch graph + text/embedding ops)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_pages": n_pages,
+                "pages_edges": pr_edges,
+                "pagerank_edges_per_sec_per_iter": eps,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

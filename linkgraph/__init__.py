@@ -30,6 +30,26 @@ from linkgraph.algos.triangles import (
     transitivity,
 )
 from linkgraph.algos.lpa import label_propagation_communities
+from linkgraph.algos.reciprocity import overall_reciprocity, node_reciprocity
+from linkgraph.algos.hits import hits
+from linkgraph.algos.cores import core_number, k_core
+from linkgraph.algos.assortativity import degree_assortativity_coefficient
+from linkgraph.algos.setops import (
+    intersection,
+    difference,
+    symmetric_difference,
+    compose,
+    union,
+    complement,
+    shortest_path_lengths,
+)
+from linkgraph.algos.linkpred import (
+    common_neighbors,
+    jaccard_coefficient,
+    adamic_adar_index,
+    resource_allocation_index,
+    preferential_attachment,
+)
 from linkgraph.algos.degrees import (
     degrees,
     in_degrees,
@@ -53,6 +73,24 @@ __all__ = [
     "average_clustering",
     "transitivity",
     "label_propagation_communities",
+    "overall_reciprocity",
+    "node_reciprocity",
+    "hits",
+    "core_number",
+    "k_core",
+    "degree_assortativity_coefficient",
+    "intersection",
+    "difference",
+    "symmetric_difference",
+    "compose",
+    "union",
+    "complement",
+    "shortest_path_lengths",
+    "common_neighbors",
+    "jaccard_coefficient",
+    "adamic_adar_index",
+    "resource_allocation_index",
+    "preferential_attachment",
     "degrees",
     "in_degrees",
     "out_degrees",

@@ -1,0 +1,141 @@
+"""Link prediction — common-neighbor family as self-joins.
+
+Semantics match ``networkx/algorithms/link_prediction.py``:
+
+- ``jaccard_coefficient`` (``link_prediction.py:114``):
+  |Γ(u) ∩ Γ(v)| / |Γ(u) ∪ Γ(v)|; 0 when the union is empty.
+- ``resource_allocation_index`` (``link_prediction.py:45``):
+  Σ_{w ∈ Γ(u)∩Γ(v)} 1/deg(w).
+- ``adamic_adar_index`` (``link_prediction.py:167``): Σ 1/log(deg(w)).
+- ``preferential_attachment`` (``link_prediction.py:221``):
+  |Γ(u)| · |Γ(v)|.
+- ``common_neighbors`` (``networkx/classes/function.py:1064``).
+
+All operate on the undirected simple neighborhood (directed input raises,
+matching ``@not_implemented_for("directed")``).
+
+Pair universe: the reference defaults ``ebunch`` to all non-edges — O(n²)
+and meaningless at web scale. Here ``pairs=None`` defaults to **candidate
+pairs sharing at least one neighbor and not already adjacent** (every pair
+any of these scores nonzero on, found by the wedge self-join, i.e. the
+shuffle-bounded set); pass an explicit ``pairs`` DataFrame (u, v) for
+reference-shaped evaluation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import SparkGraph
+
+
+def _require_undirected(g: SparkGraph, fn: str):
+    if g.directed:
+        raise ValueError(f"{fn}: not implemented for directed type")
+
+
+def _sym(g: SparkGraph) -> DataFrame:
+    """Symmetric simple neighbor arcs (id, nbr), self-loops dropped."""
+    e = g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    return e.select(F.col("src").alias("id"), F.col("dst").alias("nbr")).unionAll(
+        e.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+    )
+
+
+def _candidate_pairs(sym: DataFrame) -> DataFrame:
+    """(u, v), u < v, sharing >= 1 neighbor, not adjacent."""
+    a = sym.select(F.col("nbr").alias("w"), F.col("id").alias("u"))
+    b = sym.select(F.col("nbr").alias("w"), F.col("id").alias("v"))
+    wedges = a.join(b, "w").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    adj = sym.select(
+        F.least("id", "nbr").alias("u"), F.greatest("id", "nbr").alias("v")
+    ).distinct()
+    return wedges.join(adj, ["u", "v"], "left_anti")
+
+
+def _pair_stats(g: SparkGraph, pairs: Optional[DataFrame]) -> DataFrame:
+    """(u, v, cn, du, dv, ra, aa): common-neighbor count plus degree sums
+    over the shared neighbors, one wedge join + one aggregation."""
+    sym = _sym(g).persist()
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    if pairs is None:
+        p = _candidate_pairs(sym)
+    else:
+        p = pairs.select(
+            F.col(pairs.columns[0]).cast("long").alias("u"),
+            F.col(pairs.columns[1]).cast("long").alias("v"),
+        )
+    a = sym.select(F.col("id").alias("u"), F.col("nbr").alias("w"))
+    b = sym.select(F.col("id").alias("v"), F.col("nbr").alias("w"))
+    shared = (
+        p.join(a, "u").join(b, ["v", "w"])  # w adjacent to both u and v
+        .join(deg.select(F.col("id").alias("w"), F.col("deg").alias("dw")), "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(1.0 / F.col("dw")).alias("ra"),
+            F.sum(1.0 / F.log(F.col("dw"))).alias("aa"),
+        )
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    return (
+        p.join(shared, ["u", "v"], "left")
+        .join(du, "u", "left")
+        .join(dv, "v", "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+            F.coalesce("du", F.lit(0)).alias("du"),
+            F.coalesce("dv", F.lit(0)).alias("dv"),
+            F.coalesce("ra", F.lit(0.0)).alias("ra"),
+            F.coalesce("aa", F.lit(0.0)).alias("aa"),
+        )
+    )
+
+
+def common_neighbors(g: SparkGraph, pairs: Optional[DataFrame] = None) -> DataFrame:
+    """(u, v, common_neighbors BIGINT)."""
+    _require_undirected(g, "common_neighbors")
+    return _pair_stats(g, pairs).select(
+        "u", "v", F.col("cn").cast("long").alias("common_neighbors")
+    )
+
+
+def jaccard_coefficient(g: SparkGraph, pairs: Optional[DataFrame] = None) -> DataFrame:
+    """(u, v, jaccard DOUBLE) — |∩| / |∪|, 0 when the union is empty
+    (``link_prediction.py:150-153``)."""
+    _require_undirected(g, "jaccard_coefficient")
+    s = _pair_stats(g, pairs)
+    union = F.col("du") + F.col("dv") - F.col("cn")
+    return s.select(
+        "u",
+        "v",
+        F.when(union == 0, F.lit(0.0))
+        .otherwise(F.col("cn").cast("double") / union)
+        .alias("jaccard"),
+    )
+
+
+def resource_allocation_index(
+    g: SparkGraph, pairs: Optional[DataFrame] = None
+) -> DataFrame:
+    _require_undirected(g, "resource_allocation_index")
+    return _pair_stats(g, pairs).select("u", "v", F.col("ra").alias("ra_index"))
+
+
+def adamic_adar_index(g: SparkGraph, pairs: Optional[DataFrame] = None) -> DataFrame:
+    _require_undirected(g, "adamic_adar_index")
+    return _pair_stats(g, pairs).select("u", "v", F.col("aa").alias("aa_index"))
+
+
+def preferential_attachment(
+    g: SparkGraph, pairs: Optional[DataFrame] = None
+) -> DataFrame:
+    _require_undirected(g, "preferential_attachment")
+    return _pair_stats(g, pairs).select(
+        "u", "v", (F.col("du") * F.col("dv")).cast("long").alias("pa")
+    )

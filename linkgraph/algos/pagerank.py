@@ -89,18 +89,42 @@ def pagerank(
     checkpoint_interval: int = 1,
     resume: bool = False,
     lineage_truncate_interval: int = 10,
+    fixed_iter: Optional[int] = None,
+    check_interval: int = 4,
 ) -> DataFrame:
     """Return DataFrame ``(id BIGINT, rank DOUBLE)``; ranks sum to 1.
 
     Raises :class:`PowerIterationFailedConvergence` like the reference
     (``pagerank_alg.py:498``) and ``ZeroDivisionError`` on an all-zero
     personalization vector (``pagerank_alg.py:478``).
+
+    ``fixed_iter=k`` runs exactly k power iterations with no convergence
+    test — the deterministic workload used by the SQL-unrolled oracle and
+    the benchmark (identical work every run regardless of float noise).
+
+    ``check_interval=B`` chains B lazy iterations between materializations
+    in ``fixed_iter`` mode (driver round-trips amortize B-fold); in
+    convergence mode the L1 error is evaluated after every iteration,
+    exactly the reference's stopping rule.
+
+    Inside the loop AQE and automatic broadcast joins are disabled: the
+    rank-vector joins run as shuffle joins against the statically
+    co-partitioned cached edge table, so after the first iteration only the
+    contribution ``groupBy(dst)`` shuffle moves data — the plan shape that
+    survives a 100x scale-up (a broadcast rank vector would not). They are
+    restored on exit.
     """
+    if fixed_iter is not None:
+        max_iter = fixed_iter
     spark = g.spark
     vertices = g.vertices.select("id").persist()
     n = vertices.count()
     if n == 0:
         return spark.createDataFrame([], "id long, rank double")
+
+    num_parts = g.num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
 
     # --- one-time edge prep: stochastic normalization ------------------- #
     # (stochastic_graph semantics, networkx/generators/stochastic.py:17)
@@ -111,9 +135,9 @@ def pagerank(
         .filter(F.col("out_w") != 0)
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p_edge"))
     )
-    if g.num_partitions:
-        norm = norm.repartition(g.num_partitions, "src")
-    norm = norm.persist()
+    # Hash-partition by src once and pin: every iteration's rank join then
+    # reuses this layout (only the small rank side shuffles).
+    norm = norm.repartition(num_parts, "src").persist()
     edge_count = norm.count()  # materialize once; also the per-iter work metric
 
     # Dangling nodes: zero out-weight rows of A (pagerank_alg.py:489).
@@ -154,40 +178,32 @@ def pagerank(
 
     # --- initial vector -------------------------------------------------- #
     start_iter = 0
-    danglesum: Optional[float] = None
     if resume and checkpoint_store is not None and checkpoint_store.latest_iteration() >= 0:
         start_iter = checkpoint_store.latest_iteration() + 1
-        x = checkpoint_store.load(start_iter - 1, spark)
+        x = checkpoint_store.load(start_iter - 1, spark).select("id", "rank")
     elif nstart is not None:
         x = _node_vector(g, nstart, "rank").join(vertices, "id", "right").select(
             "id", F.coalesce("rank", F.lit(0.0)).alias("rank")
         )
     else:
         x = vertices.select("id", F.lit(1.0 / n).alias("rank"))
-        danglesum = n_dangling / n  # uniform init: exact, no job needed
 
+    dang_ids = base.filter("is_dang").select("id").persist() if n_dangling else None
     cache = SuperstepCache(spark, truncate_interval=lineage_truncate_interval)
     inv_n = 1.0 / n
-    for k in range(start_iter, max_iter):
-        t0 = time.monotonic()
-        xlast = x
 
-        # danglesum = sum of rank over dangling nodes (pagerank_alg.py:492).
-        # Normally carried over from the previous iteration's fused
-        # aggregation; computed explicitly only on resume / nstart entry.
-        if n_dangling == 0:
-            danglesum = 0.0
-        elif danglesum is None:
-            danglesum = (
-                x.join(base.filter("is_dang"), "id", "left_semi")
-                .agg(F.sum("rank"))
-                .first()[0]
-                or 0.0
-            )
+    def step(xc: DataFrame) -> DataFrame:
+        """One lazy power iteration (pagerank_alg.py:491-493).
 
+        The dangling mass is a one-row in-plan aggregation broadcast into
+        the rank expression — no driver-side scalar, so any number of
+        iterations can chain lazily. Catalyst's exchange reuse dedups the
+        shared ``xc`` shuffles between the contribution and dangling
+        branches.
+        """
         # x @ A : join ranks to normalized edges on src, sum into dst.
         contrib_rows = norm.join(
-            x.withColumnRenamed("id", "src"), "src"
+            xc.withColumnRenamed("id", "src"), "src"
         ).select("src", "dst", (F.col("rank") * F.col("p_edge")).alias("c"))
         if hub_salt > 1:
             # explicit two-phase salted aggregation for hot dst keys: spread a
@@ -205,56 +221,107 @@ def pagerank(
         else:
             contrib = contrib_rows.groupBy("dst").agg(F.sum("c").alias("c"))
 
+        joined = base.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+        if dang_ids is not None:
+            # danglesum = sum of ranks over dangling nodes (pagerank_alg.py:492)
+            ds = xc.join(dang_ids, "id", "left_semi").agg(
+                F.sum("rank").alias("_ds")
+            )
+            joined = joined.crossJoin(F.broadcast(ds))
+            ds_col = F.coalesce(F.col("_ds"), F.lit(0.0))
+        else:
+            ds_col = F.lit(0.0)
         if uniform:
             rank_expr = (
-                F.lit(alpha)
-                * (F.coalesce("c", F.lit(0.0)) + F.lit(danglesum * inv_n))
+                F.lit(alpha) * (F.coalesce("c", F.lit(0.0)) + ds_col * F.lit(inv_n))
                 + F.lit((1.0 - alpha) * inv_n)
             )
         else:
             rank_expr = (
-                F.lit(alpha)
-                * (F.coalesce("c", F.lit(0.0)) + F.lit(danglesum) * F.col("dw"))
+                F.lit(alpha) * (F.coalesce("c", F.lit(0.0)) + ds_col * F.col("dw"))
                 + F.lit(1.0 - alpha) * F.col("p")
             )
-        x_new = base.join(
-            contrib.withColumnRenamed("dst", "id"), "id", "left"
-        ).select("id", rank_expr.alias("rank"), "is_dang")
+        return joined.select("id", rank_expr.alias("rank"))
 
-        # Materialize the superstep (truncates lineage: write+read parquet),
-        # then one fused aggregation yields both the L1 error and the next
-        # iteration's dangling mass — two driver jobs per iteration total.
-        joined = x_new.join(
-            xlast.select("id", F.col("rank").alias("rank_prev")), "id"
-        )
-        if checkpoint_store is not None and (k % checkpoint_interval == 0):
-            joined = checkpoint_store.commit(
-                joined,
+    def materialize(
+        df: DataFrame, k_end: int, t0: float, err=None, commit: bool = True
+    ) -> DataFrame:
+        if checkpoint_store is not None and commit:
+            out = checkpoint_store.commit(
+                df,
                 IterationMetrics(
-                    k,
-                    edges_processed=edge_count,
+                    k_end,
+                    edges_processed=edge_count * (k_end - start_iter + 1),
                     wall_ms=int((time.monotonic() - t0) * 1000),
-                    extra={"danglesum": danglesum, "alpha": alpha},
+                    l1_err=None if err is None else float(err),
+                    extra={"alpha": alpha},
                 ),
             )
         else:
-            joined = cache.truncate(joined)
-        row = joined.agg(
-            F.sum(F.abs(F.col("rank") - F.col("rank_prev"))).alias("err"),
-            F.sum(F.when(F.col("is_dang"), F.col("rank")).otherwise(0.0)).alias(
-                "dsum"
-            ),
-        ).first()
-        err, danglesum = row["err"], row["dsum"]
-        x = joined.select("id", "rank")
-        if checkpoint_store is not None and (k % checkpoint_interval == 0):
-            checkpoint_store.update_metrics(k, l1_err=float(err))
+            out = cache.truncate(df)
+        return out
 
-        if err < n * tol:
+    # Iterative loop settings: AQE off (no per-stage driver re-planning;
+    # the loop's shapes are static) and no automatic broadcast joins (the
+    # rank vector must stay a shuffle join to survive scale; the one-row
+    # dangling mass keeps its explicit broadcast() hint). Restored on exit.
+    saved_conf = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        if fixed_iter is not None:
+            # Chain `check_interval` lazy iterations per materialization;
+            # persisted intermediates keep the dangling/contribution fan-out
+            # from recomputing subplans 2^B times.
+            B = max(1, check_interval)
+            k = start_iter
+            while k < max_iter:
+                t0 = time.monotonic()
+                steps = min(B, max_iter - k)
+                iterates = [x]
+                for _ in range(steps):
+                    nxt = step(iterates[-1])
+                    if dang_ids is not None:
+                        nxt = nxt.persist()
+                    iterates.append(nxt)
+                x = materialize(iterates[-1], k + steps - 1, t0)
+                if dang_ids is not None:
+                    for it in iterates[1:]:
+                        it.unpersist()
+                k += steps
             cache.close(keep_result=True)
             return x
-    cache.close()
-    raise PowerIterationFailedConvergence(max_iter)
+
+        # Convergence mode: the reference's per-iteration stopping rule
+        # (pagerank_alg.py:495-497). Two jobs per iteration: the superstep
+        # materialization (localCheckpoint or durable commit — re-roots the
+        # logical plan, which otherwise grows 3^k) and the L1-error
+        # aggregation over the two checkpointed iterates (tiny scans).
+        for k in range(start_iter, max_iter):
+            t0 = time.monotonic()
+            commit = k % max(1, checkpoint_interval) == 0
+            x_new = materialize(step(x), k, t0, commit=commit)
+            err = (
+                x_new.join(x.select("id", F.col("rank").alias("rank_prev")), "id")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("rank_prev"))).alias("err"))
+                .first()["err"]
+            ) or 0.0
+            x = x_new
+            if checkpoint_store is not None and commit:
+                checkpoint_store.update_metrics(k, l1_err=float(err))
+            if err < n * tol:
+                cache.close(keep_result=True)
+                return x
+        cache.close()
+        raise PowerIterationFailedConvergence(max_iter)
+    finally:
+        for key, val in saved_conf.items():
+            spark.conf.set(key, val)
 
 
 def top_pagerank(g: SparkGraph, k: int = 20, **kwargs) -> DataFrame:

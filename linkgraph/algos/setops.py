@@ -1,0 +1,180 @@
+"""Binary set operations on graphs and BFS traversal.
+
+Set-op semantics match ``networkx/algorithms/operators/binary.py``:
+
+- ``intersection`` (``binary.py:138``): nodes common to both plus edges
+  present in both.
+- ``difference`` (``binary.py:183``): the edges of G absent from H; the
+  node sets must be equal (raises otherwise, ``binary.py:214-216``).
+- ``symmetric_difference`` (``binary.py:238``): same node-set contract;
+  edges in exactly one of the two.
+- ``compose`` (``binary.py:301``): union of nodes and edges (H's edge
+  attributes win on conflict — here: H's weight wins).
+- ``union`` (``binary.py:20``): requires disjoint node sets (raises on
+  overlap, matching the reference).
+- ``complement`` / ``reverse`` (``operators/unary.py:9,45``).
+
+BFS semantics match ``networkx/algorithms/shortest_paths/unweighted.py:22``
+(``single_source_shortest_path_length``) generalized to multiple sources:
+frontier-expansion supersteps, each one join + dedup, lineage truncated per
+level.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import SparkGraph
+from linkgraph.iterutils import SuperstepCache
+
+
+def _check_directedness(g: SparkGraph, h: SparkGraph):
+    if g.directed != h.directed:
+        raise ValueError("G and H must both be directed or undirected")
+
+
+def intersection(g: SparkGraph, h: SparkGraph) -> SparkGraph:
+    _check_directedness(g, h)
+    v = g.vertices.select("id").join(h.vertices.select("id"), "id", "left_semi")
+    e = g.edges.join(h.edges.select("src", "dst"), ["src", "dst"], "left_semi")
+    return SparkGraph(e, v, directed=g.directed, coalesce_edges=False)
+
+
+def _require_same_nodes(g: SparkGraph, h: SparkGraph, fn: str):
+    only_g = g.vertices.select("id").join(h.vertices.select("id"), "id", "left_anti")
+    only_h = h.vertices.select("id").join(g.vertices.select("id"), "id", "left_anti")
+    if only_g.limit(1).count() or only_h.limit(1).count():
+        raise ValueError(f"{fn}: node sets of G and H are not equal")
+
+
+def difference(g: SparkGraph, h: SparkGraph) -> SparkGraph:
+    _check_directedness(g, h)
+    _require_same_nodes(g, h, "difference")
+    e = g.edges.join(h.edges.select("src", "dst"), ["src", "dst"], "left_anti")
+    return SparkGraph(e, g.vertices, directed=g.directed, coalesce_edges=False)
+
+
+def symmetric_difference(g: SparkGraph, h: SparkGraph) -> SparkGraph:
+    _check_directedness(g, h)
+    _require_same_nodes(g, h, "symmetric_difference")
+    e1 = g.edges.join(h.edges.select("src", "dst"), ["src", "dst"], "left_anti")
+    e2 = h.edges.join(g.edges.select("src", "dst"), ["src", "dst"], "left_anti")
+    return SparkGraph(
+        e1.unionByName(e2), g.vertices, directed=g.directed, coalesce_edges=False
+    )
+
+
+def compose(g: SparkGraph, h: SparkGraph) -> SparkGraph:
+    """Union keeping common nodes; H's edge weight wins on shared (src, dst)
+    (``binary.py:301``: attributes from H take precedence)."""
+    _check_directedness(g, h)
+    v = g.vertices.select("id").unionByName(h.vertices.select("id")).distinct()
+    g_only = g.edges.join(h.edges.select("src", "dst"), ["src", "dst"], "left_anti")
+    e = g_only.unionByName(h.edges)
+    return SparkGraph(e, v, directed=g.directed, coalesce_edges=False)
+
+
+def union(g: SparkGraph, h: SparkGraph) -> SparkGraph:
+    """Disjoint-node-set union; raises when the node sets intersect
+    (``binary.py:20`` — the reference raises on non-disjoint sets)."""
+    _check_directedness(g, h)
+    overlap = g.vertices.select("id").join(
+        h.vertices.select("id"), "id", "left_semi"
+    )
+    if overlap.limit(1).count():
+        raise ValueError("union: node sets of G and H are not disjoint")
+    return SparkGraph(
+        g.edges.unionByName(h.edges),
+        g.vertices.select("id").unionByName(h.vertices.select("id")),
+        directed=g.directed,
+        coalesce_edges=False,
+    )
+
+
+def complement(g: SparkGraph) -> SparkGraph:
+    """All node pairs without an edge, self-loops excluded
+    (``operators/unary.py:9``). O(n²) by definition — small graphs only."""
+    v = g.vertices.select("id")
+    pairs = v.crossJoin(v.select(F.col("id").alias("id2"))).filter(
+        F.col("id") != F.col("id2")
+    )
+    if not g.directed:
+        pairs = pairs.filter(F.col("id") < F.col("id2"))
+    pairs = pairs.select(F.col("id").alias("src"), F.col("id2").alias("dst"))
+    e = pairs.join(
+        g.symmetric_edges().select("src", "dst")
+        if g.directed
+        else g.edges.select("src", "dst"),
+        ["src", "dst"],
+        "left_anti",
+    )
+    return SparkGraph(e, v, directed=g.directed, coalesce_edges=False)
+
+
+def reverse(g: SparkGraph) -> SparkGraph:
+    return g.reverse()
+
+
+# --------------------------------------------------------------------- #
+# BFS
+# --------------------------------------------------------------------- #
+
+
+def shortest_path_lengths(
+    g: SparkGraph,
+    sources,
+    *,
+    max_depth: Optional[int] = None,
+) -> DataFrame:
+    """Unweighted shortest-path length from the nearest source:
+    ``(id BIGINT, distance BIGINT)``; unreachable nodes are absent, like the
+    reference's result dict (``unweighted.py:22``).
+
+    ``sources`` is an iterable of node ids or a one-column DataFrame.
+    Frontier superstep: join the frontier with the arc table, drop already
+    visited, dedup — one shuffle per BFS level.
+    """
+    spark = g.spark
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(
+            F.col(sources.columns[0]).cast("long").alias("id")
+        )
+    else:
+        src_df = spark.createDataFrame([(int(s),) for s in sources], "id long")
+    src_df = src_df.join(g.vertices.select("id"), "id", "left_semi")
+
+    adj = g.symmetric_edges().select("src", "dst") if not g.directed else g.edges.select("src", "dst")
+    adj = adj.persist()
+
+    cache = SuperstepCache(spark)
+    visited = cache.truncate(src_df.select("id", F.lit(0).cast("long").alias("distance")))
+    frontier = visited
+    depth = 0
+    while True:
+        if max_depth is not None and depth >= max_depth:
+            break
+        depth += 1
+        nxt = (
+            adj.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .select("id", F.lit(depth).cast("long").alias("distance"))
+        )
+        nxt = cache.truncate(nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = cache.truncate(visited.unionByName(nxt))
+        frontier = nxt
+    adj.unpersist()
+    cache.close(keep_result=True)
+    return visited
+
+
+def descendants_at_distance(g: SparkGraph, source, distance: int) -> DataFrame:
+    """Nodes at exactly `distance` from source
+    (``breadth_first_search.py:540``)."""
+    d = shortest_path_lengths(g, [source], max_depth=distance)
+    return d.filter(F.col("distance") == distance).select("id")

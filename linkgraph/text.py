@@ -1,0 +1,229 @@
+"""Text-analysis and deduplication operators over a ``documents`` table.
+
+The training-data-pipeline surface: exact dedup, n-gram Jaccard near-dup,
+MinHash+LSH candidate generation, token statistics, quality scoring,
+heuristic language ID, and rolling fingerprints — everything as built-in
+``pyspark.sql.functions`` expressions (whole-stage codegen, no Python in the
+hot path). Every operator here is deliberately expressible in portable ANSI
+SQL so the DuckDB oracle can verify it value-for-value.
+
+Determinism/portability notes:
+
+- Hashing uses ``md5`` (hex string) — the one hash both Spark and DuckDB
+  implement identically. MinHash takes the **lexicographic minimum of the
+  md5 hex digests** per seeded permutation: min-over-strings is a valid
+  min-wise scheme (the digest is uniform) and is bit-portable across
+  engines, unlike integer xxhash variants.
+- Tokenization is ``split(trim(text), '\\s+')`` — whitespace tokens only.
+
+Scale shape (100 TB story): everything is scan → project → explode →
+hash-agg; the only shuffles are the groupBys on (doc, shingle)-shaped keys
+and the shingle/band equi-joins for candidate pairs. Band buckets are the
+LSH join keys, so near-dup detection never goes O(n²); the exact Jaccard
+verify join runs only on LSH candidates at scale (the all-pairs form below
+is for oracle-checkable small inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks ARRAY<STRING>) — whitespace tokenization."""
+    return docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens BIGINT)."""
+    return tokens(docs).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: (text_md5, n_docs, canonical_doc_id).
+
+    ``canonical_doc_id`` is the minimum doc_id of the group — the survivor
+    a dedup pass would keep.
+    """
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_doc_id"),
+        )
+    )
+
+
+def word_shingles(docs: DataFrame, k: int = 2) -> DataFrame:
+    """(doc_id, shingle) — distinct k-word shingles joined by single spaces."""
+    t = tokens(docs)
+    idx = F.sequence(F.lit(0), F.size("toks") - F.lit(k))
+    return (
+        t.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 2, threshold: float = 0.8
+) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over k-word shingle sets:
+    (doc_a, doc_b, jaccard DOUBLE rounded to 6), doc_a < doc_b.
+
+    The shingle equi-join finds only pairs with ≥1 shared shingle, so the
+    candidate space is bounded by shingle co-occurrence, not n².
+    """
+    sh = word_shingles(docs, k).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 2, num_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, sig ARRAY<STRING>) — MinHash signature per document.
+
+    Permutation ``i`` is ``md5(i || '#' || shingle)``; the signature element
+    is the lexicographic minimum digest over the doc's shingle set.
+    """
+    sh = word_shingles(docs, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 2, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """LSH candidate pairs (doc_a, doc_b), doc_a < doc_b, distinct.
+
+    Signatures are cut into bands of ``band_size``; documents sharing any
+    band collide into a bucket and the bucket self-join emits the pair. At
+    scale the bucket key is the shuffle key — no all-pairs comparison.
+    """
+    sig = minhash_signatures(docs, k, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col("sig")[b * band_size + j] for j in range(band_size)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).distinct()
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band")
+    return (
+        a.join(b, "band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_token_len, stopword_ratio, alpha_ratio)
+    — the standard cheap quality signals, all rounded to 6 for portability."""
+    t = tokens(docs)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size("toks").cast("double")
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                "toks", F.lit(0.0), lambda acc, x: acc + F.length(x)
+            )
+            / n,
+            6,
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(F.array_intersect("toks", stop_arr)).cast("double")
+            / F.size(F.array_distinct("toks")),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.concat_ws("", "toks"), "[^a-zA-Z]", ""))
+            / F.greatest(F.length(F.concat_ws("", "toks")), F.lit(1)).cast("double"),
+            6,
+        ).alias("alpha_ratio"),
+    )
+
+
+_DE_MARKERS = ("der", "die", "das", "und", "ist", "nicht", "mit", "ein")
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, predicted_lang) — marker-word heuristic: German if the text
+    contains more German marker tokens than English stopword tokens."""
+    t = tokens(docs)
+    en = F.array(*[F.lit(s) for s in STOPWORDS])
+    de = F.array(*[F.lit(s) for s in _DE_MARKERS])
+    hits = lambda arr: F.size(
+        F.filter("toks", lambda x: F.array_contains(arr, x))
+    )
+    return t.select(
+        "doc_id",
+        F.when(hits(de) > hits(en), F.lit("de")).otherwise(F.lit("en")).alias(
+            "predicted_lang"
+        ),
+    )
+
+
+def fingerprints(docs: DataFrame, prefix_chars: int = 64) -> DataFrame:
+    """(doc_id, fp) — content-defined fingerprint: md5 of the
+    whitespace-normalized lowercased text prefix. A deterministic stand-in
+    for rolling-hash fingerprints that stays portable across engines."""
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id", F.md5(F.substring(norm, 1, prefix_chars)).alias("fp")
+    )
