@@ -62,7 +62,9 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").split("sf")[-1])
     except ValueError:
         sf = 0.1
-    n_pages = max(2000, int(PAGES_PER_SF * sf))
+    n_pages = int(
+        os.environ.get("SPARK_GRAFT_PAGES", max(2000, int(PAGES_PER_SF * sf)))
+    )
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -75,30 +77,46 @@ def main() -> None:
     from linkgraph import text as TX
     from linkgraph import embeddings as EMB
 
+    only = {
+        q for q in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if q
+    }
     timings: dict[str, float] = {}
     pr_edges = 0
 
-    def bench(name, fn):
+    def bench(name, fn, forced: bool = False):
+        if only and name not in only and not forced:
+            return None
         t0 = time.monotonic()
         out = fn()
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
+    # JVM / codegen warm-up (excluded from all timings): one tiny end-to-end
+    # pass through the same operator shapes.
+    warm = synthesize_pages(spark, 500, seed=1)
+    wg = build_link_graph(warm)
+    pagerank(wg, fixed_iter=2, check_interval=2).count()
+
     # -- pages pipeline ------------------------------------------------- #
     pages = synthesize_pages(spark, n_pages, seed=42, num_partitions=2 * cpus)
+    need_pages = not only or any(q.startswith("pages") for q in only)
+    g_pages, m_pages = None, 0
+    if need_pages:
 
-    def build():
-        g = build_link_graph(pages, num_partitions=2 * cpus)
-        g.edges = g.edges.persist()
-        m = g.edges.count()
-        return g, m
+        def build():
+            g = build_link_graph(pages, num_partitions=2 * cpus)
+            g.edges = g.edges.persist()
+            m = g.edges.count()
+            return g, m
 
-    g_pages, m_pages = bench("pages_build", build)
+        g_pages, m_pages = bench("pages_build", build, forced=True)
     pr_edges = m_pages
 
     bench(
         "pages_pagerank",
-        lambda: pagerank(g_pages, fixed_iter=PR_ITERS).agg(F.sum("rank")).collect(),
+        lambda: pagerank(g_pages, fixed_iter=PR_ITERS, check_interval=PR_ITERS)
+        .agg(F.sum("rank"))
+        .collect(),
     )
     bench(
         "pages_cc",
@@ -116,7 +134,11 @@ def main() -> None:
         g = DS.copurchase_graph(spark, sf_dir)
         g.edges = g.edges.persist()
         g.edges.count()
-        return pagerank(g, fixed_iter=PR_ITERS).agg(F.sum("rank")).collect()
+        return (
+            pagerank(g, fixed_iter=PR_ITERS, check_interval=PR_ITERS)
+            .agg(F.sum("rank"))
+            .collect()
+        )
 
     bench("copurchase_pagerank", copurchase_pr)
 
@@ -129,7 +151,11 @@ def main() -> None:
     bench("emb_topk", lambda: EMB.cosine_topk(emb, queries, k=10).count())
 
     total = round(sum(timings.values()), 3)
-    eps = round(pr_edges * PR_ITERS / timings["pages_pagerank"], 1)
+    eps = (
+        round(pr_edges * PR_ITERS / timings["pages_pagerank"], 1)
+        if "pages_pagerank" in timings
+        else None
+    )
     print(
         json.dumps(
             {

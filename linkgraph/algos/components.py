@@ -109,34 +109,49 @@ def connected_components(
     e = cache.truncate(e)
     fp = _fingerprint(e)
 
-    for k in range(start_round, max_rounds):
-        t0 = time.monotonic()
-        e2 = _small_star(_large_star(e))
-        if checkpoint_store is not None:
-            e2 = checkpoint_store.commit(
-                e2,
-                IterationMetrics(
-                    k,
-                    wall_ms=int((time.monotonic() - t0) * 1000),
-                ),
-            )
+    # Same loop tuning as PageRank: no AQE re-planning, hash joins instead
+    # of per-round re-sorts of the star edge sets. Restored on exit.
+    spark = g.spark
+    saved_conf = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.join.preferSortMergeJoin": spark.conf.get(
+            "spark.sql.join.preferSortMergeJoin"
+        ),
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    try:
+        for k in range(start_round, max_rounds):
+            t0 = time.monotonic()
+            e2 = _small_star(_large_star(e))
+            if checkpoint_store is not None:
+                e2 = checkpoint_store.commit(
+                    e2,
+                    IterationMetrics(
+                        k,
+                        wall_ms=int((time.monotonic() - t0) * 1000),
+                    ),
+                )
+            else:
+                e2 = cache.truncate(e2)
+            fp2 = _fingerprint(e2)
+            if checkpoint_store is not None:
+                checkpoint_store.update_metrics(
+                    k, changed=0 if fp2 == fp else 1, edges_processed=fp2[0]
+                )
+            if fp2 == fp:
+                e = e2
+                break
+            e, fp = e2, fp2
         else:
-            e2 = cache.truncate(e2)
-        fp2 = _fingerprint(e2)
-        if checkpoint_store is not None:
-            checkpoint_store.update_metrics(
-                k, changed=0 if fp2 == fp else 1, edges_processed=fp2[0]
-            )
-        if fp2 == fp:
-            e = e2
-            break
-        e, fp = e2, fp2
-    else:
-        if start_round < max_rounds:
-            cache.close()
-            raise RuntimeError(
-                f"connected_components did not converge in {max_rounds} rounds"
-            )
+            if start_round < max_rounds:
+                cache.close()
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_rounds} rounds"
+                )
+    finally:
+        for key, val in saved_conf.items():
+            spark.conf.set(key, val)
 
     # Converged star edges map node -> component min; roots and isolated
     # nodes map to themselves.

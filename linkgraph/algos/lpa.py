@@ -73,16 +73,98 @@ def _greedy_color_largest_first(edges: list[tuple[int, int]], nodes: list[int]):
     return colors
 
 
+def _jones_plassmann_coloring(
+    sym: DataFrame, vertices: DataFrame, cache: SuperstepCache, seed: int = 17
+) -> DataFrame:
+    """Distributed proper coloring (Jones & Plassmann 1993): random
+    priorities from a hash; a node takes the smallest color unused by its
+    already-colored higher-priority neighbors, rounds until all colored.
+
+    Any proper coloring yields a valid semi-synchronous LPA schedule
+    (color classes are independent sets); it just differs from the
+    reference's sequential ``largest_first`` order, so the resulting
+    partition is LPA-valid but not bit-identical to NetworkX's. This is the
+    scale path — no driver-side edge collection.
+    """
+    pri = vertices.select(
+        "id", F.xxhash64(F.col("id"), F.lit(seed)).alias("pri")
+    ).persist()
+    nbr_pri = (
+        sym.join(pri.withColumnRenamed("id", "src").withColumnRenamed("pri", "src_pri"), "src")
+        .join(pri.withColumnRenamed("id", "dst").withColumnRenamed("pri", "dst_pri"), "dst")
+        .select("src", "dst", "src_pri", "dst_pri")
+        .persist()
+    )
+    colored = cache.truncate(
+        vertices.limit(0).select("id", F.lit(0).cast("int").alias("color"))
+    )
+    uncolored = cache.truncate(vertices.select("id"))
+    while uncolored.limit(1).count() > 0:
+        # higher-priority uncolored neighbors block a node this round
+        blocked = (
+            nbr_pri.join(uncolored.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(uncolored.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .filter(
+                (F.col("dst_pri") > F.col("src_pri"))
+                | ((F.col("dst_pri") == F.col("src_pri")) & (F.col("dst") > F.col("src")))
+            )
+            .select(F.col("src").alias("id"))
+            .distinct()
+        )
+        ready = uncolored.join(blocked, "id", "left_anti")
+        # smallest color not used by already-colored neighbors
+        used = (
+            nbr_pri.select("src", "dst")
+            .join(ready.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(colored.withColumnRenamed("id", "dst"), "dst")
+            .select(F.col("src").alias("id"), "color")
+            .groupBy("id")
+            .agg(F.collect_set("color").alias("used"))
+        )
+        empty = F.expr("array()").cast("array<int>")
+        used_arr = F.coalesce("used", empty)
+        assigned = (
+            ready.join(used, "id", "left")
+            .select(
+                "id",
+                F.coalesce(
+                    F.array_position(
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(used_arr)),
+                            lambda c: ~F.array_contains(used_arr, c.cast("int")),
+                        ),
+                        True,
+                    ).cast("int")
+                    - 1,
+                    F.lit(0),
+                ).alias("color"),
+            )
+        )
+        colored = cache.truncate(colored.unionByName(assigned))
+        uncolored = cache.truncate(uncolored.join(assigned, "id", "left_anti"))
+    pri.unpersist()
+    nbr_pri.unpersist()
+    return colored
+
+
 def label_propagation_communities(
     g: SparkGraph,
     *,
     max_sweeps: int = 100,
     max_driver_edges: int = 5_000_000,
     checkpoint_store: Optional[CheckpointStore] = None,
+    coloring: str = "reference",
 ) -> DataFrame:
     """Return DataFrame ``(id BIGINT, label BIGINT)``; nodes sharing a label
     form one community. The partition matches the reference exactly when the
-    reference enumerates nodes in ascending-id order."""
+    reference enumerates nodes in ascending-id order.
+
+    ``coloring="reference"`` (default) replicates ``greedy_color`` on the
+    driver for exact partition parity (guarded by ``max_driver_edges``);
+    ``coloring="distributed"`` uses Jones-Plassmann coloring entirely in
+    Spark — the scale path: same LPA update rule and termination, a valid
+    (but schedule-different) partition.
+    """
     if g.directed:
         raise NotImplementedForDirected(
             "label_propagation_communities: not implemented for directed type"
@@ -97,25 +179,33 @@ def label_propagation_communities(
         .persist()
     )
     m = simple.count()
-    if m > max_driver_edges:
-        raise ValueError(
-            f"exact-parity LPA collects the edge list for greedy coloring; "
-            f"{m} edges > max_driver_edges={max_driver_edges}"
-        )
-    edge_list = [(r["src"], r["dst"]) for r in simple.collect()]
-    node_list = sorted(r["id"] for r in vertices.collect())
-    coloring = _greedy_color_largest_first(edge_list, node_list)
-    n_colors = (max(coloring.values()) + 1) if coloring else 0
 
-    color_df = (
-        spark.createDataFrame(list(coloring.items()), ["id", "color"])
-        if coloring
-        else spark.createDataFrame([], "id long, color int")
-    ).persist()
-
-    sym = simple.unionAll(
+    sym_early = simple.unionAll(
         simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+
+    if coloring == "distributed":
+        _cc = SuperstepCache(spark)
+        color_df = _jones_plassmann_coloring(sym_early, vertices, _cc).persist()
+        n_colors = (color_df.agg(F.max("color")).first()[0] or 0) + 1
+    else:
+        if m > max_driver_edges:
+            raise ValueError(
+                f"exact-parity LPA collects the edge list for greedy coloring; "
+                f"{m} edges > max_driver_edges={max_driver_edges}; "
+                "use coloring='distributed' for the scale path"
+            )
+        edge_list = [(r["src"], r["dst"]) for r in simple.collect()]
+        node_list = sorted(r["id"] for r in vertices.collect())
+        cmap = _greedy_color_largest_first(edge_list, node_list)
+        n_colors = (max(cmap.values()) + 1) if cmap else 0
+        color_df = (
+            spark.createDataFrame(list(cmap.items()), ["id", "color"])
+            if cmap
+            else spark.createDataFrame([], "id long, color int")
+        ).persist()
+
+    sym = sym_early
 
     cache = SuperstepCache(spark, truncate_interval=1)
     labels = vertices.select("id", F.col("id").alias("label"))

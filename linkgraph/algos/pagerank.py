@@ -270,9 +270,17 @@ def pagerank(
         "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
             "spark.sql.autoBroadcastJoinThreshold"
         ),
+        "spark.sql.join.preferSortMergeJoin": spark.conf.get(
+            "spark.sql.join.preferSortMergeJoin"
+        ),
     }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Shuffled-hash instead of sort-merge: the per-iteration joins would
+    # otherwise re-sort the (cached, co-partitioned) edge table every
+    # iteration — pure CPU burn that dominates at scale. The hash side is
+    # the rank vector (n rows), which fits executor memory by design.
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     try:
         if fixed_iter is not None:
             # Chain `check_interval` lazy iterations per materialization;

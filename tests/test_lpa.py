@@ -94,3 +94,44 @@ def test_greedy_color_matches_nx():
         ours = _greedy_color_largest_first(list(G.edges()), sorted(G.nodes()))
         theirs = nx.coloring.greedy_color(G)
         assert ours == theirs
+
+
+def test_distributed_coloring_proper_and_lpa_valid(spark):
+    """Jones-Plassmann path: the coloring must be proper, and LPA with it
+    must still terminate on a valid partition (two 5-cliques joined by one
+    edge -> the two cliques, the allowed-set style of
+    test_label_propagation.py:88-103)."""
+    from pyspark.sql import functions as F
+    from linkgraph.algos.lpa import _jones_plassmann_coloring
+    from linkgraph.iterutils import SuperstepCache
+
+    G = nx.caveman_graph(2, 5)
+    G.add_edge(0, 5)
+    g = from_nx(spark, G)
+
+    simple = g.edges.select("src", "dst")
+    sym = simple.unionAll(
+        simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    colors = _jones_plassmann_coloring(
+        sym, g.vertices.select("id"), SuperstepCache(spark)
+    )
+    # proper: no edge joins two same-colored nodes
+    bad = (
+        sym.join(colors.withColumnRenamed("id", "src").withColumnRenamed("color", "c1"), "src")
+        .join(colors.withColumnRenamed("id", "dst").withColumnRenamed("color", "c2"), "dst")
+        .filter(F.col("c1") == F.col("c2"))
+        .count()
+    )
+    assert bad == 0
+    assert colors.count() == 10
+
+    got = set(
+        communities_as_sets(
+            label_propagation_communities(g, coloring="distributed")
+        )
+    )
+    assert got in (
+        {frozenset(range(5)), frozenset(range(5, 10))},
+        {frozenset(range(10))},
+    )
