@@ -32,6 +32,7 @@ from linkgraph.algos.triangles import (
 from linkgraph.algos.lpa import label_propagation_communities
 from linkgraph.algos.reciprocity import overall_reciprocity, node_reciprocity
 from linkgraph.algos.hits import hits
+from linkgraph.algos.centrality import eigenvector_centrality, katz_centrality
 from linkgraph.algos.cores import core_number, k_core
 from linkgraph.algos.assortativity import degree_assortativity_coefficient
 from linkgraph.algos.setops import (
@@ -76,6 +77,8 @@ __all__ = [
     "overall_reciprocity",
     "node_reciprocity",
     "hits",
+    "eigenvector_centrality",
+    "katz_centrality",
     "core_number",
     "k_core",
     "degree_assortativity_coefficient",

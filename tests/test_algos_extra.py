@@ -294,3 +294,62 @@ def test_assortativity_parity_directed(spark):
     got = degree_assortativity_coefficient(from_nx(spark, G))
     want = nx.degree_assortativity_coefficient(G, x="out", y="in")
     assert got == pytest.approx(want, abs=1e-9)
+
+
+# --------------------- eigenvector / katz centrality ------------------- #
+
+
+def test_eigenvector_centrality_parity(spark):
+    from linkgraph.algos.centrality import eigenvector_centrality
+
+    G = nx.karate_club_graph()
+    want = nx.eigenvector_centrality(G)
+    got = {
+        r["id"]: r["centrality"]
+        for r in eigenvector_centrality(from_nx(spark, G)).collect()
+    }
+    for n in G:
+        assert got[n] == pytest.approx(want[n], abs=1e-6)
+
+
+def test_eigenvector_directed_parity(spark):
+    from linkgraph.algos.centrality import eigenvector_centrality
+
+    G = nx.gnp_random_graph(25, 0.2, seed=8, directed=True)
+    # ensure convergence reference-side too
+    want = nx.eigenvector_centrality(G, max_iter=500)
+    got = {
+        r["id"]: r["centrality"]
+        for r in eigenvector_centrality(from_nx(spark, G), max_iter=500).collect()
+    }
+    for n in G:
+        assert got[n] == pytest.approx(want[n], abs=1e-5)
+
+
+def test_katz_centrality_parity(spark):
+    from linkgraph.algos.centrality import katz_centrality
+
+    G = nx.path_graph(6)
+    want = nx.katz_centrality(G, alpha=0.1, beta=1.0)
+    got = {
+        r["id"]: r["centrality"]
+        for r in katz_centrality(from_nx(spark, G), alpha=0.1, beta=1.0).collect()
+    }
+    for n in G:
+        assert got[n] == pytest.approx(want[n], abs=1e-6)
+
+
+def test_katz_beta_dict_and_errors(spark):
+    from linkgraph.algos.centrality import katz_centrality
+
+    G = nx.cycle_graph(4)
+    beta = {0: 1.0, 1: 2.0, 2: 1.0, 3: 2.0}
+    want = nx.katz_centrality(G, alpha=0.2, beta=beta)
+    got = {
+        r["id"]: r["centrality"]
+        for r in katz_centrality(from_nx(spark, G), alpha=0.2, beta=beta).collect()
+    }
+    for n in G:
+        assert got[n] == pytest.approx(want[n], abs=1e-6)
+    with pytest.raises(ValueError):
+        katz_centrality(from_nx(spark, G), beta={0: 1.0})
