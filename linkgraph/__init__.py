@@ -15,7 +15,8 @@ Public API mirrors the NetworkX names so parity tests read 1:1:
 - :func:`linkgraph.algos.triangles.triangles`
 """
 
-from linkgraph.graph import SparkGraph
+from linkgraph.graph import SparkGraph, convert_node_labels_to_integers
+from linkgraph.algos.wlhash import weisfeiler_lehman_graph_hash
 from linkgraph.algos.pagerank import pagerank, PowerIterationFailedConvergence
 from linkgraph.algos.components import (
     connected_components,
@@ -63,6 +64,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "SparkGraph",
+    "convert_node_labels_to_integers",
+    "weisfeiler_lehman_graph_hash",
     "pagerank",
     "PowerIterationFailedConvergence",
     "connected_components",

@@ -178,3 +178,17 @@ def descendants_at_distance(g: SparkGraph, source, distance: int) -> DataFrame:
     (``breadth_first_search.py:540``)."""
     d = shortest_path_lengths(g, [source], max_depth=distance)
     return d.filter(F.col("distance") == distance).select("id")
+
+
+def descendants(g: SparkGraph, source) -> DataFrame:
+    """All nodes reachable from source, excluding it
+    (``networkx/algorithms/dag.py:39``)."""
+    d = shortest_path_lengths(g, [source])
+    return d.filter(F.col("distance") > 0).select("id")
+
+
+def ancestors(g: SparkGraph, source) -> DataFrame:
+    """All nodes with a path TO source, excluding it
+    (``networkx/algorithms/dag.py:76``) — BFS on the reversed graph."""
+    d = shortest_path_lengths(g.reverse(), [source])
+    return d.filter(F.col("distance") > 0).select("id")

@@ -1,0 +1,149 @@
+"""Weisfeiler-Lehman graph hashing.
+
+Semantics match ``networkx/algorithms/graph_hashing.py:73``
+(``weisfeiler_lehman_graph_hash``, no node/edge attributes):
+
+- init label: undirected ``str(degree)`` (``graph_hashing.py:31-38``);
+  directed ``str(in_degree) + "_" + str(out_degree)``
+- per iteration (``:195-205``): new label = blake2b hexdigest of
+  ``old_label + "".join(sorted(neighbor_labels))``; directed graphs
+  append sorted successor labels then sorted predecessor labels
+  (``:50-67``)
+- after every iteration the Counter of node hashes is appended (sorted by
+  hash) to a running list; the final hash is blake2b of
+  ``str(tuple(list))`` (``:217-226``)
+
+The per-iteration aggregation is ``collect_list`` + ``sort_array`` +
+``concat`` — a single groupBy shuffle; blake2b (not a Spark builtin) runs
+in an Arrow-batched pandas UDF, like the extraction kernel. Exact string
+reproduction means the final hex digest equals NetworkX's bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from linkgraph.graph import SparkGraph
+from linkgraph.iterutils import SuperstepCache
+
+
+def _blake_udf(digest_size: int):
+    @pandas_udf("string")
+    def _h(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: blake2b(x.encode("ascii"), digest_size=digest_size).hexdigest()
+        )
+
+    return _h
+
+
+def weisfeiler_lehman_graph_hash(
+    g: SparkGraph, iterations: int = 3, digest_size: int = 16
+) -> str:
+    """Return the WL hash hex string; equals ``nx.weisfeiler_lehman_graph_hash``
+    on the same (attribute-free) graph."""
+    spark = g.spark
+    vertices = g.vertices.select("id").persist()
+    h = _blake_udf(digest_size)
+    cache = SuperstepCache(spark)
+
+    if g.directed:
+        arcs = g.edges.select("src", "dst").persist()
+        ind = arcs.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("i")
+        )
+        outd = arcs.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("o")
+        )
+        labels = (
+            vertices.join(ind, "id", "left")
+            .join(outd, "id", "left")
+            .select(
+                "id",
+                F.concat(
+                    F.coalesce("i", F.lit(0)).cast("string"),
+                    F.lit("_"),
+                    F.coalesce("o", F.lit(0)).cast("string"),
+                ).alias("label"),
+            )
+        )
+    else:
+        sym = g.symmetric_edges().select("src", "dst").persist()
+        deg = sym.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        labels = vertices.join(deg, "id", "left").select(
+            "id", F.coalesce("d", F.lit(0)).cast("string").alias("label")
+        )
+    labels = cache.truncate(labels)
+
+    def nbr_concat(
+        arcs_df: DataFrame, out_col: str, key: str, nbr: str, prefix: str = ""
+    ) -> DataFrame:
+        """(id, <out_col>): concatenation of sorted (prefixed) neighbor
+        labels; directed graphs prefix "s_"/"p_" per direction
+        (``graph_hashing.py:57,63``)."""
+        return (
+            arcs_df.join(
+                labels.select(
+                    F.col("id").alias(nbr),
+                    F.concat(F.lit(prefix), F.col("label")).alias("_nl"),
+                ),
+                nbr,
+            )
+            .groupBy(F.col(key).alias("id"))
+            .agg(
+                F.concat_ws(
+                    "", F.sort_array(F.collect_list("_nl"))
+                ).alias(out_col)
+            )
+        )
+
+    if iterations <= 0:
+        raise ValueError("The WL algorithm requires that `iterations` be positive")
+    # Degree init is equivalent to the first WL iteration when the graph
+    # has no attributes (graph_hashing.py:214-216).
+    iterations -= 1
+
+    hash_counts: list = []
+    for _ in range(iterations):
+        if g.directed:
+            succ = nbr_concat(
+                g.edges.select("src", "dst"), "s", "src", "dst", prefix="s_"
+            )
+            pred = nbr_concat(
+                g.edges.select("src", "dst"), "p", "dst", "src", prefix="p_"
+            )
+            agg = (
+                labels.join(succ, "id", "left")
+                .join(pred, "id", "left")
+                .select(
+                    "id",
+                    F.concat(
+                        "label",
+                        F.coalesce("s", F.lit("")),
+                        F.coalesce("p", F.lit("")),
+                    ).alias("raw"),
+                )
+            )
+        else:
+            nb = nbr_concat(sym, "s", "src", "dst")
+            agg = labels.join(nb, "id", "left").select(
+                "id",
+                F.concat("label", F.coalesce("s", F.lit(""))).alias("raw"),
+            )
+        labels = cache.truncate(agg.select("id", h(F.col("raw")).alias("label")))
+        counter = (
+            labels.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        hash_counts.extend(
+            sorted(((r["label"], r["n"]) for r in counter), key=lambda t: t[0])
+        )
+    cache.close()
+    return blake2b(
+        str(tuple(hash_counts)).encode("ascii"), digest_size=digest_size
+    ).hexdigest()

@@ -265,3 +265,37 @@ def from_nx(spark: SparkSession, G, *, num_partitions: Optional[int] = None):
         directed=G.is_directed(),
         num_partitions=num_partitions,
     )
+
+
+def convert_node_labels_to_integers(g: SparkGraph) -> "tuple[SparkGraph, DataFrame]":
+    """Compact, contiguous 0..n-1 ids in ascending order of the old ids
+    (``networkx/relabel.py:227`` with the default ``ordering="default"``
+    replaced by the deterministic sorted order — the only order that is
+    reproducible under distribution).
+
+    Returns (relabeled graph, mapping DataFrame (old_id, new_id)).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("id")
+    mapping = g.vertices.select("id").withColumn(
+        "new_id", F.row_number().over(w).cast("long") - 1
+    )
+    e = (
+        g.edges.join(
+            mapping.select(F.col("id").alias("src"), F.col("new_id").alias("ns")),
+            "src",
+        )
+        .join(
+            mapping.select(F.col("id").alias("dst"), F.col("new_id").alias("nd")),
+            "dst",
+        )
+        .select(
+            F.col("ns").alias("src"), F.col("nd").alias("dst"), "weight"
+        )
+    )
+    v = mapping.select(F.col("new_id").alias("id"))
+    return (
+        SparkGraph(e, v, directed=g.directed, coalesce_edges=False),
+        mapping.select(F.col("id").alias("old_id"), "new_id"),
+    )
