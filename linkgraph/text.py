@@ -227,3 +227,86 @@ def fingerprints(docs: DataFrame, prefix_chars: int = 64) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(F.substring(norm, 1, prefix_chars)).alias("fp")
     )
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash BIGINT) — 64-bit SimHash over whitespace tokens.
+
+    Classic Charikar construction: each token hashes to 64 bits
+    (``xxhash64``); each bit position accumulates +1/-1 per token; the
+    fingerprint takes the sign of each accumulator. Near-duplicate
+    documents land within a small Hamming distance.
+
+    Entirely JVM-side: explode tokens -> one row per (doc, token),
+    per-bit sums via 64 conditional aggregates (whole-stage codegen'd),
+    recombined with shifts. Not DuckDB-portable (xxhash64), so this op is
+    covered by tests rather than a SQL oracle.
+    """
+    t = tokens(docs).select("doc_id", F.explode("toks").alias("tok"))
+    h = t.select("doc_id", F.xxhash64("tok").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = h.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << b).cast("long") if b < 63 else fp
+    # bit 63 would overflow a signed long via 1<<63; use shiftleft on the flag
+    fp = fp + F.shiftleft(
+        F.when(F.col("b63") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+        63,
+    )
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3, band_bits: int = 16
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — candidate pairs whose 64-bit SimHash
+    differs in <= ``max_hamming`` bits.
+
+    LSH over fingerprint bands (pigeonhole: any pair within Hamming k < 4
+    shares at least one of four 16-bit bands exactly): band equality is the
+    equi-join key, then the exact popcount filter runs only on candidates.
+    """
+    sh = simhash64(docs).persist()
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(i)),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .cast("string"),
+                    )
+                    for i in range(64 // band_bits)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band"
+    )
+    cand = (
+        a.join(b, "band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -106,3 +106,36 @@ def test_fingerprints_normalize_whitespace(spark):
     fp = {r["doc_id"]: r["fp"] for r in TX.fingerprints(df).collect()}
     assert fp[0] == fp[1]
     assert fp[0] != fp[2]
+
+
+def test_simhash_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base.replace("today", "tonight")),        # near-dup of 0
+        (2, "completely unrelated words about spark catalyst tungsten"),
+        (3, base),                                    # exact dup of 0
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r["doc_id"]: r["simhash"] for r in TX.simhash64(docs).collect()}
+    assert fps[0] == fps[3]  # identical text -> identical fingerprint
+    # near-dup within small hamming; unrelated far away
+    ham = lambda a, b: bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1")
+    assert ham(0, 1) <= 6
+    assert ham(0, 2) > 10
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in TX.simhash_near_dups(docs, max_hamming=6).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 0
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_simhash_deterministic(spark):
+    rows = [(i, f"doc number {i} with shared vocabulary tokens") for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r["doc_id"]: r["simhash"] for r in TX.simhash64(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in TX.simhash64(docs.repartition(7)).collect()}
+    assert a == b
