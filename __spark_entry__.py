@@ -223,29 +223,136 @@ def q_copurchase_assortativity(spark, sf_dir):
 
 
 def q_copurchase_core_number(spark, sf_dir):
-    # Iterative peeling — no SQL oracle; parity vs nx.core_number pinned in
-    # tests/test_algos_extra.py. Rows-only check.
+    # Oracle: the h-index fixpoint of Lü et al. (Nature Comm. 2016) unrolled
+    # in SQL converges to exactly the peel's core numbers.
     from linkgraph.algos.cores import core_number
 
     g = DS.copurchase_graph(spark, sf_dir)
-    return (
-        core_number(g)
-        .groupBy("core")
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    return core_number(g).select(
+        F.col("id").cast("long"), F.col("core").cast("long")
     )
 
 
 def q_hits_top20(spark, sf_dir):
-    # Dual power iteration — no SQL oracle; parity vs nx.hits pinned in
-    # tests/test_algos_extra.py. Rows-only check.
+    # fixed_iter workload — the oracle unrolls the same 20 dual iterations
+    # (max-rescale per step, sum-normalize at the end) in SQL.
     from linkgraph.algos.hits import hits
 
     g = DS.supplier_part_graph(spark, sf_dir)
     return (
-        hits(g)
+        hits(g, fixed_iter=20)
         .orderBy(F.desc("authority"), "id")
         .limit(20)
         .select("id", F.round("authority", 8).alias("authority"))
+    )
+
+
+def q_chain_sssp_weighted(spark, sf_dir):
+    from linkgraph.algos.sssp import weighted_shortest_path_lengths
+
+    g = DS.customer_chain_weighted_graph(spark, sf_dir)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sources = c.groupBy("c_nationkey").agg(F.min("c_custkey").alias("id")).select("id")
+    return weighted_shortest_path_lengths(g, sources).select(
+        F.col("id").cast("long"), F.round("distance", 6).alias("distance")
+    )
+
+
+def q_copurchase_sssp(spark, sf_dir):
+    # Bellman-Ford over the copurchase graph with deterministic synthetic
+    # weights w(u,v) = 1 + ((u+v) mod 10); oracle = 30 unrolled relaxation
+    # rounds in SQL.
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.sssp import weighted_shortest_path_lengths
+
+    e = DS.copurchase_edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        (1.0 + F.pmod(F.col("src") + F.col("dst"), F.lit(10))).alias("weight"),
+    )
+    g = SparkGraph(e, directed=False, coalesce_edges=False)
+    src = g.vertices.agg(F.min("id")).first()[0]
+    return weighted_shortest_path_lengths(g, [src]).select(
+        F.col("id").cast("long"), F.round("distance", 6).alias("distance")
+    )
+
+
+def q_customer_ring_scc(spark, sf_dir):
+    from linkgraph.algos.strongly_connected import strongly_connected_components
+
+    g = DS.customer_ring_graph(spark, sf_dir)
+    return strongly_connected_components(g).select(
+        F.col("id").cast("long"), F.col("component").cast("long")
+    )
+
+
+def q_doc_near_dup_survivors(spark, sf_dir):
+    # Composed dedup pipeline: LSH candidates -> exact-Jaccard verify on
+    # candidates only -> connected components -> canonical survivor.
+    return TX.near_duplicates(
+        _docs(spark, sf_dir), k=2, num_hashes=8, band_size=2, threshold=0.8
+    )
+
+
+def q_hierarchy_topo_generations(spark, sf_dir):
+    # Kahn layers of the region→nation→customer DAG; closed-form oracle
+    # (generation = hierarchy level).
+    from linkgraph.algos.dag import topological_generations
+
+    g = DS.hierarchy_dag_graph(spark, sf_dir)
+    return topological_generations(g).select(
+        F.col("id").cast("long"), F.col("generation").cast("long")
+    )
+
+
+def q_chain_transitive_closure(spark, sf_dir):
+    # Iterative-squaring closure of the 25 directed customer chains;
+    # closed form: (u, v) same nation, u < v.
+    from linkgraph.algos.dag import transitive_closure
+
+    g = DS.customer_chain_digraph(spark, sf_dir)
+    return transitive_closure(g).edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
+def q_copurchase_rich_club(spark, sf_dir):
+    from linkgraph.algos.richclub import rich_club_coefficient
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return rich_club_coefficient(g).select(
+        F.col("degree").cast("long"), F.round("coefficient", 6).alias("coefficient")
+    )
+
+
+def q_copurchase_generalized_degree(spark, sf_dir):
+    from linkgraph.algos.richclub import generalized_degree
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return generalized_degree(g).select(
+        F.col("id").cast("long"), F.col("t").cast("long"), "n_edges"
+    )
+
+
+def q_copurchase_ktruss3(spark, sf_dir):
+    # 3-truss edge set (every surviving edge in >= 1 triangle after
+    # peeling); oracle = the same support-peel unrolled in SQL.
+    from linkgraph.algos.cores import k_truss
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return k_truss(g, 3).edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
+def q_copurchase_onion(spark, sf_dir):
+    # Onion decomposition — peel-order iterative, no closed SQL form;
+    # rows-only check, nx parity pinned in tests/test_cores_dag.py.
+    from linkgraph.algos.cores import onion_layers
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return onion_layers(g).select(
+        F.col("id").cast("long"), F.col("layer").cast("long")
     )
 
 
@@ -332,6 +439,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_assortativity": q_copurchase_assortativity,
         "copurchase_core_number": q_copurchase_core_number,
         "supplier_part_hits_top20": q_hits_top20,
+        "chain_sssp_weighted": q_chain_sssp_weighted,
+        "copurchase_sssp": q_copurchase_sssp,
+        "customer_ring_scc": q_customer_ring_scc,
+        "doc_near_dup_survivors": q_doc_near_dup_survivors,
+        "hierarchy_topo_generations": q_hierarchy_topo_generations,
+        "chain_transitive_closure": q_chain_transitive_closure,
+        "copurchase_rich_club": q_copurchase_rich_club,
+        "copurchase_generalized_degree": q_copurchase_generalized_degree,
+        "copurchase_ktruss3": q_copurchase_ktruss3,
+        "copurchase_onion_layers": q_copurchase_onion,
         "chain_lpa_sizes": q_chain_lpa_sizes,
         "pages_pagerank_top20": q_pages_pagerank_top20,
         "doc_token_counts": q_doc_token_counts,
@@ -415,6 +532,198 @@ p{k} AS MATERIALIZED (
         )
     tail = f"""
 SELECT CAST(id AS BIGINT) AS id, ROUND(rank, 8) AS rank FROM p{iters}"""
+    return head + "".join(its) + tail
+
+
+def _sssp_sql(rounds: int = 30) -> str:
+    """Bellman-Ford relaxation unrolled: d_{k+1}(v) = min(d_k(v),
+    min over arcs u->v of d_k(u) + w). Converges once `rounds` exceeds the
+    max hop count of any min-weight path."""
+    head = f"""WITH {_EDGES.replace("edges AS (", "edges AS MATERIALIZED (")},
+sym AS MATERIALIZED (
+  SELECT src, dst, 1.0 + ((src + dst) % 10) AS w FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst, 1.0 + ((src + dst) % 10) AS w FROM edges
+),
+d0 AS MATERIALIZED (
+  SELECT id, CAST(0.0 AS DOUBLE) AS dist FROM deg ORDER BY id LIMIT 1
+)"""
+    its = []
+    for k in range(1, rounds + 1):
+        its.append(
+            f""",
+d{k} AS MATERIALIZED (
+  SELECT COALESCE(d.id, c.id) AS id,
+         LEAST(COALESCE(d.dist, 1e300), COALESCE(c.cand, 1e300)) AS dist
+  FROM d{k - 1} d FULL JOIN (
+    SELECT e.dst AS id, MIN(p.dist + e.w) AS cand
+    FROM d{k - 1} p JOIN sym e ON e.src = p.id
+    GROUP BY e.dst
+  ) c ON c.id = d.id
+)"""
+        )
+    tail = f"""
+SELECT CAST(id AS BIGINT) AS id, ROUND(dist, 6) AS distance FROM d{rounds}"""
+    return head + "".join(its) + tail
+
+
+def _core_sql(rounds: int = 50) -> str:
+    """core_number oracle: the h-index fixpoint (Lü et al. 2016) — start at
+    degree, repeatedly set c(v) to the h-index of its neighbors' values;
+    converges to exactly the Batagelj-Zaveršnik peel's core numbers."""
+    head = f"""WITH {_EDGES.replace("edges AS (", "edges AS MATERIALIZED (")},
+sym AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+),
+c0 AS MATERIALIZED (SELECT src AS id, COUNT(*) AS core FROM sym GROUP BY src)"""
+    its = []
+    for k in range(1, rounds + 1):
+        its.append(
+            f""",
+c{k} AS MATERIALIZED (
+  SELECT id, MAX(LEAST(rn, nc)) AS core FROM (
+    SELECT e.src AS id, c.core AS nc,
+           ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY c.core DESC) AS rn
+    FROM sym e JOIN c{k - 1} c ON c.id = e.dst
+  ) GROUP BY id
+)"""
+        )
+    tail = f"""
+SELECT CAST(id AS BIGINT) AS id, CAST(core AS BIGINT) AS core FROM c{rounds}"""
+    return head + "".join(its) + tail
+
+
+def _hits_sql(iters: int = 20) -> str:
+    """HITS oracle: the dual power iteration unrolled step-for-step —
+    a_raw = A^T h; h_raw = A a_raw; both rescaled by their max per
+    iteration; final authorities sum-normalized (hits_alg.py:124-139)."""
+    head = """WITH sp AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_suppkey + 1000000 AS BIGINT) AS src,
+         CAST(l_partkey AS BIGINT) AS dst FROM lineitem
+),
+spnodes AS MATERIALIZED (SELECT src AS id FROM sp UNION SELECT dst AS id FROM sp),
+h0 AS MATERIALIZED (
+  SELECT id, 1.0 / (SELECT COUNT(*) FROM spnodes) AS h FROM spnodes
+)"""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(
+            f""",
+ar{k} AS MATERIALIZED (
+  SELECT n.id, COALESCE(s.a, 0) AS a FROM spnodes n LEFT JOIN (
+    SELECT e.dst AS id, SUM(h.h) AS a FROM h{k - 1} h JOIN sp e ON e.src = h.id
+    GROUP BY e.dst) s ON s.id = n.id
+),
+hr{k} AS MATERIALIZED (
+  SELECT n.id, COALESCE(s.h, 0) AS h FROM spnodes n LEFT JOIN (
+    SELECT e.src AS id, SUM(a.a) AS h FROM ar{k} a JOIN sp e ON e.dst = a.id
+    GROUP BY e.src) s ON s.id = n.id
+),
+h{k} AS MATERIALIZED (
+  SELECT id, h / (SELECT MAX(h) FROM hr{k}) AS h FROM hr{k}
+),
+a{k} AS MATERIALIZED (
+  SELECT id, a / (SELECT MAX(a) FROM ar{k}) AS a FROM ar{k}
+)"""
+        )
+    tail = f"""
+SELECT CAST(id AS BIGINT) AS id,
+       ROUND(a / (SELECT SUM(a) FROM a{iters}), 8) AS authority
+FROM a{iters}
+ORDER BY a / (SELECT SUM(a) FROM a{iters}) DESC, id
+LIMIT 20"""
+    return head + "".join(its) + tail
+
+
+def _neardup_sql(rounds: int = 16, num_hashes: int = 8, band_size: int = 2) -> str:
+    """Composed dedup oracle: MinHash-LSH candidates -> exact Jaccard on
+    candidates only -> min-label propagation over the dup graph (unrolled;
+    duplicate clusters are tiny so `rounds` >> their diameter) -> canonical
+    survivor = min doc_id per cluster."""
+    sig_cols = ", ".join(
+        f"MIN(md5('{i}#' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, '{b}|' || h{i} || '|' || h{j} AS band FROM sig".format(
+            b=b, i=b * band_size, j=b * band_size + 1
+        )
+        for b in range(num_hashes // band_size)
+    )
+    head = f"""WITH {_SHINGLES},
+sig AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS MATERIALIZED ({band_selects}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+dup AS MATERIALIZED (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
+  WHERE ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) >= 0.8
+),
+symd AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM dup
+  UNION ALL SELECT doc_b AS u, doc_a AS v FROM dup
+),
+l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lab FROM documents)"""
+    its = []
+    for k in range(1, rounds + 1):
+        its.append(
+            f""",
+l{k} AS MATERIALIZED (
+  SELECT l.id, LEAST(l.lab, COALESCE(m.mn, l.lab)) AS lab
+  FROM l{k - 1} l LEFT JOIN (
+    SELECT s.u AS id, MIN(p.lab) AS mn
+    FROM symd s JOIN l{k - 1} p ON p.id = s.v
+    GROUP BY s.u) m ON m.id = l.id
+)"""
+        )
+    tail = f"""
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(lab AS BIGINT) AS canonical_doc_id
+FROM l{rounds}"""
+    return head + "".join(its) + tail
+
+
+def _truss_sql(k: int = 3, rounds: int = 8) -> str:
+    """k-truss oracle: the support peel unrolled — each round recomputes
+    per-edge triangle support on the surviving edge set and keeps edges
+    with support >= k-2. Extra rounds past convergence are no-ops, so
+    `rounds` only needs to exceed the peel depth."""
+    head = f"""WITH {_EDGES.replace("edges AS (", "edges AS MATERIALIZED (")},
+e0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges)"""
+    its = []
+    for r in range(1, rounds + 1):
+        its.append(
+            f""",
+t{r} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e{r - 1} e1
+  JOIN e{r - 1} e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e{r - 1} e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+s{r} AS MATERIALIZED (
+  SELECT u, v, COUNT(*) AS sup FROM (
+    SELECT a AS u, b AS v FROM t{r}
+    UNION ALL SELECT a, c FROM t{r}
+    UNION ALL SELECT b, c FROM t{r}
+  ) GROUP BY u, v
+),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN s{r} s ON s.u = e.u AND s.v = e.v
+  WHERE s.sup >= {k - 2}
+)"""
+        )
+    tail = f"""
+SELECT CAST(u AS BIGINT) AS src, CAST(v AS BIGINT) AS dst FROM e{rounds}"""
     return head + "".join(its) + tail
 
 
@@ -571,6 +880,67 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sqls["doc_minhash_lsh"] = _minhash_sql(8, 2)
+
+    sqls["copurchase_core_number"] = _core_sql(50)
+
+    sqls["supplier_part_hits_top20"] = _hits_sql(20)
+
+    sqls["copurchase_sssp"] = _sssp_sql(30)
+
+    sqls["chain_sssp_weighted"] = (
+        "SELECT CAST(c_custkey AS BIGINT) AS id, "
+        "ROUND(CAST(c_custkey - MIN(c_custkey) OVER (PARTITION BY c_nationkey) "
+        "AS DOUBLE), 6) AS distance FROM customer"
+    )
+
+    sqls["customer_ring_scc"] = (
+        "SELECT CAST(c_custkey AS BIGINT) AS id, "
+        "CAST(MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS BIGINT) AS component "
+        "FROM customer"
+    )
+
+    sqls["doc_near_dup_survivors"] = _neardup_sql(16, 8, 2)
+
+    sqls["hierarchy_topo_generations"] = (
+        "SELECT CAST(r_regionkey + 2000000 AS BIGINT) AS id, "
+        "CAST(0 AS BIGINT) AS generation FROM region "
+        "UNION ALL SELECT CAST(n_nationkey + 1000000 AS BIGINT), 1 FROM nation "
+        "UNION ALL SELECT CAST(c_custkey AS BIGINT), 2 FROM customer"
+    )
+
+    sqls["chain_transitive_closure"] = (
+        "SELECT CAST(a.c_custkey AS BIGINT) AS src, CAST(b.c_custkey AS BIGINT) AS dst "
+        "FROM customer a JOIN customer b "
+        "ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey"
+    )
+
+    sqls["copurchase_rich_club"] = (
+        f"WITH {_EDGES}, "
+        "em AS (SELECT LEAST(du.degree, dv.degree) AS md FROM edges e "
+        "JOIN deg du ON du.id = e.src JOIN deg dv ON dv.id = e.dst) "
+        "SELECT degree, ROUND(2.0 * ek / (nk * (nk - 1.0)), 6) AS coefficient "
+        "FROM (SELECT CAST(i AS BIGINT) AS degree, "
+        "(SELECT COUNT(*) FROM deg WHERE deg.degree > i) AS nk, "
+        "(SELECT COUNT(*) FROM em WHERE em.md > i) AS ek "
+        "FROM (SELECT ROW_NUMBER() OVER () - 1 AS i FROM lineitem "
+        "QUALIFY ROW_NUMBER() OVER () <= (SELECT MAX(degree) FROM deg)) t) "
+        "WHERE nk > 1"
+    )
+
+    sqls["copurchase_generalized_degree"] = (
+        f"WITH {_EDGES}, {_TRI}, "
+        "esup AS (SELECT u, v, COUNT(*) AS t FROM ("
+        "SELECT a AS u, b AS v FROM tri "
+        "UNION ALL SELECT a, c FROM tri "
+        "UNION ALL SELECT b, c FROM tri) GROUP BY u, v), "
+        "es AS (SELECT e.src AS u, e.dst AS v, COALESCE(esup.t, 0) AS t "
+        "FROM edges e LEFT JOIN esup ON esup.u = e.src AND esup.v = e.dst), "
+        "gd_ends AS (SELECT u AS id, t FROM es UNION ALL SELECT v, t FROM es) "
+        "SELECT CAST(id AS BIGINT) AS id, CAST(t AS BIGINT) AS t, "
+        "CAST(COUNT(*) AS BIGINT) AS n_edges FROM gd_ends GROUP BY id, t"
+    )
+
+    sqls["copurchase_ktruss3"] = _truss_sql(3, 8)
 
     sqls["doc_quality"] = (
         r"""WITH toks AS (

@@ -41,11 +41,17 @@ PR_ITERS = 10
 
 
 def build_spark(cpus: int) -> SparkSession:
+    # At high thread counts in a single JVM, 2x-cores shuffle partitions
+    # buys no parallelism and doubles per-partition fixed costs (task
+    # scheduling, block-manager lock traffic) — measured faster at 1x for
+    # >=16 threads. On a real multi-executor cluster partition counts are
+    # sized by data volume (maxPartitionBytes), not by this local heuristic.
+    parts = cpus if cpus >= 16 else 2 * cpus
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("linkgraph-bench")
-        .config("spark.sql.shuffle.partitions", str(2 * cpus))
-        .config("spark.default.parallelism", str(2 * cpus))
+        .config("spark.sql.shuffle.partitions", str(parts))
+        .config("spark.default.parallelism", str(parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

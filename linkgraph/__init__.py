@@ -15,7 +15,15 @@ Public API mirrors the NetworkX names so parity tests read 1:1:
 - :func:`linkgraph.algos.triangles.triangles`
 """
 
-from linkgraph.graph import SparkGraph, convert_node_labels_to_integers
+from linkgraph.graph import (
+    SparkGraph,
+    convert_node_labels_to_integers,
+    relabel_nodes,
+)
+from linkgraph.exceptions import (
+    PowerIterationFailedConvergence,
+    NotImplementedForDirected,
+)
 from linkgraph.algos.wlhash import weisfeiler_lehman_graph_hash
 from linkgraph.algos.pagerank import pagerank, PowerIterationFailedConvergence
 from linkgraph.algos.components import (
@@ -34,7 +42,15 @@ from linkgraph.algos.lpa import label_propagation_communities
 from linkgraph.algos.reciprocity import overall_reciprocity, node_reciprocity
 from linkgraph.algos.hits import hits
 from linkgraph.algos.centrality import eigenvector_centrality, katz_centrality
-from linkgraph.algos.cores import core_number, k_core
+from linkgraph.algos.cores import (
+    core_number,
+    k_core,
+    k_shell,
+    k_crust,
+    k_corona,
+    k_truss,
+    onion_layers,
+)
 from linkgraph.algos.assortativity import degree_assortativity_coefficient
 from linkgraph.algos.setops import (
     intersection,
@@ -44,7 +60,41 @@ from linkgraph.algos.setops import (
     union,
     complement,
     shortest_path_lengths,
+    bfs_layers,
+    bfs_tree,
+    bfs_tree_edges,
+    descendants,
+    ancestors,
+    descendants_at_distance,
+    disjoint_union,
+    full_join,
+    union_all,
+    compose_all,
+    intersection_all,
+    disjoint_union_all,
 )
+from linkgraph.algos.sssp import (
+    weighted_shortest_path_lengths,
+    single_source_weighted_path_length,
+    bellman_ford_path_lengths,
+    has_path,
+    NegativeCycleError,
+)
+from linkgraph.algos.strongly_connected import (
+    strongly_connected_components,
+    number_strongly_connected_components,
+    is_strongly_connected,
+    condensation,
+)
+from linkgraph.algos.dag import (
+    topological_generations,
+    topological_sort,
+    is_directed_acyclic_graph,
+    transitive_closure,
+    dag_longest_path_length,
+    GraphContainsCycle,
+)
+from linkgraph.algos.richclub import rich_club_coefficient, generalized_degree
 from linkgraph.algos.linkpred import (
     common_neighbors,
     jaccard_coefficient,
@@ -84,7 +134,43 @@ __all__ = [
     "katz_centrality",
     "core_number",
     "k_core",
+    "k_shell",
+    "k_crust",
+    "k_corona",
+    "k_truss",
+    "onion_layers",
     "degree_assortativity_coefficient",
+    "weighted_shortest_path_lengths",
+    "single_source_weighted_path_length",
+    "bellman_ford_path_lengths",
+    "has_path",
+    "NegativeCycleError",
+    "strongly_connected_components",
+    "number_strongly_connected_components",
+    "is_strongly_connected",
+    "condensation",
+    "topological_generations",
+    "topological_sort",
+    "is_directed_acyclic_graph",
+    "transitive_closure",
+    "dag_longest_path_length",
+    "GraphContainsCycle",
+    "rich_club_coefficient",
+    "generalized_degree",
+    "bfs_layers",
+    "bfs_tree",
+    "bfs_tree_edges",
+    "descendants",
+    "ancestors",
+    "descendants_at_distance",
+    "disjoint_union",
+    "full_join",
+    "union_all",
+    "compose_all",
+    "intersection_all",
+    "disjoint_union_all",
+    "relabel_nodes",
+    "NotImplementedForDirected",
     "intersection",
     "difference",
     "symmetric_difference",

@@ -152,13 +152,15 @@ def katz_centrality(
     if n == 0:
         return spark.createDataFrame([], "id long, centrality double")
     if isinstance(beta, dict):
-        if set(int(k) for k in beta) != {
-            r["id"] for r in vertices.collect()
-        }:
-            raise ValueError("beta dictionary must have a value for every node")
         b = spark.createDataFrame(
             [(int(k), float(v)) for k, v in beta.items()], "id long, b double"
         ).persist()
+        # coverage check without collecting the vertex set (katz.py:168-169
+        # raises on missing nodes): two anti-join existence probes.
+        missing = vertices.join(b.select("id"), "id", "left_anti")
+        extra = b.select("id").join(vertices, "id", "left_anti")
+        if missing.limit(1).count() or extra.limit(1).count():
+            raise ValueError("beta dictionary must have a value for every node")
     else:
         b = vertices.select("id", F.lit(float(beta)).alias("b")).persist()
 

@@ -47,7 +47,11 @@ def _fingerprint(e: DataFrame):
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Emit (v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u})."""
+    """Emit (v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u}).
+
+    No dedup here: duplicates are harmless to the following small-star's
+    min aggregation and its single per-round ``distinct`` — one shuffle per
+    round instead of two."""
     sym = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -57,7 +61,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         sym.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
@@ -106,8 +109,6 @@ def connected_components(
         e = checkpoint_store.load(start_round - 1, g.spark)
 
     cache = SuperstepCache(g.spark)
-    e = cache.truncate(e)
-    fp = _fingerprint(e)
 
     # Same loop tuning as PageRank: no AQE re-planning, hash joins instead
     # of per-round re-sorts of the star edge sets. Restored on exit.
@@ -121,6 +122,13 @@ def connected_components(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     try:
+        # Lazy checkpoint + fingerprint: the fingerprint aggregation is the
+        # action that materializes the checkpointed RDD, so lineage
+        # truncation and convergence detection share ONE job per round
+        # (AQE is off inside the loop, so the lazy variant runs the plan
+        # exactly once).
+        e = e.localCheckpoint(eager=False)
+        fp = _fingerprint(e)
         for k in range(start_round, max_rounds):
             t0 = time.monotonic()
             e2 = _small_star(_large_star(e))
@@ -133,7 +141,7 @@ def connected_components(
                     ),
                 )
             else:
-                e2 = cache.truncate(e2)
+                e2 = e2.localCheckpoint(eager=False)
             fp2 = _fingerprint(e2)
             if checkpoint_store is not None:
                 checkpoint_store.update_metrics(

@@ -1,0 +1,199 @@
+"""DAG algorithms — topological generations/sort, transitive closure,
+longest path.
+
+Semantics match ``networkx/algorithms/dag.py``:
+
+- ``topological_generations`` (``dag.py:244``): generation 0 = zero
+  in-degree nodes; each following generation = nodes whose predecessors all
+  lie in earlier generations. Kahn peeling — the same loop shape as k_core:
+  per round one in-degree aggregation + anti-join, lineage truncated.
+  Raises on cycles (``NetworkXUnfeasible: Graph contains a cycle``) and on
+  undirected input (``NetworkXNotImplemented``).
+- ``topological_sort`` (``dag.py:164``): any linear extension is valid; the
+  distributed one orders by (generation, id) — deterministic under
+  distribution, unlike the reference's insertion-order tiebreak.
+- ``transitive_closure`` (``dag.py:718``): edge (u, v) for every
+  non-trivially reachable pair — with ``reflexive=False`` (default) a
+  self-pair (v, v) appears exactly when v lies on a cycle (``dag.py:795``
+  walks ``edge_bfs``); ``reflexive=True`` adds every self-loop;
+  ``reflexive=None`` adds none (only G's own self-loop edges survive).
+  Computed by **iterative squaring** — R_{2k} = R_k ∪ (R_k ⋈ R_k) — so a
+  diameter-D graph closes in O(log D) join+distinct rounds instead of D.
+  Output is O(n²) worst case by definition; the caller owns that choice.
+- ``dag_longest_path_length`` (``dag.py:918``): longest weighted path via
+  max-relaxation over the generations (the dual of Bellman-Ford min).
+  ``default_weight`` fills missing weights like the reference (=1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import SparkGraph
+from linkgraph.iterutils import SuperstepCache
+
+
+class GraphContainsCycle(Exception):
+    """Mirror of ``networkx.NetworkXUnfeasible`` raised by topological
+    ordering on cyclic input (``dag.py:284-287``)."""
+
+    def __init__(self):
+        super().__init__("Graph contains a cycle or graph changed during iteration")
+
+
+def _require_directed(g: SparkGraph, fn: str):
+    if not g.directed:
+        raise ValueError(f"{fn}: not defined for undirected graphs")
+
+
+def topological_generations(
+    g: SparkGraph, *, max_rounds: int = 100_000
+) -> DataFrame:
+    """Return DataFrame ``(id BIGINT, generation BIGINT)`` — the Kahn layer
+    of each node (``dag.py:244``). Raises :class:`GraphContainsCycle` when
+    nodes remain after peeling (``dag.py:284``)."""
+    _require_directed(g, "topological_generations")
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    edges = cache.truncate(
+        g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    # self-loop = 1-cycle
+    if g.edges.filter(F.col("src") == F.col("dst")).limit(1).count() > 0:
+        raise GraphContainsCycle()
+    remaining = cache.truncate(g.vertices.select("id"))
+    assigned = []
+    gen = 0
+    while remaining.limit(1).count() > 0:
+        if gen > max_rounds:
+            raise RuntimeError("topological_generations exceeded max_rounds")
+        with_preds = edges.select(F.col("dst").alias("id")).distinct()
+        zero_in = cache.truncate(remaining.join(with_preds, "id", "left_anti"))
+        if zero_in.limit(1).count() == 0:
+            cache.close()
+            raise GraphContainsCycle()
+        assigned.append((zero_in, gen))
+        gen += 1
+        remaining = cache.truncate(remaining.join(zero_in, "id", "left_anti"))
+        edges = cache.truncate(
+            edges.join(zero_in.withColumnRenamed("id", "src"), "src", "left_anti")
+        )
+    out = None
+    for df, k in assigned:
+        part = df.select("id", F.lit(k).cast("long").alias("generation"))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return spark.createDataFrame([], "id long, generation long")
+    res = out.persist()
+    res.count()
+    cache.close(keep_result=False)
+    return res
+
+
+def topological_sort(g: SparkGraph) -> DataFrame:
+    """A deterministic linear extension: DataFrame ``(id, position)`` with
+    position 0..n-1 ordered by (generation, id). Any output of
+    ``nx.topological_sort`` is one of many valid orders (``dag.py:164``);
+    this one is reproducible under distribution. Indexing is
+    sort + zipWithIndex — no single-partition window."""
+    gens = topological_generations(g)
+    ordered = gens.sort("generation", "id").select("id")
+    return ordered.rdd.map(lambda r: r[0]).zipWithIndex().toDF(
+        ["id", "position"]
+    ).select(F.col("id").cast("long"), F.col("position").cast("long"))
+
+
+def is_directed_acyclic_graph(g: SparkGraph) -> bool:
+    """``dag.py:91`` — True iff directed and Kahn peeling completes."""
+    if not g.directed:
+        return False
+    try:
+        topological_generations(g)
+        return True
+    except GraphContainsCycle:
+        return False
+
+
+def transitive_closure(
+    g: SparkGraph, *, reflexive=False, max_rounds: int = 64
+) -> SparkGraph:
+    """``dag.py:718``: G+ with an arc u→v for every non-trivial reachable
+    pair (see module docstring for the three ``reflexive`` modes).
+    Iterative squaring: O(log diameter) rounds of one self-join + dedup
+    each."""
+    _require_directed(g, "transitive_closure")
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    r = cache.truncate(g.edges.select("src", "dst").distinct())
+    n = r.count()
+    for _ in range(max_rounds):
+        two_hop = (
+            r.select(F.col("src"), F.col("dst").alias("mid"))
+            .join(r.select(F.col("src").alias("mid"), "dst"), "mid")
+            .select("src", "dst")
+        )
+        r2 = cache.truncate(r.unionByName(two_hop).distinct())
+        n2 = r2.count()
+        r = r2
+        if n2 == n:
+            break
+        n = n2
+    else:
+        cache.close()
+        raise RuntimeError("transitive_closure did not converge")
+    if reflexive is True:
+        r = r.unionByName(
+            g.vertices.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        ).distinct()
+    elif reflexive is None:
+        # no CREATED self-loops; G's own self-loop edges survive the copy
+        r = r.filter(F.col("src") != F.col("dst")).unionByName(
+            g.edges.filter(F.col("src") == F.col("dst")).select("src", "dst")
+        ).distinct()
+    # reflexive=False: keep (v, v) pairs the squaring generated — they
+    # exist exactly for nodes on cycles, matching edge_bfs reachability
+    out = SparkGraph(
+        r.withColumn("weight", F.lit(1.0)),
+        g.vertices,
+        directed=True,
+        coalesce_edges=False,
+    )
+    cache.close(keep_result=True)
+    return out
+
+
+def dag_longest_path_length(
+    g: SparkGraph, *, weighted: bool = False, default_weight: float = 1.0
+) -> float:
+    """``dag.py:918`` — the weight of the longest path in a DAG.
+    ``weighted=False`` counts hops (every edge = ``default_weight``),
+    matching the reference's default ``weight="weight"`` on unweighted
+    graphs. Max-relaxation over topological generations: D supersteps of
+    join + groupBy-max where D = the DAG depth."""
+    _require_directed(g, "dag_longest_path_length")
+    # raises on cycles up front (the reference's topological_sort does)
+    gens = topological_generations(g)
+    depth = gens.agg(F.max("generation")).first()[0]
+    if depth is None:
+        return 0.0
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    w = F.col("weight") if weighted else F.lit(float(default_weight))
+    arcs = g.edges.select("src", "dst", w.alias("w")).persist()
+    dist = cache.truncate(g.vertices.select("id", F.lit(0.0).alias("dist")))
+    for _ in range(int(depth)):
+        cand = (
+            arcs.join(dist.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.max(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        dist = cache.truncate(
+            dist.join(cand, "id", "left").select(
+                "id",
+                F.greatest("dist", F.coalesce("cand", F.col("dist"))).alias("dist"),
+            )
+        )
+    best = dist.agg(F.max("dist")).first()[0] or 0.0
+    arcs.unpersist()
+    cache.close(keep_result=False)
+    return float(best)

@@ -35,8 +35,15 @@ def hits(
     max_iter: int = 100,
     tol: float = 1.0e-8,
     normalized: bool = True,
+    *,
+    fixed_iter: Optional[int] = None,
 ) -> DataFrame:
-    """Return DataFrame ``(id BIGINT, hub DOUBLE, authority DOUBLE)``."""
+    """Return DataFrame ``(id BIGINT, hub DOUBLE, authority DOUBLE)``.
+
+    ``fixed_iter=k`` runs exactly k iterations with no convergence test —
+    the deterministic workload the SQL-unrolled DuckDB oracle replicates
+    step-for-step (same role as ``pagerank(fixed_iter=...)``).
+    """
     spark = g.spark
     vertices = g.vertices.select("id").persist()
     n = vertices.count()
@@ -59,8 +66,13 @@ def hits(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     cache = SuperstepCache(spark)
+    if fixed_iter is not None:
+        if fixed_iter < 1:
+            raise ValueError("fixed_iter must be >= 1")
+        max_iter = fixed_iter
     try:
         h = vertices.select("id", F.lit(1.0 / n).alias("h"))
+        state = None
         for _ in range(max_iter):
             hlast = h
             # a = A^T hlast  (hits_alg.py:124-127)
@@ -93,31 +105,37 @@ def hits(
                 )
             )
             state = cache.truncate(state)
-            err = (
-                state.join(hlast.select("id", F.col("h").alias("h_prev")), "id")
-                .agg(F.sum(F.abs(F.col("h") - F.col("h_prev"))).alias("err"))
-                .first()["err"]
-            ) or 0.0
+            if fixed_iter is None:
+                err = (
+                    state.join(hlast.select("id", F.col("h").alias("h_prev")), "id")
+                    .agg(F.sum(F.abs(F.col("h") - F.col("h_prev"))).alias("err"))
+                    .first()["err"]
+                ) or 0.0
+            else:
+                err = None
             h = state.select("id", "h")
-            if err < tol:
-                out = state
-                if normalized:
-                    out = (
-                        out.crossJoin(F.broadcast(out.agg(F.sum("h").alias("_sh"))))
-                        .crossJoin(F.broadcast(out.agg(F.sum("a").alias("_sa"))))
-                        .select(
-                            "id",
-                            (F.col("h") / F.col("_sh")).alias("h"),
-                            (F.col("a") / F.col("_sa")).alias("a"),
-                        )
-                    )
-                res = out.select(
-                    "id", F.col("h").alias("hub"), F.col("a").alias("authority")
+            if fixed_iter is None and err < tol:
+                break
+        else:
+            if fixed_iter is None:
+                cache.close()
+                raise PowerIterationFailedConvergence(max_iter)
+        out = state
+        if normalized:
+            out = (
+                out.crossJoin(F.broadcast(out.agg(F.sum("h").alias("_sh"))))
+                .crossJoin(F.broadcast(out.agg(F.sum("a").alias("_sa"))))
+                .select(
+                    "id",
+                    (F.col("h") / F.col("_sh")).alias("h"),
+                    (F.col("a") / F.col("_sa")).alias("a"),
                 )
-                cache.close(keep_result=True)
-                return res
-        cache.close()
-        raise PowerIterationFailedConvergence(max_iter)
+            )
+        res = out.select(
+            "id", F.col("h").alias("hub"), F.col("a").alias("authority")
+        )
+        cache.close(keep_result=True)
+        return res
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)

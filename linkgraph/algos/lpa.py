@@ -44,11 +44,13 @@ from pyspark.sql import DataFrame, functions as F
 from linkgraph.graph import SparkGraph
 from linkgraph.iterutils import SuperstepCache
 from linkgraph.state import CheckpointStore, IterationMetrics
+from linkgraph.exceptions import NotImplementedForDirected
 
-
-class NotImplementedForDirected(Exception):
-    """Mirror of ``networkx.NetworkXNotImplemented`` for directed input
-    (``label_propagation.py:236``)."""
+__all__ = [
+    "label_propagation_communities",
+    "communities_as_sets",
+    "NotImplementedForDirected",
+]
 
 
 def _greedy_color_largest_first(edges: list[tuple[int, int]], nodes: list[int]):
@@ -153,17 +155,20 @@ def label_propagation_communities(
     max_sweeps: int = 100,
     max_driver_edges: int = 5_000_000,
     checkpoint_store: Optional[CheckpointStore] = None,
-    coloring: str = "reference",
+    coloring: str = "auto",
 ) -> DataFrame:
     """Return DataFrame ``(id BIGINT, label BIGINT)``; nodes sharing a label
     form one community. The partition matches the reference exactly when the
     reference enumerates nodes in ascending-id order.
 
-    ``coloring="reference"`` (default) replicates ``greedy_color`` on the
-    driver for exact partition parity (guarded by ``max_driver_edges``);
-    ``coloring="distributed"`` uses Jones-Plassmann coloring entirely in
-    Spark — the scale path: same LPA update rule and termination, a valid
-    (but schedule-different) partition.
+    ``coloring="reference"`` replicates ``greedy_color`` on the driver for
+    exact partition parity (guarded by ``max_driver_edges``, raises above
+    it); ``coloring="distributed"`` uses Jones-Plassmann coloring entirely
+    in Spark — the scale path: same LPA update rule and termination, a
+    valid (but schedule-different) partition. ``coloring="auto"`` (default)
+    uses the reference schedule up to ``max_driver_edges`` and falls back
+    to the distributed one (with a warning) beyond it, so big graphs run
+    instead of raising.
     """
     if g.directed:
         raise NotImplementedForDirected(
@@ -183,6 +188,22 @@ def label_propagation_communities(
     sym_early = simple.unionAll(
         simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+
+    if coloring == "auto":
+        if m > max_driver_edges:
+            import warnings
+
+            warnings.warn(
+                f"label_propagation_communities: {m} edges > "
+                f"max_driver_edges={max_driver_edges}; using distributed "
+                "Jones-Plassmann coloring (schedule differs from the "
+                "reference's greedy_color; the partition is LPA-valid but "
+                "not bit-identical)",
+                stacklevel=2,
+            )
+            coloring = "distributed"
+        else:
+            coloring = "reference"
 
     if coloring == "distributed":
         _cc = SuperstepCache(spark)
@@ -223,23 +244,22 @@ def label_propagation_communities(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
 
-    def incomplete_count(lbls: DataFrame) -> int:
-        """Nodes (with neighbors) whose label is not in the argmax set
-        (``_labeling_complete``, ``label_propagation.py:297-307``)."""
-        freq = neighbor_freq(lbls)
-        mx = freq.groupBy("id").agg(F.max("cnt").alias("mx"))
-        cand = freq.join(mx, "id").filter(F.col("cnt") == F.col("mx"))
-        ok = cand.join(
-            lbls, (cand["id"] == lbls["id"]) & (cand["nlab"] == lbls["label"]),
-            "left_semi",
-        ).select("id")
-        with_nbrs = sym.select(F.col("src").alias("id")).distinct()
-        return with_nbrs.join(ok, "id", "left_anti").count()
-
+    # Termination: the reference checks ``_labeling_complete``
+    # (``label_propagation.py:297-307``: every node-with-neighbors' label is
+    # in its neighborhood argmax) BEFORE each sweep — a full neighbor_freq
+    # pass over all m edges. A sweep's Prec-Max update changes a node iff
+    # its label is NOT in that argmax, and color classes partition the
+    # nodes, so "a full sweep changed nothing" is exactly the same predicate
+    # — checked here with one n-row label comparison instead of an extra
+    # m-edge aggregation pass per sweep. (When the initial labeling is
+    # already complete this runs one provably-no-op sweep; the result is
+    # identical.)
+    labels = cache.truncate(labels)
     sweeps = 0
-    while incomplete_count(labels) > 0:
+    while True:
         if sweeps >= max_sweeps:
             raise RuntimeError(f"LPA did not stabilize in {max_sweeps} sweeps")
+        prev = labels
         t0 = time.monotonic()
         for c in range(n_colors):
             cls = color_df.filter(F.col("color") == c).select("id")
@@ -270,15 +290,25 @@ def label_propagation_communities(
                 labels.join(upd, "id", "left_anti").unionByName(upd)
             )
         sweeps += 1
+        changed = (
+            labels.join(
+                prev.select("id", F.col("label").alias("plab")), "id"
+            )
+            .filter(F.col("label") != F.col("plab"))
+            .count()
+        )
         if checkpoint_store is not None:
             labels = checkpoint_store.commit(
                 labels,
                 IterationMetrics(
                     sweeps - 1,
+                    changed=changed,
                     edges_processed=m * n_colors,
                     wall_ms=int((time.monotonic() - t0) * 1000),
                 ),
             )
+        if changed == 0:
+            break
     cache.close(keep_result=True)
     return labels
 

@@ -44,17 +44,9 @@ from pyspark.sql import DataFrame, functions as F
 from linkgraph.graph import SparkGraph
 from linkgraph.iterutils import SuperstepCache
 from linkgraph.state import CheckpointStore, IterationMetrics
+from linkgraph.exceptions import PowerIterationFailedConvergence
 
-
-class PowerIterationFailedConvergence(Exception):
-    """Raised when power iteration fails to converge within ``max_iter``
-    iterations (mirror of ``networkx.PowerIterationFailedConvergence``)."""
-
-    def __init__(self, num_iterations: int):
-        self.num_iterations = num_iterations
-        super().__init__(
-            f"power iteration failed to converge within {num_iterations} iterations"
-        )
+__all__ = ["pagerank", "top_pagerank", "PowerIterationFailedConvergence"]
 
 
 def _node_vector(g: SparkGraph, spec, name: str) -> DataFrame:

@@ -93,6 +93,95 @@ def union(g: SparkGraph, h: SparkGraph) -> SparkGraph:
     )
 
 
+def disjoint_union(g: SparkGraph, h: SparkGraph) -> SparkGraph:
+    """``binary.py:84`` / ``all.py:73`` ``disjoint_union_all``: relabel G to
+    0..n-1 and H to n..n+m-1, then union — collisions are impossible by
+    construction. The reference numbers nodes in iteration order; the
+    distributed twin uses ascending-id order (the deterministic choice) —
+    the same graph up to the documented relabeling convention."""
+    _check_directedness(g, h)
+    from linkgraph.graph import SparkGraph as SG, convert_node_labels_to_integers
+
+    g2, _ = convert_node_labels_to_integers(g)
+    h2, _ = convert_node_labels_to_integers(h)
+    n = g2.number_of_nodes()
+    h_edges = h2.edges.select(
+        (F.col("src") + n).alias("src"), (F.col("dst") + n).alias("dst"), "weight"
+    )
+    h_verts = h2.vertices.select((F.col("id") + n).alias("id"))
+    return SG(
+        g2.edges.unionByName(h_edges),
+        g2.vertices.select("id").unionByName(h_verts),
+        directed=g.directed,
+        coalesce_edges=False,
+    )
+
+
+def full_join(g: SparkGraph, h: SparkGraph) -> SparkGraph:
+    """``binary.py:383``: the union of G and H plus ALL edges between them
+    (both directions when directed). Node sets must be disjoint (raises
+    like ``union``). O(|G|·|H|) new edges by definition — the caller owns
+    that size."""
+    u = union(g, h)
+    cross = g.vertices.select(F.col("id").alias("src")).crossJoin(
+        h.vertices.select(F.col("id").alias("dst"))
+    )
+    if g.directed:
+        cross = cross.unionByName(
+            h.vertices.select(F.col("id").alias("src")).crossJoin(
+                g.vertices.select(F.col("id").alias("dst"))
+            )
+        )
+    from linkgraph.graph import SparkGraph as SG
+
+    return SG(
+        u.edges.unionByName(cross.withColumn("weight", F.lit(1.0))),
+        u.vertices,
+        directed=g.directed,
+        coalesce_edges=False,
+    )
+
+
+def union_all(graphs: list) -> SparkGraph:
+    """``operators/all.py:11`` — fold of pairwise disjoint-set unions."""
+    if not graphs:
+        raise ValueError("cannot apply union_all to an empty list")
+    out = graphs[0]
+    for h in graphs[1:]:
+        out = union(out, h)
+    return out
+
+
+def compose_all(graphs: list) -> SparkGraph:
+    """``operators/all.py:135`` — fold of ``compose`` (rightmost wins)."""
+    if not graphs:
+        raise ValueError("cannot apply compose_all to an empty list")
+    out = graphs[0]
+    for h in graphs[1:]:
+        out = compose(out, h)
+    return out
+
+
+def intersection_all(graphs: list) -> SparkGraph:
+    """``operators/all.py:186`` — fold of ``intersection``."""
+    if not graphs:
+        raise ValueError("cannot apply intersection_all to an empty list")
+    out = graphs[0]
+    for h in graphs[1:]:
+        out = intersection(out, h)
+    return out
+
+
+def disjoint_union_all(graphs: list) -> SparkGraph:
+    """``operators/all.py:73`` — fold of ``disjoint_union``."""
+    if not graphs:
+        raise ValueError("cannot apply disjoint_union_all to an empty list")
+    out = graphs[0]
+    for h in graphs[1:]:
+        out = disjoint_union(out, h)
+    return out
+
+
 def complement(g: SparkGraph) -> SparkGraph:
     """All node pairs without an edge, self-loops excluded
     (``operators/unary.py:9``). O(n²) by definition — small graphs only."""
@@ -171,6 +260,55 @@ def shortest_path_lengths(
     adj.unpersist()
     cache.close(keep_result=True)
     return visited
+
+
+def bfs_layers(g: SparkGraph, sources) -> DataFrame:
+    """``networkx/algorithms/traversal/breadth_first_search.py:406``
+    (``bfs_layers`` yields each BFS layer): DataFrame ``(id, layer)`` —
+    layer k = nodes at unweighted distance k from the nearest source."""
+    return shortest_path_lengths(g, sources).select(
+        "id", F.col("distance").alias("layer")
+    )
+
+
+def bfs_tree_edges(g: SparkGraph, source, *, depth_limit=None) -> DataFrame:
+    """BFS tree arcs (``breadth_first_search.py:109,198`` ``bfs_edges`` /
+    ``bfs_tree``): DataFrame ``(src, dst, depth)`` where src is dst's tree
+    parent and depth = dst's BFS distance.
+
+    The reference's parent choice follows adjacency (insertion) order —
+    meaningless under distribution — so the deterministic rule here is
+    **minimum-id parent** among the neighbors one level closer. Any such
+    choice yields a valid BFS tree of the same layer structure; tests
+    verify layer parity plus tree validity.
+    """
+    dist = shortest_path_lengths(g, [source], max_depth=depth_limit).persist()
+    adj = (
+        g.symmetric_edges().select("src", "dst")
+        if not g.directed
+        else g.edges.select("src", "dst")
+    )
+    parents = (
+        adj.join(dist.select(F.col("id").alias("src"), F.col("distance").alias("ds")), "src")
+        .join(dist.select(F.col("id").alias("dst"), F.col("distance").alias("dd")), "dst")
+        .filter(F.col("ds") + 1 == F.col("dd"))
+        .groupBy("dst")
+        .agg(F.min("src").alias("src"), F.first("dd").alias("depth"))
+        .select("src", "dst", F.col("depth").cast("long").alias("depth"))
+    )
+    return parents
+
+
+def bfs_tree(g: SparkGraph, source, *, depth_limit=None) -> SparkGraph:
+    """The BFS tree as a directed SparkGraph rooted at ``source``
+    (``breadth_first_search.py:198``)."""
+    e = bfs_tree_edges(g, source, depth_limit=depth_limit).select(
+        "src", "dst", F.lit(1.0).alias("weight")
+    )
+    v = e.select(F.col("dst").alias("id")).unionByName(
+        g.spark.createDataFrame([(int(source),)], "id long")
+    ).distinct()
+    return SparkGraph(e, v, directed=True, coalesce_edges=False)
 
 
 def descendants_at_distance(g: SparkGraph, source, distance: int) -> DataFrame:

@@ -32,10 +32,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import SparkGraph
+from linkgraph.exceptions import NotImplementedForDirected
 
 
 def _simple_edges(g: SparkGraph) -> DataFrame:
-    """Canonical (u < v) simple undirected edge set, self-loops removed."""
+    """Canonical (u < v) simple undirected edge set, self-loops removed.
+
+    Raises on directed input like the reference's
+    ``@not_implemented_for("directed")`` on ``triangles``/``clustering``
+    (``networkx/algorithms/cluster.py:20,383``) — the directed clustering
+    formula (``cluster.py:413-470``) is a different quantity, so silently
+    canonicalizing would return wrong-by-construction numbers. Use
+    ``g.undirected_view()`` explicitly to opt into the undirected
+    projection.
+    """
+    if g.directed:
+        raise NotImplementedForDirected(
+            "triangles/clustering: not implemented for directed type; "
+            "use g.undirected_view() for the underlying undirected graph"
+        )
     return (
         g.edges.filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))

@@ -95,6 +95,46 @@ def customer_chain_graph(spark: SparkSession, sf_dir: str) -> SparkGraph:
     )
 
 
+def customer_ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation directed customer RINGS: the chain arcs plus one closing
+    arc max(c_custkey) → min(c_custkey) per nation. Each nation becomes one
+    directed cycle, so its customers form exactly one SCC whose minimum id
+    is ``min(c_custkey)`` — the closed-form the DuckDB oracle checks."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    chain = (
+        c.withColumn("nxt", F.lead("c_custkey").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("c_custkey").alias("src"), F.col("nxt").alias("dst"))
+    )
+    closing = c.groupBy("c_nationkey").agg(
+        F.max("c_custkey").alias("src"), F.min("c_custkey").alias("dst")
+    ).select("src", "dst")
+    return chain.unionByName(closing)
+
+
+def customer_ring_graph(spark: SparkSession, sf_dir: str) -> SparkGraph:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    return SparkGraph(
+        customer_ring_edges(spark, sf_dir),
+        vertices=c,
+        directed=True,
+        coalesce_edges=False,
+    )
+
+
+def customer_chain_weighted_graph(spark: SparkSession, sf_dir: str) -> SparkGraph:
+    """The undirected per-nation chains with edge weight = the custkey gap
+    ``dst - src``. Weighted distance from the nation's minimum customer then
+    telescopes to ``c_custkey - min(c_custkey)`` — the closed-form oracle
+    for the Bellman-Ford relaxation loop."""
+    e = customer_chain_edges(spark, sf_dir).select(
+        "src", "dst", (F.col("dst") - F.col("src")).cast("double").alias("weight")
+    )
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    return SparkGraph(e, vertices=c, directed=False, coalesce_edges=False)
+
+
 def event_transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed (prev event_type, event_type) arcs, distinct, no self-loops.
 
@@ -108,4 +148,48 @@ def event_transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("event_type")))
         .select(F.col("prev").alias("src_type"), F.col("event_type").alias("dst_type"))
         .distinct()
+    )
+
+
+NATION_OFFSET = 1_000_000
+REGION_OFFSET = 2_000_000
+
+
+def hierarchy_dag_graph(spark: SparkSession, sf_dir: str) -> SparkGraph:
+    """Three-layer region → nation → customer DAG (keys offset into
+    disjoint ranges). Kahn layers are the hierarchy levels — regions have
+    zero in-degree (generation 0), nations depend only on regions (1),
+    customers only on nations (2) — the closed form the DuckDB oracle
+    checks. Three peel rounds regardless of scale, so the driver query
+    stays O(1) supersteps while the nx parity tests cover arbitrary-depth
+    DAGs."""
+    r = _t(spark, sf_dir, "region").select(
+        (F.col("r_regionkey") + REGION_OFFSET).cast("long").alias("id")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + NATION_OFFSET).cast("long").alias("id"),
+        (F.col("n_regionkey") + REGION_OFFSET).cast("long").alias("region"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        (F.col("c_nationkey") + NATION_OFFSET).cast("long").alias("nation"),
+    )
+    e = (
+        n.select(F.col("region").alias("src"), F.col("id").alias("dst"))
+        .unionByName(c.select(F.col("nation").alias("src"), F.col("id").alias("dst")))
+    )
+    v = r.unionByName(n.select("id")).unionByName(c.select("id"))
+    return SparkGraph(e, vertices=v, directed=True, coalesce_edges=False)
+
+
+def customer_chain_digraph(spark: SparkSession, sf_dir: str) -> SparkGraph:
+    """The per-nation customer chains as a DIRECTED graph (src → next) —
+    25 disjoint directed paths, an acyclic input for transitive closure
+    whose closure has the closed form {(u, v): same nation, u < v}."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    return SparkGraph(
+        customer_chain_edges(spark, sf_dir),
+        vertices=c,
+        directed=True,
+        coalesce_edges=False,
     )

@@ -202,6 +202,101 @@ class SparkGraph:
         v = self.vertices.join(ids, "id", "left_anti")
         return SparkGraph(e, v, directed=self.directed, coalesce_edges=False)
 
+    def _canon_pairs(self, pairs: DataFrame) -> DataFrame:
+        """Normalize a 2-column pair DataFrame to this graph's storage
+        orientation (canonical src<=dst for undirected)."""
+        p = pairs.select(
+            F.col(pairs.columns[0]).cast("long").alias("src"),
+            F.col(pairs.columns[1]).cast("long").alias("dst"),
+        )
+        if not self.directed:
+            p = p.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+        return p
+
+    def add_edges(self, edges: DataFrame) -> "SparkGraph":
+        """``Graph.add_edges_from`` (``networkx/classes/graph.py:986``):
+        returns a new graph with the edges added; endpoints missing from
+        the vertex set are created; an existing (src, dst) edge's weight is
+        OVERWRITTEN by the new value (the reference updates the attr dict)."""
+        e_new = edges
+        if "weight" not in e_new.columns:
+            e_new = e_new.select(
+                F.col(e_new.columns[0]).alias("src"), F.col(e_new.columns[1]).alias("dst")
+            ).withColumn("weight", F.lit(1.0))
+        e_new = e_new.select(
+            F.col("src").cast("long"), F.col("dst").cast("long"),
+            F.col("weight").cast("double"),
+        )
+        if not self.directed:
+            e_new = e_new.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                "weight",
+            )
+        kept = self.edges.join(
+            e_new.select("src", "dst"), ["src", "dst"], "left_anti"
+        )
+        v = None
+        if self._vertices is not None:
+            new_ids = (
+                e_new.select(F.col("src").alias("id"))
+                .unionAll(e_new.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+            v = self._vertices.select("id").unionByName(new_ids).distinct()
+        return SparkGraph(
+            kept.unionByName(e_new), v, directed=self.directed, coalesce_edges=False
+        )
+
+    def remove_edges(self, pairs: DataFrame) -> "SparkGraph":
+        """``Graph.remove_edges_from`` (``graph.py:1118``): drop the listed
+        edges (nodes stay, like the reference) — one anti-join."""
+        p = self._canon_pairs(pairs)
+        e = self.edges.join(p, ["src", "dst"], "left_anti")
+        return SparkGraph(
+            e, self.vertices, directed=self.directed, coalesce_edges=False
+        )
+
+    def edge_subgraph(self, pairs: DataFrame) -> "SparkGraph":
+        """``Graph.edge_subgraph`` (``graph.py:1878``): the subgraph of the
+        listed edges; its node set is the endpoints of those edges."""
+        p = self._canon_pairs(pairs)
+        e = self.edges.join(p, ["src", "dst"], "left_semi")
+        v = (
+            e.select(F.col("src").alias("id"))
+            .unionAll(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return SparkGraph(e, v, directed=self.directed, coalesce_edges=False)
+
+    def subgraph_view(self, node_filter=None, edge_filter=None) -> "SparkGraph":
+        """``networkx/classes/graphviews.py:31`` ``subgraph_view``: the graph
+        restricted to nodes passing ``node_filter`` and edges passing
+        ``edge_filter`` — both Spark Column predicates (node filter over the
+        vertex table's columns; edge filter over src/dst/weight). DataFrames
+        are lazy, so this IS a view: nothing materializes until an action."""
+        v = self.vertices
+        if node_filter is not None:
+            v = v.filter(node_filter)
+        e = self.edges
+        if edge_filter is not None:
+            e = e.filter(edge_filter)
+        if node_filter is not None:
+            ids = v.select("id")
+            e = e.join(ids.withColumnRenamed("id", "src"), "src", "left_semi").join(
+                ids.withColumnRenamed("id", "dst"), "dst", "left_semi"
+            )
+        return SparkGraph(e, v, directed=self.directed, coalesce_edges=False)
+
+    def restricted_view(self, nodes: DataFrame, edge_pairs: DataFrame) -> "SparkGraph":
+        """``networkx/classes/function.py:466`` ``restricted_view``: the
+        graph with the listed nodes AND edges hidden."""
+        without_nodes = self.remove_nodes(nodes)
+        return without_nodes.remove_edges(edge_pairs)
+
     def selfloop_edges(self) -> DataFrame:
         return self.edges.filter(F.col("src") == F.col("dst"))
 
@@ -274,28 +369,73 @@ def convert_node_labels_to_integers(g: SparkGraph) -> "tuple[SparkGraph, DataFra
     reproducible under distribution).
 
     Returns (relabeled graph, mapping DataFrame (old_id, new_id)).
-    """
-    from pyspark.sql import Window
 
-    w = Window.orderBy("id")
-    mapping = g.vertices.select("id").withColumn(
-        "new_id", F.row_number().over(w).cast("long") - 1
+    Scale: a global ``row_number`` window would funnel every row through one
+    task; instead the ids are range-partitioned by ``sort`` and indexed with
+    ``zipWithIndex`` (one small count-per-partition job + a fully parallel
+    map), so no single-partition exchange appears anywhere in the plan.
+    """
+    sorted_ids = g.vertices.select("id").sort("id")
+    mapping = sorted_ids.rdd.map(lambda r: r[0]).zipWithIndex().toDF(
+        ["id", "new_id"]
     )
+    mapping = mapping.select(
+        F.col("id").cast("long"), F.col("new_id").cast("long")
+    )
+    relabeled = relabel_nodes(g, mapping, check_complete=False, merge=False)
+    return relabeled, mapping.select(F.col("id").alias("old_id"), "new_id")
+
+
+def relabel_nodes(
+    g: SparkGraph,
+    mapping,
+    *,
+    check_complete: bool = True,
+    merge: bool = True,
+) -> SparkGraph:
+    """Relabel nodes by an arbitrary mapping (``networkx/relabel.py:9``
+    with ``copy=True`` — DataFrames are immutable so copy is the only mode).
+
+    ``mapping`` is a ``{old_id: new_id}`` dict or a two-column DataFrame
+    ``(id, new_id)``. As in the reference, ids absent from the mapping keep
+    their label, and distinct old nodes mapping to one new label are merged
+    (their edges coalesce; parallel edges sum weights, the multigraph
+    collapse of ``convert_matrix.py:649-656``).
+
+    ``check_complete=False`` skips the keep-own-label outer join when the
+    caller guarantees the mapping covers every vertex (saves one join);
+    ``merge=False`` skips the parallel-edge coalesce when the mapping is
+    known injective (saves a shuffle).
+    """
+    if isinstance(mapping, dict):
+        rows = [(int(k), int(v)) for k, v in mapping.items()]
+        mdf = g.spark.createDataFrame(rows, "id long, new_id long")
+    else:
+        mdf = mapping.select(
+            F.col(mapping.columns[0]).cast("long").alias("id"),
+            F.col(mapping.columns[1]).cast("long").alias("new_id"),
+        )
+    if check_complete:
+        # partial mappings keep unmapped ids (relabel.py:133: m.get(n, n))
+        full = g.vertices.select("id").join(mdf, "id", "left").select(
+            "id", F.coalesce("new_id", F.col("id")).alias("new_id")
+        )
+    else:
+        full = mdf
     e = (
         g.edges.join(
-            mapping.select(F.col("id").alias("src"), F.col("new_id").alias("ns")),
+            full.select(F.col("id").alias("src"), F.col("new_id").alias("ns")),
             "src",
         )
         .join(
-            mapping.select(F.col("id").alias("dst"), F.col("new_id").alias("nd")),
+            full.select(F.col("id").alias("dst"), F.col("new_id").alias("nd")),
             "dst",
         )
-        .select(
-            F.col("ns").alias("src"), F.col("nd").alias("dst"), "weight"
-        )
+        .select(F.col("ns").alias("src"), F.col("nd").alias("dst"), "weight")
     )
-    v = mapping.select(F.col("new_id").alias("id"))
-    return (
-        SparkGraph(e, v, directed=g.directed, coalesce_edges=False),
-        mapping.select(F.col("id").alias("old_id"), "new_id"),
-    )
+    v = full.select(F.col("new_id").alias("id"))
+    if merge:
+        v = v.distinct()
+    # merged labels can create parallel edges: coalesce like the reference's
+    # multigraph collapse
+    return SparkGraph(e, v, directed=g.directed, coalesce_edges=merge)

@@ -27,7 +27,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 
 @dataclass
@@ -97,19 +97,21 @@ class CheckpointStore:
         df.write.mode("overwrite").parquet(data_path)
         spark = df.sparkSession
         reread = spark.read.parquet(data_path)
-        # Per-partition lineage: row count per parquet file of the snapshot.
-        part_counts = (
-            reread.groupBy(F.input_file_name().alias("file"))
-            .count()
-            .collect()
-        )
+        # Per-partition lineage from the parquet FOOTERS (file metadata) —
+        # zero data scanned, mirroring how an Iceberg manifest carries
+        # per-file row counts. (A groupBy(input_file_name) would re-read the
+        # whole snapshot once per superstep — doubling checkpoint cost.)
+        import pyarrow.parquet as pq
+
+        part_counts = []
+        for fname in sorted(os.listdir(data_path)):
+            if fname.endswith(".parquet"):
+                meta = pq.ParquetFile(os.path.join(data_path, fname)).metadata
+                part_counts.append({"file": fname, "rows": meta.num_rows})
         manifest = {
             "metrics": metrics.to_dict(),
             "schema": reread.schema.jsonValue(),
-            "partitions": [
-                {"file": os.path.basename(r["file"]), "rows": r["count"]}
-                for r in sorted(part_counts, key=lambda r: r["file"])
-            ],
+            "partitions": part_counts,
             "committed_unix_ms": int(time.time() * 1000),
             "commit_wall_ms": int((time.monotonic() - t0) * 1000),
         }

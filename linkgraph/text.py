@@ -170,6 +170,83 @@ def minhash_lsh_pairs(
     )
 
 
+def jaccard_verify_candidates(
+    docs: DataFrame, candidates: DataFrame, k: int = 2, threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard computed ONLY on candidate pairs:
+    ``(doc_a, doc_b, jaccard)`` filtered to ``jaccard >= threshold``.
+
+    This is the scale-safe verify step: the shingle join is driven by the
+    candidate list (LSH buckets), never by raw shingle co-occurrence — the
+    hot-stop-shingle explosion of :func:`ngram_jaccard_pairs` cannot happen.
+    """
+    sh = word_shingles(docs, k).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand = candidates.select("doc_a", "doc_b")
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+            "left_semi",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce("i", F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce("i", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_duplicates(
+    docs: DataFrame,
+    k: int = 2,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The composed dedup pipeline — the blessed scale entry point:
+
+    1. MinHash-LSH candidate pairs (bucket join, never all-pairs);
+    2. exact Jaccard verify on the candidates only;
+    3. connected components over the verified duplicate graph
+       (large-star/small-star);
+    4. canonical survivor = minimum doc_id per duplicate cluster.
+
+    Returns ``(doc_id BIGINT, canonical_doc_id BIGINT)`` for EVERY document
+    (non-duplicates map to themselves); ``doc_id == canonical_doc_id``
+    marks the survivors a dedup pass keeps. :func:`ngram_jaccard_pairs` is
+    the oracle/test-scale all-pairs form — use this at scale.
+    """
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.components import connected_components
+
+    cand = minhash_lsh_pairs(docs, k, num_hashes, band_size)
+    dup = jaccard_verify_candidates(docs, cand, k, threshold)
+    g = SparkGraph(
+        dup.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        vertices=docs.select(F.col("doc_id").cast("long").alias("id")),
+        directed=False,
+        coalesce_edges=False,
+    )
+    return connected_components(g).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("canonical_doc_id"),
+    )
+
+
 def quality_features(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, avg_token_len, stopword_ratio, alpha_ratio)
     — the standard cheap quality signals, all rounded to 6 for portability."""

@@ -90,3 +90,24 @@ def test_pagerank_plan_reuses_edge_partitioning(spark):
     # run one iteration so the loop builds/caches its tables
     pr = pagerank(g, fixed_iter=1, check_interval=1)
     assert pr.count() > 0
+
+
+def test_relabel_no_single_partition_exchange(spark):
+    """convert_node_labels_to_integers must not funnel all rows through one
+    task: no SinglePartition exchange and no global row_number window
+    anywhere in the relabeled edge plan (VERDICT r1 'what's wrong' #1)."""
+    from linkgraph.graph import from_edgelist, convert_node_labels_to_integers
+
+    g = from_edgelist(
+        spark, [(i * 10, i * 10 + 7) for i in range(100)], directed=False
+    )
+    relabeled, mapping = convert_node_labels_to_integers(g)
+    for df in (relabeled.edges, mapping):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+        assert "Window" not in plan, plan
+    # ids are contiguous 0..n-1 in ascending old-id order
+    rows = sorted(
+        (r["old_id"], r["new_id"]) for r in mapping.collect()
+    )
+    assert [n for _, n in rows] == list(range(len(rows)))

@@ -47,9 +47,18 @@ def test_self_loops_ignored(spark):
     assert _tri(spark, G) == {n: 6 for n in G}
 
 
-def test_directed_input_uses_underlying_undirected(spark):
+def test_directed_input_raises(spark):
+    """cluster.py:20 @not_implemented_for('directed'); the explicit
+    undirected_view() opt-in computes the underlying undirected counts."""
+    from linkgraph.exceptions import NotImplementedForDirected
+
     g = from_edgelist(spark, [(1, 2), (2, 3), (3, 1)], directed=True)
-    got = {r["id"]: r["triangles"] for r in triangles(g).collect()}
+    with pytest.raises(NotImplementedForDirected):
+        triangles(g).collect()
+    got = {
+        r["id"]: r["triangles"]
+        for r in triangles(g.undirected_view()).collect()
+    }
     assert got == {1: 1, 2: 1, 3: 1}
 
 
