@@ -46,7 +46,9 @@ def build_spark(cpus: int) -> SparkSession:
     # scheduling, block-manager lock traffic) — measured faster at 1x for
     # >=16 threads. On a real multi-executor cluster partition counts are
     # sized by data volume (maxPartitionBytes), not by this local heuristic.
-    parts = cpus if cpus >= 16 else 2 * cpus
+    parts = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", cpus if cpus >= 16 else 2 * cpus)
+    )
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("linkgraph-bench")
@@ -113,6 +115,10 @@ def main() -> None:
             g = build_link_graph(pages, num_partitions=2 * cpus)
             g.edges = g.edges.persist()
             m = g.edges.count()
+            # size the iterative loops' edge partitioning by rows-per-task
+            # (~250k), capped at the session parallelism — the same rule a
+            # cluster run uses via maxPartitionBytes
+            g.num_partitions = max(4, min(2 * cpus, m // 250_000 + 1))
             return g, m
 
         g_pages, m_pages = bench("pages_build", build, forced=True)
@@ -136,10 +142,27 @@ def main() -> None:
     )
 
     # -- TPC-H copurchase graph ---------------------------------------- #
+    # Release the pages section's cached edges and any checkpoint RDDs
+    # still pinned (SparkContext.persistentRdds has no public release
+    # API) — leftover executor storage from one section otherwise inflates
+    # GC pressure in the next, which is measurement noise, not workload.
+    if g_pages is not None:
+        g_pages.edges.unpersist()
+    spark.catalog.clearCache()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keys()):
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+    except Exception:
+        pass
+
     def copurchase_pr():
         g = DS.copurchase_graph(spark, sf_dir)
         g.edges = g.edges.persist()
-        g.edges.count()
+        m_cp = g.edges.count()
+        g.num_partitions = max(4, min(2 * cpus, m_cp // 250_000 + 1))
         return (
             pagerank(g, fixed_iter=PR_ITERS, check_interval=PR_ITERS)
             .agg(F.sum("rank"))

@@ -118,6 +118,9 @@ def connected_components(
         "spark.sql.join.preferSortMergeJoin": spark.conf.get(
             "spark.sql.join.preferSortMergeJoin"
         ),
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
     }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
@@ -129,6 +132,16 @@ def connected_components(
         # exactly once).
         e = e.localCheckpoint(eager=False)
         fp = _fingerprint(e)
+        # Size the loop's shuffle partitions by DATA VOLUME (~250k pair
+        # rows per reduce task), capped at the session default: with AQE
+        # off, a small graph would otherwise pay the session's full
+        # partition count in per-task fixed cost EVERY round — pure
+        # overhead locally, and the same rows-per-task rule is how a
+        # 1000-executor run would be sized (it hits the session cap and
+        # keeps the configured parallelism).
+        default_parts = int(saved_conf["spark.sql.shuffle.partitions"])
+        loop_parts = max(4, min(default_parts, (fp[0] or 1) // 250_000 + 1))
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
         for k in range(start_round, max_rounds):
             t0 = time.monotonic()
             e2 = _small_star(_large_star(e))
@@ -143,6 +156,7 @@ def connected_components(
             else:
                 e2 = e2.localCheckpoint(eager=False)
             fp2 = _fingerprint(e2)
+            cache.release(e)  # prev round's blocks are dead past this point
             if checkpoint_store is not None:
                 checkpoint_store.update_metrics(
                     k, changed=0 if fp2 == fp else 1, edges_processed=fp2[0]

@@ -286,8 +286,12 @@ def label_propagation_communities(
             # Truncate lineage per color class: each class references the
             # previous labels plan ~5×, so chaining a whole sweep lazily
             # grows the Catalyst tree exponentially in the color count.
+            # Retire the pre-update snapshot (except the sweep-start one,
+            # which the changed-count below still reads).
+            old = labels
             labels = cache.truncate(
-                labels.join(upd, "id", "left_anti").unionByName(upd)
+                labels.join(upd, "id", "left_anti").unionByName(upd),
+                retire=None if old is prev else old,
             )
         sweeps += 1
         changed = (
@@ -297,6 +301,7 @@ def label_propagation_communities(
             .filter(F.col("label") != F.col("plab"))
             .count()
         )
+        cache.release(prev)
         if checkpoint_store is not None:
             labels = checkpoint_store.commit(
                 labels,

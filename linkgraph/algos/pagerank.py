@@ -181,8 +181,19 @@ def pagerank(
         x = vertices.select("id", F.lit(1.0 / n).alias("rank"))
 
     dang_ids = base.filter("is_dang").select("id").persist() if n_dangling else None
+    if dang_ids is not None:
+        dang_ids.count()  # materialize now, not inside the first iteration
     cache = SuperstepCache(spark, truncate_interval=lineage_truncate_interval)
     inv_n = 1.0 / n
+
+    def cleanup() -> None:
+        """Drop the loop's internal caches before returning: the result is
+        rooted at its own checkpoint/parquet snapshot, so none of these are
+        reachable from it — leaving them pinned just taxes the block
+        manager and GC of whatever runs next in the session."""
+        for df in (vertices, norm, base, dang_ids):
+            if df is not None:
+                df.unpersist()
 
     def step(xc: DataFrame) -> DataFrame:
         """One lazy power iteration (pagerank_alg.py:491-493).
@@ -289,12 +300,17 @@ def pagerank(
                     if dang_ids is not None:
                         nxt = nxt.persist()
                     iterates.append(nxt)
+                x_old = x
                 x = materialize(iterates[-1], k + steps - 1, t0)
                 if dang_ids is not None:
                     for it in iterates[1:]:
                         it.unpersist()
+                # previous batch's checkpoint blocks are dead once the new
+                # one is materialized — release, don't pin one per batch
+                cache.release(x_old)
                 k += steps
             cache.close(keep_result=True)
+            cleanup()
             return x
 
         # Convergence mode: the reference's per-iteration stopping rule
@@ -311,13 +327,16 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("rank") - F.col("rank_prev"))).alias("err"))
                 .first()["err"]
             ) or 0.0
+            cache.release(x)  # prev iterate: last read was the err join
             x = x_new
             if checkpoint_store is not None and commit:
                 checkpoint_store.update_metrics(k, l1_err=float(err))
             if err < n * tol:
                 cache.close(keep_result=True)
+                cleanup()
                 return x
         cache.close()
+        cleanup()
         raise PowerIterationFailedConvergence(max_iter)
     finally:
         for key, val in saved_conf.items():

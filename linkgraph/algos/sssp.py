@@ -81,6 +81,7 @@ def weighted_shortest_path_lengths(
         _source_df(g, sources).select("id", F.lit(0.0).alias("distance"))
     )
     frontier = dist
+    last_trunc = dist  # the live checkpoint both dist and frontier root at
     n_limit = None  # computed lazily — only needed to certify a neg. cycle
 
     rounds = 0
@@ -119,7 +120,8 @@ def weighted_shortest_path_lengths(
                 ).alias("_improved"),
             )
         )
-        merged = cache.truncate(merged)
+        merged = cache.truncate(merged, retire=last_trunc)
+        last_trunc = merged
         frontier = merged.filter("_improved").select("id", "distance")
         dist_new = merged.select("id", "distance")
         n_improved = frontier.limit(1).count()

@@ -54,15 +54,44 @@ class SuperstepCache:
         self.tmp_root = tmp_root or tempfile.mkdtemp(prefix="linkgraph-superstep-")
         self._n = 0
 
-    def truncate(self, df: DataFrame) -> DataFrame:
+    def truncate(self, df: DataFrame, retire: Optional[DataFrame] = None) -> DataFrame:
+        """Checkpoint ``df``; optionally release a PREVIOUS truncate result
+        the caller guarantees nothing will read again. Passing ``retire``
+        caps the loop's pinned-RDD footprint at the live generations instead
+        of growing by one snapshot per superstep (the leak documented
+        above)."""
         if self.mode == "local":
-            return df.localCheckpoint(eager=True)
+            out = df.localCheckpoint(eager=True)
+            if retire is not None:
+                self.release(retire)
+            return out
         self._n += 1
         path = os.path.join(self.tmp_root, f"trunc-{self._n:05d}")
         df.write.mode("overwrite").parquet(path)
         prev = os.path.join(self.tmp_root, f"trunc-{self._n - 1:05d}")
         shutil.rmtree(prev, ignore_errors=True)
         return self.spark.read.parquet(path)
+
+    def release(self, dfs) -> None:
+        """Unpersist the executor-pinned RDDs backing previously-truncated
+        DataFrames (``SparkContext.persistentRdds`` has no public release
+        API; the id comes off the checkpointed plan's ``LogicalRDD``).
+        Safe on non-checkpointed input (no-op). The released DataFrames
+        must never be read again — their blocks are gone."""
+        if isinstance(dfs, DataFrame):
+            dfs = [dfs]
+        jsc = self.spark.sparkContext._jsc
+        for d in dfs:
+            try:
+                rid = d._jdf.queryExecution().analyzed().rdd().id()
+            except Exception:
+                continue  # not a checkpointed LogicalRDD plan
+            try:
+                jrdd = jsc.getPersistentRDDs().get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+            except Exception:
+                pass
 
     def maybe_truncate(self, df: DataFrame, k: int) -> DataFrame:
         if (k + 1) % self.truncate_interval == 0:
