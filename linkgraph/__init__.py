@@ -73,7 +73,16 @@ from linkgraph.algos.setops import (
     intersection_all,
     disjoint_union_all,
 )
+from linkgraph.describe import describe
+from linkgraph.convert_matrix import (
+    to_csr_arrays,
+    to_scipy_sparse_array,
+    to_numpy_array,
+    from_numpy_array,
+    from_scipy_sparse_array,
+)
 from linkgraph.algos.sssp import (
+    shortest_path_length,
     weighted_shortest_path_lengths,
     single_source_weighted_path_length,
     bellman_ford_path_lengths,
@@ -144,6 +153,13 @@ __all__ = [
     "single_source_weighted_path_length",
     "bellman_ford_path_lengths",
     "has_path",
+    "shortest_path_length",
+    "describe",
+    "to_csr_arrays",
+    "to_scipy_sparse_array",
+    "to_numpy_array",
+    "from_numpy_array",
+    "from_scipy_sparse_array",
     "NegativeCycleError",
     "strongly_connected_components",
     "number_strongly_connected_components",

@@ -83,6 +83,7 @@ def pagerank(
     lineage_truncate_interval: int = 10,
     fixed_iter: Optional[int] = None,
     check_interval: int = 4,
+    kernel: str = "edges",
 ) -> DataFrame:
     """Return DataFrame ``(id BIGINT, rank DOUBLE)``; ranks sum to 1.
 
@@ -105,6 +106,24 @@ def pagerank(
     contribution ``groupBy(dst)`` shuffle moves data — the plan shape that
     survives a 100x scale-up (a broadcast rank vector would not). They are
     restored on exit.
+
+    ``kernel`` picks the contribution (x @ A) implementation — all three
+    candidates were measured head-to-head on a 26M-edge crawl
+    (BENCH_CSR.json; local[8], 10 fixed iterations):
+
+    - ``"edges"`` (default): per-edge join against the pinned
+      src-partitioned table + hash agg. In the production regime (lazy
+      iteration batching via ``check_interval``, shuffled-hash joins, no
+      AQE) this is the fastest: 50s vs 71s for adjacency.
+    - ``"adjacency"``: edges compacted ONCE to (src, [(dst, p), ...]) rows
+      (degree-proportional hash chunks cap hub rows at 64k entries). Wins
+      2.8x ONLY when every iteration materializes (e.g. convergence-mode
+      with per-iteration durable checkpoints on a shared cluster): the
+      rank join probes |V| compacted rows instead of m edge rows.
+    - per-partition numpy CSR SpMV via ``mapInArrow`` (the SURVEY §1.6
+      hypothesis): measured 0.86x the per-edge join — Arrow transfer of
+      the rank vector outweighs the vectorized multiply. Retired by that
+      measurement; not exposed.
     """
     if fixed_iter is not None:
         max_iter = fixed_iter
@@ -121,16 +140,49 @@ def pagerank(
     # --- one-time edge prep: stochastic normalization ------------------- #
     # (stochastic_graph semantics, networkx/generators/stochastic.py:17)
     adj = g.symmetric_edges()
-    out_w = adj.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    out_w = adj.groupBy("src").agg(
+        F.sum("weight").alias("out_w"), F.count(F.lit(1)).alias("out_cnt")
+    )
     norm = (
         adj.join(out_w, "src")
         .filter(F.col("out_w") != 0)
-        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p_edge"))
+        .select(
+            "src",
+            "dst",
+            (F.col("weight") / F.col("out_w")).alias("p_edge"),
+            "out_cnt",
+        )
     )
     # Hash-partition by src once and pin: every iteration's rank join then
     # reuses this layout (only the small rank side shuffles).
-    norm = norm.repartition(num_parts, "src").persist()
-    edge_count = norm.count()  # materialize once; also the per-iter work metric
+    if kernel == "adjacency":
+        # Relational CSR row: (src, [(dst, p), ...]). Hub sources are split
+        # into ceil(out_degree / 65536) hash chunks so no row is unbounded,
+        # while low-degree sources stay a single row (full compaction).
+        # Build = ONE groupBy shuffle of the edges + one repact shuffle of
+        # the already-compacted rows — cheaper than the window-sort
+        # alternative, which re-sorts all m rows.
+        n_ck = F.greatest(
+            F.lit(1), F.ceil(F.col("out_cnt") / F.lit(65536))
+        ).cast("long")
+        A_t = (
+            norm.withColumn("_ck", F.pmod(F.hash("dst"), n_ck))
+            .groupBy("src", "_ck")
+            .agg(F.collect_list(F.struct("dst", "p_edge")).alias("nbrs"))
+            .drop("_ck")
+            .repartition(num_parts, "src")
+            .persist()
+        )
+        edge_count = int(
+            A_t.agg(F.sum(F.size("nbrs"))).first()[0] or 0
+        )  # materialize once; also the per-iter work metric
+    else:
+        A_t = (
+            norm.select("src", "dst", "p_edge")
+            .repartition(num_parts, "src")
+            .persist()
+        )
+        edge_count = A_t.count()
 
     # Dangling nodes: zero out-weight rows of A (pagerank_alg.py:489).
     # Carried as a flag on the per-node base table so the dangling-mass sum
@@ -191,7 +243,7 @@ def pagerank(
         rooted at its own checkpoint/parquet snapshot, so none of these are
         reachable from it — leaving them pinned just taxes the block
         manager and GC of whatever runs next in the session."""
-        for df in (vertices, norm, base, dang_ids):
+        for df in (vertices, A_t, base, dang_ids):
             if df is not None:
                 df.unpersist()
 
@@ -204,10 +256,21 @@ def pagerank(
         shared ``xc`` shuffles between the contribution and dangling
         branches.
         """
-        # x @ A : join ranks to normalized edges on src, sum into dst.
-        contrib_rows = norm.join(
-            xc.withColumnRenamed("id", "src"), "src"
-        ).select("src", "dst", (F.col("rank") * F.col("p_edge")).alias("c"))
+        # x @ A : join ranks to the pinned edge layout on src, sum into dst.
+        if kernel == "adjacency":
+            contrib_rows = (
+                A_t.join(xc.withColumnRenamed("id", "src"), "src")
+                .select("src", "rank", F.explode("nbrs").alias("e"))
+                .select(
+                    "src",
+                    F.col("e.dst").alias("dst"),
+                    (F.col("rank") * F.col("e.p_edge")).alias("c"),
+                )
+            )
+        else:
+            contrib_rows = A_t.join(
+                xc.withColumnRenamed("id", "src"), "src"
+            ).select("src", "dst", (F.col("rank") * F.col("p_edge")).alias("c"))
         if hub_salt > 1:
             # explicit two-phase salted aggregation for hot dst keys: spread a
             # hub's incoming contributions over `hub_salt` partial keys by the

@@ -164,3 +164,19 @@ def has_path(g: SparkGraph, source, target) -> bool:
     return (
         d.filter(F.col("id") == int(target)).limit(1).count() > 0
     )
+
+
+def shortest_path_length(g: SparkGraph, sources, *, weight: bool = False, **kwargs) -> DataFrame:
+    """Generic dispatch (``networkx/algorithms/shortest_paths/generic.py:182``):
+    ``weight=False`` routes to the unweighted frontier BFS
+    (``unweighted.py`` twin), ``weight=True`` to the Bellman-Ford
+    relaxation loop over the graph's ``weight`` column (the reference
+    dispatches source/target/weight combinations to BFS / Dijkstra; the
+    distributed engine's two kernels cover the same split). Returns
+    DataFrame ``(id, distance)`` from the nearest source; unreachable nodes
+    absent."""
+    if weight:
+        return weighted_shortest_path_lengths(g, sources, **kwargs)
+    from linkgraph.algos.setops import shortest_path_lengths
+
+    return shortest_path_lengths(g, sources, **kwargs)
