@@ -356,6 +356,37 @@ def q_copurchase_onion(spark, sf_dir):
     )
 
 
+def q_chain_describe(spark, sf_dir):
+    # One-row graph summary; every field has a closed form on the chain
+    # graph (25 per-nation paths).
+    from linkgraph.describe import describe
+
+    g = DS.customer_chain_graph(spark, sf_dir)
+    d = describe(g)
+    return d.select(
+        "n_nodes", "n_edges", "directed",
+        F.round("avg_degree", 6).alias("avg_degree"),
+        "min_degree", "max_degree", "n_selfloops",
+        F.round("density", 8).alias("density"),
+        "n_components", "is_tree",
+    )
+
+
+def q_chain_asyn_lpa_sizes(spark, sf_dir):
+    # Seeded-random variant — the partition is schedule-dependent by
+    # contract (label_propagation.py:142); rows-only, validity pinned in
+    # tests/test_lpa_variants.py.
+    from linkgraph.algos.lpa_variants import asyn_lpa_communities
+
+    g = DS.customer_chain_graph(spark, sf_dir)
+    return (
+        asyn_lpa_communities(g, seed=1)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .agg(F.sum("size").alias("n_nodes"), F.count(F.lit(1)).alias("n_communities"))
+    )
+
+
 def q_doc_token_counts(spark, sf_dir):
     return TX.token_counts(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("long"), "n_tokens"
@@ -449,6 +480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_generalized_degree": q_copurchase_generalized_degree,
         "copurchase_ktruss3": q_copurchase_ktruss3,
         "copurchase_onion_layers": q_copurchase_onion,
+        "chain_describe": q_chain_describe,
+        "chain_asyn_lpa_sizes": q_chain_asyn_lpa_sizes,
         "chain_lpa_sizes": q_chain_lpa_sizes,
         "pages_pagerank_top20": q_pages_pagerank_top20,
         "doc_token_counts": q_doc_token_counts,
@@ -941,6 +974,18 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sqls["copurchase_ktruss3"] = _truss_sql(3, 8)
+
+    sqls["chain_describe"] = (
+        "WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COUNT(*) - COUNT(DISTINCT c_nationkey) AS BIGINT) AS m, "
+        "CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS c FROM customer) "
+        "SELECT n AS n_nodes, m AS n_edges, FALSE AS directed, "
+        "ROUND(2.0 * m / n, 6) AS avg_degree, "
+        "CAST(1 AS BIGINT) AS min_degree, CAST(2 AS BIGINT) AS max_degree, "
+        "CAST(0 AS BIGINT) AS n_selfloops, "
+        "ROUND(2.0 * m / (n * (n - 1.0)), 8) AS density, "
+        "c AS n_components, FALSE AS is_tree FROM s"
+    )
 
     sqls["doc_quality"] = (
         r"""WITH toks AS (

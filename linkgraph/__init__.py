@@ -39,6 +39,10 @@ from linkgraph.algos.triangles import (
     transitivity,
 )
 from linkgraph.algos.lpa import label_propagation_communities
+from linkgraph.algos.lpa_variants import (
+    asyn_lpa_communities,
+    fast_label_propagation_communities,
+)
 from linkgraph.algos.reciprocity import overall_reciprocity, node_reciprocity
 from linkgraph.algos.hits import hits
 from linkgraph.algos.centrality import eigenvector_centrality, katz_centrality
@@ -73,6 +77,7 @@ from linkgraph.algos.setops import (
     intersection_all,
     disjoint_union_all,
 )
+from linkgraph import generators
 from linkgraph.describe import describe
 from linkgraph.convert_matrix import (
     to_csr_arrays,
@@ -155,6 +160,7 @@ __all__ = [
     "has_path",
     "shortest_path_length",
     "describe",
+    "generators",
     "to_csr_arrays",
     "to_scipy_sparse_array",
     "to_numpy_array",
@@ -186,6 +192,8 @@ __all__ = [
     "intersection_all",
     "disjoint_union_all",
     "relabel_nodes",
+    "asyn_lpa_communities",
+    "fast_label_propagation_communities",
     "NotImplementedForDirected",
     "intersection",
     "difference",
