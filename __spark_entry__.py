@@ -387,6 +387,49 @@ def q_chain_asyn_lpa_sizes(spark, sf_dir):
     )
 
 
+def q_media_channel_stats(spark, sf_dir):
+    # Multimodal plumbing: synthetic image payloads -> Arrow decode ->
+    # numpy per-channel stats. The fake pixels are a documented closed
+    # form, so the oracle recomputes mean/std in pure SQL.
+    from linkgraph import multimodal as MM
+
+    media = MM.synthesize_media(spark, 200, kind="image", width=16, height=12)
+    dec = MM.decode_images(media)
+    return MM.image_channel_stats(dec).select(
+        F.col("media_id").cast("long"),
+        F.col("channel").cast("long"),
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+    )
+
+
+def q_media_frame_sample(spark, sf_dir):
+    # Video frame sampling: every 3rd frame; value check = the (0,0,0)
+    # pixel of each sampled frame (closed form).
+    from linkgraph import multimodal as MM
+
+    media = MM.synthesize_media(
+        spark, 100, kind="video", width=4, height=4, n_frames=10
+    )
+    frames = MM.sample_frames(media, stride=3)
+    return frames.select(
+        F.col("media_id").cast("long"),
+        F.col("frame").cast("long"),
+        F.expr(
+            "CAST(conv(hex(substring(pixels, 1, 1)), 16, 10) AS BIGINT)"
+        ).alias("px0"),
+    )
+
+
+def q_media_audio_rms(spark, sf_dir):
+    from linkgraph import multimodal as MM
+
+    media = MM.synthesize_media(spark, 100, kind="audio", n_samples=1000)
+    return MM.audio_loudness(media).select(
+        F.col("media_id").cast("long"), F.round("rms", 6).alias("rms")
+    )
+
+
 def q_doc_token_counts(spark, sf_dir):
     return TX.token_counts(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("long"), "n_tokens"
@@ -482,6 +525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_onion_layers": q_copurchase_onion,
         "chain_describe": q_chain_describe,
         "chain_asyn_lpa_sizes": q_chain_asyn_lpa_sizes,
+        "media_channel_stats": q_media_channel_stats,
+        "media_frame_sample": q_media_frame_sample,
+        "media_audio_rms": q_media_audio_rms,
         "chain_lpa_sizes": q_chain_lpa_sizes,
         "pages_pagerank_top20": q_pages_pagerank_top20,
         "doc_token_counts": q_doc_token_counts,
@@ -974,6 +1020,26 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sqls["copurchase_ktruss3"] = _truss_sql(3, 8)
+
+    sqls["media_channel_stats"] = (
+        "SELECT CAST(m.media_id AS BIGINT) AS media_id, CAST(c.c AS BIGINT) AS channel, "
+        "ROUND(AVG(CAST((31*y.y + 17*x.x + 7*c.c + m.media_id) % 256 AS DOUBLE)), 6) AS mean, "
+        "ROUND(STDDEV_POP(CAST((31*y.y + 17*x.x + 7*c.c + m.media_id) % 256 AS DOUBLE)), 6) AS std "
+        "FROM range(200) m(media_id), range(3) c(c), range(12) y(y), range(16) x(x) "
+        "GROUP BY 1, 2"
+    )
+
+    sqls["media_frame_sample"] = (
+        "SELECT CAST(m.media_id AS BIGINT) AS media_id, CAST(f.f AS BIGINT) AS frame, "
+        "CAST((m.media_id + 1000003 * f.f) % 256 AS BIGINT) AS px0 "
+        "FROM range(100) m(media_id), range(0, 10, 3) f(f)"
+    )
+
+    sqls["media_audio_rms"] = (
+        "SELECT CAST(m.media_id AS BIGINT) AS media_id, "
+        "ROUND(SQRT(AVG(POW((CAST((13*i.i + 29*m.media_id) % 65536 AS DOUBLE) - 32768) / 32768, 2))), 6) AS rms "
+        "FROM range(100) m(media_id), range(1000) i(i) GROUP BY 1"
+    )
 
     sqls["chain_describe"] = (
         "WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
