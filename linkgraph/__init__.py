@@ -78,6 +78,9 @@ from linkgraph.algos.setops import (
     disjoint_union_all,
 )
 from linkgraph import generators
+from linkgraph import multimodal
+from linkgraph.io.graphml import read_graphml, write_graphml
+from linkgraph.io.gml import read_gml, write_gml
 from linkgraph.describe import describe
 from linkgraph.convert_matrix import (
     to_csr_arrays,
@@ -161,6 +164,11 @@ __all__ = [
     "shortest_path_length",
     "describe",
     "generators",
+    "multimodal",
+    "read_graphml",
+    "write_graphml",
+    "read_gml",
+    "write_gml",
     "to_csr_arrays",
     "to_scipy_sparse_array",
     "to_numpy_array",
