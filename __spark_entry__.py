@@ -387,6 +387,19 @@ def q_chain_asyn_lpa_sizes(spark, sf_dir):
     )
 
 
+def q_hierarchy_betweenness(spark, sf_dir):
+    # Brandes over the region->nation->customer DAG; closed form: a
+    # nation's (unnormalized, directed) betweenness = its customer count
+    # (every region->customer shortest path passes its nation); regions
+    # and customers are path endpoints -> 0.
+    from linkgraph.algos.betweenness import betweenness_centrality
+
+    g = DS.hierarchy_dag_graph(spark, sf_dir)
+    return betweenness_centrality(g, normalized=False).select(
+        F.col("id").cast("long"), F.round("betweenness", 6).alias("betweenness")
+    )
+
+
 def q_media_channel_stats(spark, sf_dir):
     # Multimodal plumbing: synthetic image payloads -> Arrow decode ->
     # numpy per-channel stats. The fake pixels are a documented closed
@@ -525,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_onion_layers": q_copurchase_onion,
         "chain_describe": q_chain_describe,
         "chain_asyn_lpa_sizes": q_chain_asyn_lpa_sizes,
+        "hierarchy_betweenness": q_hierarchy_betweenness,
         "media_channel_stats": q_media_channel_stats,
         "media_frame_sample": q_media_frame_sample,
         "media_audio_rms": q_media_audio_rms,
@@ -1020,6 +1034,15 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sqls["copurchase_ktruss3"] = _truss_sql(3, 8)
+
+    sqls["hierarchy_betweenness"] = (
+        "SELECT CAST(n_nationkey + 1000000 AS BIGINT) AS id, "
+        "ROUND(CAST(COALESCE(c.cnt, 0) AS DOUBLE), 6) AS betweenness "
+        "FROM nation LEFT JOIN (SELECT c_nationkey, COUNT(*) AS cnt "
+        "FROM customer GROUP BY 1) c ON c.c_nationkey = n_nationkey "
+        "UNION ALL SELECT CAST(r_regionkey + 2000000 AS BIGINT), 0.0 FROM region "
+        "UNION ALL SELECT CAST(c_custkey AS BIGINT), 0.0 FROM customer"
+    )
 
     sqls["media_channel_stats"] = (
         "SELECT CAST(m.media_id AS BIGINT) AS media_id, CAST(c.c AS BIGINT) AS channel, "

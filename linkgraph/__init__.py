@@ -46,6 +46,7 @@ from linkgraph.algos.lpa_variants import (
 from linkgraph.algos.reciprocity import overall_reciprocity, node_reciprocity
 from linkgraph.algos.hits import hits
 from linkgraph.algos.centrality import eigenvector_centrality, katz_centrality
+from linkgraph.algos.betweenness import betweenness_centrality
 from linkgraph.algos.cores import (
     core_number,
     k_core,
@@ -112,6 +113,12 @@ from linkgraph.algos.dag import (
     GraphContainsCycle,
 )
 from linkgraph.algos.richclub import rich_club_coefficient, generalized_degree
+from linkgraph.algos.products import (
+    tensor_product,
+    cartesian_product,
+    strong_product,
+    lexicographic_product,
+)
 from linkgraph.algos.linkpred import (
     common_neighbors,
     jaccard_coefficient,
@@ -149,6 +156,7 @@ __all__ = [
     "hits",
     "eigenvector_centrality",
     "katz_centrality",
+    "betweenness_centrality",
     "core_number",
     "k_core",
     "k_shell",
@@ -187,6 +195,10 @@ __all__ = [
     "GraphContainsCycle",
     "rich_club_coefficient",
     "generalized_degree",
+    "tensor_product",
+    "cartesian_product",
+    "strong_product",
+    "lexicographic_product",
     "bfs_layers",
     "bfs_tree",
     "bfs_tree_edges",

@@ -1,0 +1,179 @@
+"""Betweenness centrality — distributed Brandes
+(``networkx/algorithms/centrality/betweenness.py:18`` `betweenness_centrality`,
+accumulation ``_single_source_shortest_path_basic:250`` +
+``_accumulate_basic`` + ``_rescale:268``).
+
+The reference runs Brandes' two phases per source sequentially. The
+distributed twin runs ALL sources simultaneously by carrying the source id
+in the state key:
+
+- forward (BFS levels): state ``(s, v, dist, sigma)`` — one frontier ⋈ arcs
+  join + ``groupBy(s, dst).sum(sigma)`` per level. Path counts sum over
+  predecessors exactly like ``sigma[w] += sigma[v]``.
+- backward (dependency accumulation): for levels d = maxd..1, the level-d
+  dependencies flow to level-(d-1) predecessors:
+  ``delta[p] += sigma[p]/sigma[w] * (1 + delta[w])`` — one 3-way join per
+  level, all keyed (s, node).
+- rescale: the reference's ``_rescale`` — normalized 1/((n-1)(n-2))
+  directed, 2/((n-1)(n-2)) undirected; unnormalized undirected halves;
+  k-sample rescales by n/k.
+
+Work is O(k·m) state rows per level — the Brandes bound, sharded over
+(source, node) keys instead of a per-source Python loop. ``k`` (landmark
+sampling, seeded hash — deterministic) is the 100 TB path: exact
+betweenness over all sources is quadratic by definition and stays a
+small-graph / sampled operation, same as the reference's ``k`` parameter.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import SparkGraph
+from linkgraph.iterutils import SuperstepCache
+
+
+def betweenness_centrality(
+    g: SparkGraph,
+    k: Optional[int] = None,
+    normalized: bool = True,
+    *,
+    seed: int = 0,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """Return DataFrame ``(id BIGINT, betweenness DOUBLE)`` for every node
+    (shortest-path betweenness, unweighted; ``endpoints=False`` like the
+    reference default). ``k`` samples that many sources by seeded hash
+    order — deterministic, and rescaled by n/k like ``betweenness.py:75``.
+    """
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    vertices = g.vertices.select("id").persist()
+    n = vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], "id long, betweenness double")
+
+    arcs = (
+        (g.edges if g.directed else g.symmetric_edges())
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+
+    if k is not None and k < n:
+        sources = (
+            vertices.orderBy(F.xxhash64(F.lit(int(seed)), "id"), "id")
+            .limit(int(k))
+            .select("id")
+        )
+        n_sources = int(k)
+    else:
+        sources = vertices
+        n_sources = n
+
+    # ---- forward: multi-source BFS with path counting ----------------- #
+    frontier = cache.truncate(
+        sources.select(
+            F.col("id").alias("s"),
+            F.col("id").alias("v"),
+            F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    levels = [frontier]  # level d rows: (s, v, dist, sigma)
+    seen = frontier.select("s", "v")
+    d = 0
+    while True:
+        d += 1
+        if d > max_rounds:
+            raise RuntimeError("betweenness forward pass exceeded max_rounds")
+        cand = (
+            frontier.join(arcs.withColumnRenamed("src", "v"), "v")
+            .groupBy("s", F.col("dst").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = cache.truncate(
+            cand.join(seen, ["s", "v"], "left_anti").select(
+                "s", "v", F.lit(d).alias("dist"), "sigma"
+            )
+        )
+        if new.limit(1).count() == 0:
+            break
+        levels.append(new)
+        seen = cache.truncate(seen.unionByName(new.select("s", "v")))
+        frontier = new
+
+    # ---- backward: dependency accumulation level by level ------------- #
+    deltas = []  # (s, v, delta) per level, deepest first
+    delta_next = None  # level d+1 dependencies
+    for d in range(len(levels) - 1, 0, -1):
+        lvl = levels[d]  # (s, v=w, sigma_w)
+        if delta_next is not None:
+            lvl = lvl.join(delta_next, ["s", "v"], "left").select(
+                "s", "v", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta")
+            )
+        else:
+            lvl = lvl.select("s", "v", "sigma", F.lit(0.0).alias("delta"))
+        # predecessors: p at level d-1 with arc p -> w
+        pred = (
+            lvl.withColumnRenamed("v", "w")
+            .join(arcs.withColumnRenamed("dst", "w"), "w")
+            .select("s", F.col("src").alias("v"), "sigma", "delta")
+        )
+        prev = levels[d - 1].select(
+            "s", "v", F.col("sigma").alias("sigma_p")
+        )
+        contrib = (
+            pred.join(prev, ["s", "v"])
+            .select(
+                "s",
+                "v",
+                (
+                    F.col("sigma_p") / F.col("sigma") * (F.lit(1.0) + F.col("delta"))
+                ).alias("c"),
+            )
+            .groupBy("s", "v")
+            .agg(F.sum("c").alias("delta"))
+        )
+        delta_next = cache.truncate(contrib)
+        deltas.append(delta_next)
+
+    if not deltas:
+        out = vertices.select("id", F.lit(0.0).alias("betweenness"))
+        arcs.unpersist()
+        cache.close(keep_result=True)
+        return out
+
+    all_delta = deltas[0]
+    for dd in deltas[1:]:
+        all_delta = all_delta.unionByName(dd)
+    # CB[w] += delta[w] for w != s (accumulate_basic)
+    bet = (
+        all_delta.filter(F.col("s") != F.col("v"))
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum("delta").alias("b"))
+    )
+
+    # ---- rescale (betweenness.py:268 _rescale, replicated exactly) ---- #
+    if normalized:
+        scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else None
+    else:
+        scale = None if g.directed else 0.5
+    if scale is not None and n_sources < n:
+        scale *= n / n_sources
+
+    out = vertices.join(bet, "id", "left").select(
+        "id",
+        (F.coalesce("b", F.lit(0.0)) * F.lit(scale if scale is not None else 1.0)).alias(
+            "betweenness"
+        ),
+    )
+    out = out.persist()
+    out.count()
+    arcs.unpersist()
+    vertices.unpersist()
+    cache.close(keep_result=True)
+    return out

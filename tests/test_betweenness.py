@@ -1,0 +1,72 @@
+"""Brandes betweenness parity vs nx (exact with all sources)."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+
+from linkgraph.graph import from_nx
+from linkgraph.algos.betweenness import betweenness_centrality
+
+
+def _ours(spark, G, **kw):
+    g = from_nx(spark, G)
+    return {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(g, **kw).collect()
+    }
+
+
+def _close(got, want, tol=1e-9):
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=tol), v
+
+
+def test_path_graph(spark):
+    G = nx.path_graph(6)
+    _close(_ours(spark, G), nx.betweenness_centrality(G))
+
+
+def test_star_and_unnormalized(spark):
+    G = nx.star_graph(5)
+    _close(_ours(spark, G), nx.betweenness_centrality(G))
+    _close(
+        _ours(spark, G, normalized=False),
+        nx.betweenness_centrality(G, normalized=False),
+    )
+
+
+def test_krackhardt_kite(spark):
+    G = nx.krackhardt_kite_graph()
+    _close(_ours(spark, G), nx.betweenness_centrality(G))
+
+
+def test_directed(spark):
+    G = nx.DiGraph([(0, 1), (1, 2), (2, 3), (0, 3), (3, 4), (1, 4)])
+    _close(_ours(spark, G), nx.betweenness_centrality(G))
+    _close(
+        _ours(spark, G, normalized=False),
+        nx.betweenness_centrality(G, normalized=False),
+    )
+
+
+def test_random_gnp(spark):
+    G = nx.gnp_random_graph(25, 0.15, seed=42)
+    _close(_ours(spark, G), nx.betweenness_centrality(G))
+
+
+def test_disconnected(spark):
+    G = nx.disjoint_union(nx.path_graph(4), nx.cycle_graph(4))
+    _close(_ours(spark, G), nx.betweenness_centrality(G))
+
+
+def test_sampled_deterministic(spark):
+    G = nx.gnp_random_graph(30, 0.2, seed=3)
+    a = _ours(spark, G, k=10, seed=5)
+    b = _ours(spark, G, k=10, seed=5)
+    assert a == b
+    # sampled values approximate the exact ones (loose sanity bound)
+    exact = nx.betweenness_centrality(G)
+    top_exact = max(exact, key=exact.get)
+    assert a[top_exact] > 0
