@@ -400,6 +400,46 @@ def q_hierarchy_betweenness(spark, sf_dir):
     )
 
 
+def q_chain_closeness(spark, sf_dir):
+    # Wasserman-Faust closeness over the 25 disjoint customer chains
+    # (path graphs): all-pairs batched BFS + one aggregation. Oracle is
+    # the path-graph closed form: node at offset i in a chain of sz has
+    # totsp = i(i+1)/2 + (sz-1-i)(sz-i)/2 and n_reach = sz.
+    from linkgraph.algos.distance import closeness_centrality
+
+    g = DS.customer_chain_graph(spark, sf_dir)
+    return closeness_centrality(g).select(
+        F.col("id").cast("long"), F.round("closeness", 8).alias("closeness")
+    )
+
+
+def q_chain_harmonic(spark, sf_dir):
+    # Harmonic centrality over the same chains; closed form
+    # H(i) + H(sz-1-i) with H(k) the k-th harmonic number.
+    from linkgraph.algos.distance import harmonic_centrality
+
+    g = DS.customer_chain_graph(spark, sf_dir)
+    return harmonic_centrality(g).select(
+        F.col("id").cast("long"), F.round("harmonic", 8).alias("harmonic")
+    )
+
+
+def q_ring0_eccentricity(spark, sf_dir):
+    # Eccentricity on the lowest-nation customer ring viewed undirected:
+    # a cycle of sz nodes has ecc = floor(sz/2) everywhere.
+    from linkgraph.algos.distance import eccentricity
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n0 = c.agg(F.min("c_nationkey")).first()[0]
+    ids = c.filter(F.col("c_nationkey") == n0).select(
+        F.col("c_custkey").alias("id")
+    )
+    g = DS.customer_ring_graph(spark, sf_dir).subgraph(ids).undirected_view()
+    return eccentricity(g).select(
+        F.col("id").cast("long"), F.col("eccentricity").cast("long")
+    )
+
+
 def q_media_channel_stats(spark, sf_dir):
     # Multimodal plumbing: synthetic image payloads -> Arrow decode ->
     # numpy per-channel stats. The fake pixels are a documented closed
@@ -539,6 +579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_describe": q_chain_describe,
         "chain_asyn_lpa_sizes": q_chain_asyn_lpa_sizes,
         "hierarchy_betweenness": q_hierarchy_betweenness,
+        "chain_closeness": q_chain_closeness,
+        "chain_harmonic": q_chain_harmonic,
+        "ring0_eccentricity": q_ring0_eccentricity,
         "media_channel_stats": q_media_channel_stats,
         "media_frame_sample": q_media_frame_sample,
         "media_audio_rms": q_media_audio_rms,
@@ -1042,6 +1085,36 @@ def oracle_sql() -> dict[str, str]:
         "FROM customer GROUP BY 1) c ON c.c_nationkey = n_nationkey "
         "UNION ALL SELECT CAST(r_regionkey + 2000000 AS BIGINT), 0.0 FROM region "
         "UNION ALL SELECT CAST(c_custkey AS BIGINT), 0.0 FROM customer"
+    )
+
+    # Path-graph closed forms for the customer chains: offset i in a chain
+    # of sz has totsp = i(i+1)/2 + (sz-1-i)(sz-i)/2 over sz reachable
+    # nodes; harmonic = H(i) + H(sz-1-i).
+    _POS = (
+        "pos AS (SELECT c_custkey AS id, "
+        "ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1 AS i, "
+        "COUNT(*) OVER (PARTITION BY c_nationkey) AS sz FROM customer)"
+    )
+    sqls["chain_closeness"] = (
+        f"WITH {_POS}, tot AS (SELECT COUNT(*) AS total FROM customer) "
+        "SELECT CAST(id AS BIGINT) AS id, "
+        "ROUND(((sz - 1.0) / (i*(i+1)/2.0 + (sz-1-i)*(sz-i)/2.0)) "
+        "* (sz - 1.0) / (total - 1.0), 8) AS closeness FROM pos, tot"
+    )
+    sqls["chain_harmonic"] = (
+        f"WITH {_POS}, mx AS (SELECT MAX(sz) AS m FROM pos), "
+        "h AS (SELECT k, SUM(1.0/j) AS hk FROM mx, "
+        "UNNEST(range(1, m)) AS t(k), UNNEST(range(1, m)) AS u(j) "
+        "WHERE j <= k GROUP BY k UNION ALL SELECT 0, 0.0) "
+        "SELECT CAST(p.id AS BIGINT) AS id, ROUND(hi.hk + hj.hk, 8) AS harmonic "
+        "FROM pos p JOIN h hi ON hi.k = p.i JOIN h hj ON hj.k = p.sz - 1 - p.i"
+    )
+    sqls["ring0_eccentricity"] = (
+        "WITH n0 AS (SELECT MIN(c_nationkey) AS k FROM customer), "
+        "c0 AS (SELECT c_custkey FROM customer, n0 WHERE c_nationkey = k), "
+        "sz AS (SELECT COUNT(*) AS n FROM c0) "
+        "SELECT CAST(c_custkey AS BIGINT) AS id, "
+        "CAST(n // 2 AS BIGINT) AS eccentricity FROM c0, sz"
     )
 
     sqls["media_channel_stats"] = (
