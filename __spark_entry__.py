@@ -247,6 +247,36 @@ def q_hits_top20(spark, sf_dir):
     )
 
 
+def q_copurchase_modularity(spark, sf_dir):
+    # Newman modularity of a deterministic partition (id % 8) — exercises
+    # the same join+agg kernel Louvain scores every candidate move with.
+    from linkgraph.algos.community import modularity
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    parts = g.vertices.select("id", (F.col("id") % 8).alias("community"))
+    q = modularity(g, parts)
+    return spark.createDataFrame([(float(q),)], "modularity double").select(
+        F.round("modularity", 6).alias("modularity")
+    )
+
+
+def q_copurchase_louvain_sizes(spark, sf_dir):
+    # Louvain partition quality/shape. Not SQL-expressible (multi-level
+    # fixpoint with seeded synchronous move gating): rows-only check;
+    # partition validity + modularity quality vs nx.louvain_communities is
+    # pinned in tests/test_community.py.
+    from linkgraph.algos.community import louvain_communities
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    labels = louvain_communities(g, seed=42, max_level=3)
+    return (
+        labels.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_communities"))
+    )
+
+
 def q_chain_sssp_weighted(spark, sf_dir):
     from linkgraph.algos.sssp import weighted_shortest_path_lengths
 
@@ -566,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_assortativity": q_copurchase_assortativity,
         "copurchase_core_number": q_copurchase_core_number,
         "supplier_part_hits_top20": q_hits_top20,
+        "copurchase_modularity": q_copurchase_modularity,
+        "copurchase_louvain_sizes": q_copurchase_louvain_sizes,
         "chain_sssp_weighted": q_chain_sssp_weighted,
         "copurchase_sssp": q_copurchase_sssp,
         "customer_ring_scc": q_customer_ring_scc,
@@ -1016,6 +1048,20 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sqls["doc_minhash_lsh"] = _minhash_sql(8, 2)
+
+    # Newman modularity of the id%8 partition: Q = Σ_c [L_c/m − (D_c/2m)²]
+    # (quality.py:145 semantics; unweighted, no self-loops in this graph).
+    sqls["copurchase_modularity"] = (
+        f"WITH {_EDGES}, "
+        "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM edges), "
+        "intra AS (SELECT src % 8 AS c, CAST(COUNT(*) AS DOUBLE) AS lc "
+        "FROM edges WHERE src % 8 = dst % 8 GROUP BY 1), "
+        "dsum AS (SELECT id % 8 AS c, CAST(SUM(degree) AS DOUBLE) AS dc "
+        "FROM deg GROUP BY 1) "
+        "SELECT ROUND(SUM(COALESCE(i.lc, 0) / (SELECT m FROM m) "
+        "- POWER(d.dc / (2 * (SELECT m FROM m)), 2)), 6) AS modularity "
+        "FROM dsum d LEFT JOIN intra i ON i.c = d.c"
+    )
 
     sqls["copurchase_core_number"] = _core_sql(50)
 

@@ -39,6 +39,7 @@ from linkgraph.algos.triangles import (
     transitivity,
 )
 from linkgraph.algos.lpa import label_propagation_communities
+from linkgraph.algos.community import modularity, louvain_communities
 from linkgraph.algos.lpa_variants import (
     asyn_lpa_communities,
     fast_label_propagation_communities,
@@ -232,4 +233,6 @@ __all__ = [
     "out_degrees",
     "degree_histogram",
     "degree_centrality",
+    "modularity",
+    "louvain_communities",
 ]

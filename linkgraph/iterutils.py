@@ -37,6 +37,55 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _strip_origin_stats(df: DataFrame) -> DataFrame:
+    """Rebuild a checkpointed DataFrame's ``LogicalRDD`` without the origin
+    statistics/constraints Spark captures from the plan that produced it.
+
+    ``Dataset.localCheckpoint`` copies the originating plan's estimated
+    ``Statistics`` into the new ``LogicalRDD`` (``originStats``). Join size
+    estimation multiplies children's ``sizeInBytes``, so in an iterative
+    loop that re-checkpoints a state table derived from the previous
+    checkpoint via k self-references, the captured BigInt's *bit length*
+    grows by ~k× per superstep. Catalyst then does multi-megabit BigInteger
+    arithmetic on every later planning pass — measured as per-round cost
+    doubling (×2.4) in the Louvain level loop while plan text, task counts
+    and row counts stayed constant. Dropping the origin stats resets the
+    leaf to the default ``sizeInBytes`` (conservative: too big to
+    auto-broadcast, which is what the loops want anyway) and keeps every
+    superstep's planning cost flat.
+
+    Best-effort: if the plan isn't a plain ``LogicalRDD`` (or internals
+    move), the input is returned unchanged.
+    """
+    try:
+        spark = df.sparkSession
+        jvm = spark._jvm
+        lr = df._jdf.queryExecution().analyzed()
+        if lr.getClass().getName() != "org.apache.spark.sql.execution.LogicalRDD":
+            return df
+        none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+        logical_rdd = getattr(
+            getattr(jvm.org.apache.spark.sql.execution, "LogicalRDD$"), "MODULE$"
+        )
+        new_plan = logical_rdd.apply(
+            lr.output(),
+            lr.rdd(),
+            lr.outputPartitioning(),
+            lr.outputOrdering(),
+            lr.isStreaming(),
+            lr.stream(),
+            spark._jsparkSession,
+            none,
+            none,
+        )
+        dataset = getattr(
+            getattr(jvm.org.apache.spark.sql.classic, "Dataset$"), "MODULE$"
+        )
+        return DataFrame(dataset.ofRows(spark._jsparkSession, new_plan), spark)
+    except Exception:
+        return df
+
+
 class SuperstepCache:
     """Per-superstep lineage truncation (see module docstring)."""
 
@@ -61,7 +110,7 @@ class SuperstepCache:
         of growing by one snapshot per superstep (the leak documented
         above)."""
         if self.mode == "local":
-            out = df.localCheckpoint(eager=True)
+            out = _strip_origin_stats(df.localCheckpoint(eager=True))
             if retire is not None:
                 self.release(retire)
             return out
