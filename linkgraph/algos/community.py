@@ -43,13 +43,9 @@ from typing import Optional
 from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import SparkGraph
-from linkgraph.iterutils import SuperstepCache
+from linkgraph.iterutils import SuperstepCache, loop_partitions
 
 __all__ = ["modularity", "louvain_communities"]
-
-# one shuffle partition per this many arc rows inside the level loop
-_ROWS_PER_PARTITION = 250_000
-
 
 @contextmanager
 def _loop_conf(spark, extra=None):
@@ -268,7 +264,7 @@ def _one_level(
 
     n_arcs = arcs.count()
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parts = max(1, min(default_parts, n_arcs // _ROWS_PER_PARTITION + 1))
+    parts = loop_partitions(n_arcs, default_parts)
 
     with _loop_conf(spark, {"spark.sql.shuffle.partitions": str(parts)}):
         arcs = arcs.repartition(parts, "dst").persist()

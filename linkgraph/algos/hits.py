@@ -26,7 +26,7 @@ from typing import Optional, Tuple
 from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import SparkGraph
-from linkgraph.iterutils import SuperstepCache
+from linkgraph.iterutils import SuperstepCache, loop_partitions
 from linkgraph.algos.pagerank import PowerIterationFailedConvergence
 
 
@@ -50,8 +50,15 @@ def hits(
     if n == 0:
         return spark.createDataFrame([], "id long, hub double, authority double")
 
-    num_parts = g.num_partitions or int(
+    # Volume-sized loop layout (cap = graph/session setting); forced onto
+    # shuffle.partitions inside the loop so the score joins match the pinned
+    # edge layout instead of re-shuffling it every iteration (see pagerank).
+    cap_parts = g.num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    m_raw = g.edges.count()
+    num_parts = loop_partitions(
+        m_raw if g.directed else 2 * m_raw, cap_parts, rows_per_partition=40_000
     )
     edges = g.symmetric_edges().select("src", "dst", "weight")
     edges = edges.repartition(num_parts, "src").persist()
@@ -62,9 +69,13 @@ def hits(
         "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
             "spark.sql.autoBroadcastJoinThreshold"
         ),
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
     }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_parts))
     cache = SuperstepCache(spark)
     if fixed_iter is not None:
         if fixed_iter < 1:

@@ -37,6 +37,29 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+# Target shuffle-partition payload for iterative loops. Small relative to
+# executor memory on purpose: the loops re-shuffle the same state dozens of
+# times, so per-task fixed costs (scheduling, block-manager traffic, codegen
+# dispatch) dominate long before memory pressure does. On a real cluster the
+# session's shuffle.partitions (sized to the cluster) stays the CAP — the
+# volume heuristic only shrinks below it for small inputs. The right payload
+# depends on per-row work: LPA/Louvain/CC rounds (one cheap agg per row) are
+# fastest near 250k rows/partition, while PageRank/HITS rounds (edge join +
+# hash agg + dangling branch per row) starve parallelism there — measured
+# local[32] optimum ~40k rows/partition on a 634k-edge crawl (11.4s vs 17.9s
+# at 250k and 16.6s at thread-count partitions for 10 iterations).
+ROWS_PER_PARTITION = 250_000
+
+
+def loop_partitions(
+    n_rows: int, cap: int, rows_per_partition: int = ROWS_PER_PARTITION
+) -> int:
+    """Shuffle-partition count for an iterative loop over ``n_rows`` state
+    rows: one partition per ``rows_per_partition`` rows, at least 1, never
+    above ``cap`` (the session/graph setting, which encodes cluster size)."""
+    return max(1, min(int(cap), int(n_rows) // int(rows_per_partition) + 1))
+
+
 def _strip_origin_stats(df: DataFrame) -> DataFrame:
     """Rebuild a checkpointed DataFrame's ``LogicalRDD`` without the origin
     statistics/constraints Spark captures from the plan that produced it.
