@@ -149,6 +149,109 @@ class SparkGraph:
         )
         return SparkGraph(rev, self._vertices, directed=True, coalesce_edges=False)
 
+    def to_directed(self) -> "SparkGraph":
+        """Directed version: each undirected edge becomes two opposite arcs
+        (``Graph.to_directed``, ``networkx/classes/graph.py:1678`` — "two
+        directed edges pointing in opposite directions"). Self-loops become
+        one arc. Directed input returns a copy (DataFrames are immutable, so
+        the copy is free)."""
+        if self.directed:
+            return self.copy()
+        return SparkGraph(
+            self.symmetric_edges(),
+            self._vertices,
+            directed=True,
+            coalesce_edges=False,
+        )
+
+    def to_undirected(self) -> "SparkGraph":
+        """``Graph.to_undirected`` (``networkx/classes/graph.py:1737``):
+        reciprocal arc pairs collapse to one edge; like the reference's
+        dict overwrite (not the scipy sum), the canonicalized duplicate
+        rows keep ONE weight (max of the pair, deterministic) rather than
+        summing."""
+        if not self.directed:
+            return self.copy()
+        canon = self.edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        ).groupBy("src", "dst").agg(F.max("weight").alias("weight"))
+        return SparkGraph(
+            canon, self._vertices, directed=False, coalesce_edges=False
+        )
+
+    def copy(self) -> "SparkGraph":
+        """Independent graph over the same data (``Graph.copy``,
+        ``networkx/classes/graph.py:1590``). DataFrames are immutable, so
+        this shares them — semantically a deep copy at zero cost."""
+        g = SparkGraph(
+            self.edges,
+            self._vertices,
+            directed=self.directed,
+            coalesce_edges=False,
+            num_partitions=self.num_partitions,
+        )
+        return g
+
+    def update(
+        self,
+        edges: Optional[DataFrame] = None,
+        nodes: Optional[DataFrame] = None,
+    ) -> "SparkGraph":
+        """New graph with ``edges``/``nodes`` added (``Graph.update``,
+        ``networkx/classes/graph.py:1118``; ours returns instead of
+        mutating). Duplicate (src, dst) keep the NEW weight, matching the
+        reference's attr-dict overwrite."""
+        e = self.edges
+        if edges is not None:
+            new_e = edges
+            if "weight" not in new_e.columns:
+                new_e = new_e.withColumn("weight", F.lit(1.0))
+            new_e = new_e.select(
+                F.col("src").cast("long").alias("src"),
+                F.col("dst").cast("long").alias("dst"),
+                F.col("weight").cast("double").alias("weight"),
+            )
+            if not self.directed:
+                new_e = new_e.select(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                    "weight",
+                )
+            new_e = new_e.groupBy("src", "dst").agg(
+                F.max("weight").alias("weight")
+            )
+            e = (
+                e.join(new_e.select("src", "dst"), ["src", "dst"], "left_anti")
+                .unionByName(new_e)
+            )
+        v = self._vertices
+        if nodes is not None or (edges is not None and v is not None):
+            # explicit vertex set: old vertices ∪ new nodes ∪ new edge
+            # endpoints (add_edges_from creates missing nodes, graph.py:986)
+            v = self.vertices.select("id")
+            if nodes is not None:
+                v = v.unionByName(
+                    nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+                )
+            if edges is not None:
+                v = v.unionByName(e.select(F.col("src").alias("id"))).unionByName(
+                    e.select(F.col("dst").alias("id"))
+                )
+            v = v.distinct()
+        return SparkGraph(e, v, directed=self.directed, coalesce_edges=False)
+
+    def clear(self) -> "SparkGraph":
+        """Empty graph of the same directedness (``Graph.clear``,
+        ``networkx/classes/graph.py:1258``; returns new, does not mutate)."""
+        return SparkGraph(
+            self.spark.createDataFrame([], EDGE_SCHEMA),
+            self.spark.createDataFrame([], VERTEX_SCHEMA),
+            directed=self.directed,
+            coalesce_edges=False,
+        )
+
     # ------------------------------------------------------------------ #
     # scalar stats
     # ------------------------------------------------------------------ #

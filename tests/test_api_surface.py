@@ -264,3 +264,53 @@ def test_near_duplicates_pipeline(spark):
     assert out[4] == 4 and out[5] == 5
     # doc 3 shares most shingles with 1/2 at threshold 0.5
     assert out[3] == 1
+
+
+# -------------------- to_directed / to_undirected / copy / update / clear -- #
+
+
+def _edge_set(g):
+    return {(r["src"], r["dst"]) for r in g.edges.collect()}
+
+
+def test_to_directed_parity(spark):
+    G = nx.Graph([(0, 1), (1, 2), (2, 2)])
+    g = from_nx(spark, G).to_directed()
+    assert g.directed
+    want = {(u, v) for u, v in G.to_directed().edges()}
+    assert _edge_set(g) == want
+
+
+def test_to_undirected_parity(spark):
+    G = nx.DiGraph([(0, 1), (1, 0), (1, 2), (3, 3)])
+    g = from_nx(spark, G).to_undirected()
+    assert not g.directed
+    want = {tuple(sorted(e)) for e in G.to_undirected().edges()}
+    assert _edge_set(g) == want
+
+
+def test_copy_and_clear(spark):
+    G = nx.path_graph(4)
+    g = from_nx(spark, G)
+    c = g.copy()
+    assert _edge_set(c) == _edge_set(g) and c.directed == g.directed
+    z = g.clear()
+    assert z.number_of_nodes() == 0 and z.number_of_edges() == 0
+    # original untouched (immutability)
+    assert g.number_of_edges() == 3
+
+
+def test_update_parity(spark):
+    G = nx.Graph([(0, 1), (1, 2)])
+    H = nx.Graph(G)
+    H.update(edges=[(2, 3), (0, 1)], nodes=[9])
+    g = from_nx(spark, G)
+    new_e = spark.createDataFrame([(2, 3), (0, 1)], "src long, dst long")
+    new_n = spark.createDataFrame([(9,)], "id long")
+    g2 = g.update(edges=new_e, nodes=new_n)
+    assert _edge_set(g2) == {tuple(sorted(e)) for e in H.edges()}
+    assert {r["id"] for r in g2.vertices.collect()} == set(H.nodes())
+    # update with only nodes keeps edges intact
+    g3 = g.update(nodes=new_n)
+    assert _edge_set(g3) == _edge_set(g)
+    assert 9 in {r["id"] for r in g3.vertices.collect()}
