@@ -576,6 +576,18 @@ def q_emb_ann_top10(spark, sf_dir):
     )
 
 
+def q_emb_ivf_top10(spark, sf_dir):
+    # IVF path: deterministic k-means coarse quantizer (seeded init, 2 Lloyd
+    # rounds as DataFrame ops) -> per-query probe of the 4 nearest inverted
+    # lists -> exact re-rank. Rows-only check (the quantizer is not SQL-
+    # portable); recall vs brute force pinned in tests/test_embeddings.py.
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return EMB.ivf_topk(emb, queries_df, k=10, n_centroids=32, n_probe=4).select(
+        F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"), "cosine"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "copurchase_degrees": q_copurchase_degrees,
@@ -628,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "emb_cosine_top10": q_emb_cosine_top10,
         "emb_ann_top10": q_emb_ann_top10,
+        "emb_ivf_top10": q_emb_ivf_top10,
     }
 
 

@@ -178,3 +178,188 @@ def ann_topk(
         .filter(F.col("_rk") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def _nearest_centroid(vec_col, cents_col):
+    """Expression: id of the nearest centroid (max cosine, ties → lower id)
+    from an array<struct<cid,cv,cn>> column, computed as a JVM-side fold."""
+    sim = lambda c: _dot(vec_col, c["cv"]) / F.when(
+        c["cn"] > 0, c["cn"]
+    ).otherwise(F.lit(1.0))
+    best = F.aggregate(
+        cents_col,
+        F.struct(
+            F.lit(-2.0).cast("double").alias("s"),
+            F.lit(-1).cast("long").alias("cid"),
+        ),
+        lambda acc, c: F.when(
+            (sim(c) > acc["s"]) | ((sim(c) == acc["s"]) & (c["cid"] < acc["cid"])),
+            F.struct(sim(c).alias("s"), c["cid"].alias("cid")),
+        ).otherwise(acc),
+    )
+    return best["cid"]
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 64,
+    lloyd_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF coarse quantizer: ``(cid BIGINT, centroid ARRAY<DOUBLE>)``.
+
+    k-means with deterministic init (the ``n_centroids`` corpus vectors with
+    the smallest ``xxhash64(id, seed)`` — a seeded uniform sample with no RNG
+    state) and ``lloyd_iters`` Lloyd rounds, entirely as DataFrame ops:
+    assignment is a fold over the broadcast centroid array (O(n·C·d) FLOPs,
+    map-only); the update is ``posexplode`` → per-(cid, dim) mean → rebuild,
+    i.e. one shuffle keyed on (cid, dim) per round — no driver-side vectors,
+    so C and d scale past what a driver could hold.
+    """
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    init = (
+        v.withColumn("_h", F.xxhash64("id", F.lit(seed)))
+        .orderBy("_h", "id")
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(Window.orderBy("_h", "id")) - 1)
+            .cast("long")
+            .alias("cid"),
+            F.col("v").alias("centroid"),
+        )
+    )
+    cents = init
+    for _ in range(max(0, lloyd_iters)):
+        packed = cents.select(
+            F.collect_list(
+                F.struct(
+                    F.col("cid"),
+                    F.col("centroid").alias("cv"),
+                    F.sqrt(_dot(F.col("centroid"), F.col("centroid"))).alias("cn"),
+                )
+            ).alias("cents")
+        )
+        assigned = v.crossJoin(F.broadcast(packed)).select(
+            "id", "v", _nearest_centroid(F.col("v"), F.col("cents")).alias("cid")
+        )
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("x"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "x"))
+                ).alias("px")
+            )
+            .select(
+                "cid", F.transform("px", lambda p: p["x"]).alias("centroid")
+            )
+        )
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    centroids: DataFrame = None,
+) -> DataFrame:
+    """IVF-style approximate top-k (the third ANN path, next to
+    :func:`cosine_topk` brute force and :func:`ann_topk` LSH).
+
+    Corpus vectors are assigned to their nearest coarse centroid once (the
+    inverted lists — an equi-join key, exactly how a 100 TB corpus would be
+    bucketed on disk); each query probes its ``n_probe`` nearest centroids
+    and exact-reranks only those lists. Candidate volume ≈
+    n·(n_probe/n_centroids) per query instead of n. Deterministic for a
+    fixed seed; same output schema as :func:`cosine_topk`; recall < 1 by
+    design. Pass a pre-trained ``centroids`` table to amortize training
+    across query batches.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            emb, n_centroids, lloyd_iters, vec_col, id_col, seed
+        )
+    packed = centroids.select(
+        F.collect_list(
+            F.struct(
+                F.col("cid"),
+                F.col("centroid").alias("cv"),
+                F.sqrt(_dot(F.col("centroid"), F.col("centroid"))).alias("cn"),
+            )
+        ).alias("cents")
+    )
+    v = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
+    )
+    lists = v.crossJoin(F.broadcast(packed)).select(
+        "neighbor_id",
+        "_cv",
+        _nearest_centroid(F.col("_cv"), F.col("cents")).alias("cid"),
+    )
+    # query → its n_probe nearest centroids (explode the scored array)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    qprobe = (
+        q.crossJoin(F.broadcast(packed))
+        .select(
+            "query_id",
+            "_qv",
+            F.explode(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        c["cid"].alias("cid"),
+                        (
+                            _dot(F.col("_qv"), c["cv"])
+                            / F.when(c["cn"] > 0, c["cn"]).otherwise(F.lit(1.0))
+                        ).alias("s"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("query_id", "_qv", F.col("e.cid").alias("cid"), F.col("e.s").alias("s"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("cid"))
+    qprobe = (
+        qprobe.withColumn("_rk", F.row_number().over(w_probe))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "_qv", "cid")
+    )
+    qn = qprobe.withColumn("_qn", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))))
+    sims = (
+        qn.join(lists, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.sqrt(_dot(F.col("_cv"), F.col("_cv")))),
+                4,
+            ).alias("cosine"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )

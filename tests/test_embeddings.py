@@ -71,3 +71,46 @@ def test_ann_is_subset_quality(emb):
     queries = emb.filter(F.col("vec_id") < 2)
     for r in EMB.ann_topk(emb, queries, k=5, dim=16).collect():
         assert r["cosine"] == round(_cos(data[r["query_id"]], data[r["neighbor_id"]]), 4)
+
+
+# ------------------------------- IVF path ------------------------------- #
+
+
+def test_ivf_finds_planted_near_dups(emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = EMB.ivf_topk(emb, queries, k=3, n_centroids=4, n_probe=2)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid in (0, 1, 2):
+        # the planted near-copy shares the query's centroid by construction
+        assert by_q[qid][0] == 100 + qid
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in EMB.cosine_topk(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in EMB.ivf_topk(
+            emb, queries, k=3, n_centroids=4, n_probe=3
+        ).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.6, recall
+    # scores must be exact cosines for whatever candidates it returns
+    data = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in EMB.ivf_topk(emb, queries, k=3, n_centroids=4, n_probe=3).collect():
+        assert r["cosine"] == pytest.approx(
+            round(_cos(data[r["query_id"]], data[r["neighbor_id"]]), 4), abs=1e-9
+        )
+
+
+def test_ivf_deterministic(emb):
+    queries = emb.filter(F.col("vec_id") < 4)
+    a = sorted(map(tuple, EMB.ivf_topk(emb, queries, k=3, n_centroids=4).collect()))
+    b = sorted(map(tuple, EMB.ivf_topk(emb, queries, k=3, n_centroids=4).collect()))
+    assert a == b
