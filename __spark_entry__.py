@@ -316,6 +316,28 @@ def q_customer_ring_scc(spark, sf_dir):
     )
 
 
+def q_ring_mst(spark, sf_dir):
+    # Boruvka spanning forest over the per-nation customer rings with
+    # deterministic distinct weights (u + v*1e-6 on the canonical u<v edge).
+    # Closed-form oracle: a ring's MST is the ring minus its max-weight edge
+    # (minus nothing when the ring degenerates to a single edge).
+    from linkgraph.algos.mst import minimum_spanning_edges
+    from linkgraph.graph import SparkGraph
+
+    e = DS.customer_ring_edges(spark, sf_dir).select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    )
+    e = e.filter(F.col("src") != F.col("dst")).distinct().select(
+        "src", "dst", (F.col("src") + F.col("dst") / F.lit(1e6)).alias("weight")
+    )
+    g = SparkGraph(e, directed=False, coalesce_edges=False)
+    return minimum_spanning_edges(g).select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
 def q_doc_near_dup_survivors(spark, sf_dir):
     # Composed dedup pipeline: LSH candidates -> exact-Jaccard verify on
     # candidates only -> connected components -> canonical survivor.
@@ -613,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_sssp_weighted": q_chain_sssp_weighted,
         "copurchase_sssp": q_copurchase_sssp,
         "customer_ring_scc": q_customer_ring_scc,
+        "ring_mst": q_ring_mst,
         "doc_near_dup_survivors": q_doc_near_dup_survivors,
         "hierarchy_topo_generations": q_hierarchy_topo_generations,
         "chain_transitive_closure": q_chain_transitive_closure,
@@ -1092,6 +1115,32 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(c_custkey AS BIGINT) AS id, "
         "CAST(MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS BIGINT) AS component "
         "FROM customer"
+    )
+
+    # ring MST closed form: canonical distinct ring edges minus the
+    # max-weight edge per nation, except degenerate 2-customer rings whose
+    # single edge IS the spanning tree.
+    sqls["ring_mst"] = (
+        "WITH ring AS ("
+        "  SELECT c_nationkey AS nat, c_custkey AS a,"
+        "         LEAD(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS b"
+        "  FROM customer"
+        "), arcs AS ("
+        "  SELECT nat, a, b FROM ring WHERE b IS NOT NULL"
+        "  UNION ALL"
+        "  SELECT c_nationkey, MAX(c_custkey), MIN(c_custkey) FROM customer"
+        "  GROUP BY c_nationkey HAVING COUNT(*) > 1"
+        "), canon AS ("
+        "  SELECT DISTINCT nat, LEAST(a, b) AS src, GREATEST(a, b) AS dst"
+        "  FROM arcs WHERE a <> b"
+        "), wtd AS ("
+        "  SELECT nat, src, dst, src + dst / 1e6 AS weight,"
+        "         COUNT(*) OVER (PARTITION BY nat) AS k,"
+        "         RANK() OVER (PARTITION BY nat ORDER BY src + dst / 1e6 DESC) AS rk"
+        "  FROM canon"
+        ") SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,"
+        "         ROUND(weight, 6) AS weight"
+        "  FROM wtd WHERE k = 1 OR rk > 1"
     )
 
     sqls["doc_near_dup_survivors"] = _neardup_sql(16, 8, 2)

@@ -40,6 +40,11 @@ from linkgraph.algos.triangles import (
 )
 from linkgraph.algos.lpa import label_propagation_communities
 from linkgraph.algos.community import modularity, louvain_communities
+from linkgraph.algos.mst import (
+    minimum_spanning_edges,
+    minimum_spanning_tree,
+    maximum_spanning_tree,
+)
 from linkgraph.algos.lpa_variants import (
     asyn_lpa_communities,
     fast_label_propagation_communities,
@@ -235,4 +240,7 @@ __all__ = [
     "degree_centrality",
     "modularity",
     "louvain_communities",
+    "minimum_spanning_edges",
+    "minimum_spanning_tree",
+    "maximum_spanning_tree",
 ]
