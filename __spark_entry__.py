@@ -316,6 +316,25 @@ def q_customer_ring_scc(spark, sf_dir):
     )
 
 
+def q_part_projection_top100(spark, sf_dir):
+    # Bipartite projection of the supplier->part graph onto parts: weight =
+    # number of shared suppliers; top-100 pairs (weight desc, src, dst).
+    from linkgraph.algos.bipartite import weighted_projected_graph
+
+    g = DS.supplier_part_graph(spark, sf_dir)
+    parts = g.edges.select(F.col("dst").alias("id")).distinct()
+    proj = weighted_projected_graph(g, parts)
+    return (
+        proj.edges.orderBy(F.desc("weight"), "src", "dst")
+        .limit(100)
+        .select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.col("weight").cast("double"),
+        )
+    )
+
+
 def q_ring_mst(spark, sf_dir):
     # Boruvka spanning forest over the per-nation customer rings with
     # deterministic distinct weights (u + v*1e-6 on the canonical u<v edge).
@@ -636,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_sssp": q_copurchase_sssp,
         "customer_ring_scc": q_customer_ring_scc,
         "ring_mst": q_ring_mst,
+        "part_projection_top100": q_part_projection_top100,
         "doc_near_dup_survivors": q_doc_near_dup_survivors,
         "hierarchy_topo_generations": q_hierarchy_topo_generations,
         "chain_transitive_closure": q_chain_transitive_closure,
@@ -1141,6 +1161,16 @@ def oracle_sql() -> dict[str, str]:
         ") SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,"
         "         ROUND(weight, 6) AS weight"
         "  FROM wtd WHERE k = 1 OR rk > 1"
+    )
+
+    # projection oracle: distinct supplier->part arcs self-joined on the
+    # supplier; weight = shared-supplier count; top-100 (weight desc, src, dst)
+    sqls["part_projection_top100"] = (
+        "WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem) "
+        "SELECT CAST(a.p AS BIGINT) AS src, CAST(b.p AS BIGINT) AS dst, "
+        "CAST(COUNT(*) AS DOUBLE) AS weight "
+        "FROM sp a JOIN sp b ON a.s = b.s AND a.p < b.p "
+        "GROUP BY a.p, b.p ORDER BY weight DESC, src, dst LIMIT 100"
     )
 
     sqls["doc_near_dup_survivors"] = _neardup_sql(16, 8, 2)

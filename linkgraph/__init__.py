@@ -45,6 +45,11 @@ from linkgraph.algos.mst import (
     minimum_spanning_tree,
     maximum_spanning_tree,
 )
+from linkgraph.algos.bipartite import (
+    projected_graph,
+    weighted_projected_graph,
+    overlap_weighted_projected_graph,
+)
 from linkgraph.algos.lpa_variants import (
     asyn_lpa_communities,
     fast_label_propagation_communities,
@@ -243,4 +248,7 @@ __all__ = [
     "minimum_spanning_edges",
     "minimum_spanning_tree",
     "maximum_spanning_tree",
+    "projected_graph",
+    "weighted_projected_graph",
+    "overlap_weighted_projected_graph",
 ]
