@@ -335,6 +335,22 @@ def q_part_projection_top100(spark, sf_dir):
     )
 
 
+def q_supplier_part_birank_top50(spark, sf_dir):
+    # BiRank over the supplier->part bipartite graph (top = parts),
+    # fixed 15 iterations; oracle unrolls the same normalized dual power
+    # iteration in SQL (alpha=beta=1 -> final per-side L1 normalization).
+    from linkgraph.algos.bipartite import birank
+
+    g = DS.supplier_part_graph(spark, sf_dir)
+    parts = g.edges.select(F.col("dst").alias("id")).distinct()
+    scores = birank(g, parts, fixed_iter=15)
+    return (
+        scores.orderBy(F.desc("score"), "id")
+        .limit(50)
+        .select(F.col("id").cast("long"), F.round("score", 6).alias("score"))
+    )
+
+
 def q_ring_mst(spark, sf_dir):
     # Boruvka spanning forest over the per-nation customer rings with
     # deterministic distinct weights (u + v*1e-6 on the canonical u<v edge).
@@ -654,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_sssp_weighted": q_chain_sssp_weighted,
         "copurchase_sssp": q_copurchase_sssp,
         "customer_ring_scc": q_customer_ring_scc,
+        "supplier_part_birank_top50": q_supplier_part_birank_top50,
         "ring_mst": q_ring_mst,
         "part_projection_top100": q_part_projection_top100,
         "doc_near_dup_survivors": q_doc_near_dup_survivors,
@@ -856,6 +873,53 @@ SELECT CAST(id AS BIGINT) AS id,
 FROM a{iters}
 ORDER BY a / (SELECT SUM(a) FROM a{iters}) DESC, id
 LIMIT 20"""
+    return head + "".join(its) + tail
+
+
+def _birank_sql(iters: int = 15) -> str:
+    """BiRank oracle (He et al. 2017; link_analysis.py:9 semantics with
+    alpha=beta=1): S = D_u^{-1/2} W D_p^{-1/2} on the supplier->part
+    biadjacency, p = S^T u / u = S p unrolled from p0 = 1/|parts|,
+    both sides L1-normalized at the end (the alpha=beta=1 edge case)."""
+    head = """WITH sp AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_suppkey + 1000000 AS BIGINT) AS u,
+         CAST(l_partkey AS BIGINT) AS p FROM lineitem
+),
+du AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS DOUBLE) AS d FROM sp GROUP BY u),
+dp AS MATERIALIZED (SELECT p, CAST(COUNT(*) AS DOUBLE) AS d FROM sp GROUP BY p),
+s AS MATERIALIZED (
+  SELECT sp.u, sp.p, 1.0 / SQRT(du.d) / SQRT(dp.d) AS s
+  FROM sp JOIN du ON du.u = sp.u JOIN dp ON dp.p = sp.p
+),
+p0 AS MATERIALIZED (SELECT p AS id, 1.0 / (SELECT COUNT(*) FROM dp) AS v FROM dp),
+u0 AS MATERIALIZED (
+  SELECT du.u AS id, COALESCE(x.v, 0) AS v FROM du LEFT JOIN (
+    SELECT s.u AS id, SUM(s.s * p0.v) AS v FROM s JOIN p0 ON p0.id = s.p GROUP BY s.u
+  ) x ON x.id = du.u
+)"""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(
+            f""",
+p{k} AS MATERIALIZED (
+  SELECT dp.p AS id, COALESCE(x.v, 0) AS v FROM dp LEFT JOIN (
+    SELECT s.p AS id, SUM(s.s * u.v) AS v FROM s JOIN u{k - 1} u ON u.id = s.u GROUP BY s.p
+  ) x ON x.id = dp.p
+),
+u{k} AS MATERIALIZED (
+  SELECT du.u AS id, COALESCE(x.v, 0) AS v FROM du LEFT JOIN (
+    SELECT s.u AS id, SUM(s.s * p.v) AS v FROM s JOIN p{k} p ON p.id = s.p GROUP BY s.u
+  ) x ON x.id = du.u
+)"""
+        )
+    tail = f""",
+final AS (
+  SELECT id, v / (SELECT SUM(v) FROM p{iters}) AS score FROM p{iters}
+  UNION ALL
+  SELECT id, v / (SELECT SUM(v) FROM u{iters}) AS score FROM u{iters}
+)
+SELECT CAST(id AS BIGINT) AS id, ROUND(score, 6) AS score
+FROM final ORDER BY score DESC, id LIMIT 50"""
     return head + "".join(its) + tail
 
 
@@ -1172,6 +1236,8 @@ def oracle_sql() -> dict[str, str]:
         "FROM sp a JOIN sp b ON a.s = b.s AND a.p < b.p "
         "GROUP BY a.p, b.p ORDER BY weight DESC, src, dst LIMIT 100"
     )
+
+    sqls["supplier_part_birank_top50"] = _birank_sql(15)
 
     sqls["doc_near_dup_survivors"] = _neardup_sql(16, 8, 2)
 

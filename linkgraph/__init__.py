@@ -49,6 +49,7 @@ from linkgraph.algos.bipartite import (
     projected_graph,
     weighted_projected_graph,
     overlap_weighted_projected_graph,
+    birank,
 )
 from linkgraph.algos.lpa_variants import (
     asyn_lpa_communities,
@@ -251,4 +252,5 @@ __all__ = [
     "projected_graph",
     "weighted_projected_graph",
     "overlap_weighted_projected_graph",
+    "birank",
 ]

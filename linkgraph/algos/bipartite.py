@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import SparkGraph
 
-__all__ = ["projected_graph", "weighted_projected_graph", "overlap_weighted_projected_graph"]
+__all__ = [
+    "projected_graph",
+    "weighted_projected_graph",
+    "overlap_weighted_projected_graph",
+    "birank",
+]
 
 
 def _side_arcs(g: SparkGraph, nodes: DataFrame, max_opposite_degree: Optional[int]):
@@ -135,3 +140,211 @@ def overlap_weighted_projected_graph(
         directed=False,
         coalesce_edges=False,
     )
+
+
+def birank(
+    g: SparkGraph,
+    top_nodes: DataFrame,
+    *,
+    alpha: Optional[float] = None,
+    beta: Optional[float] = None,
+    top_personalization: Optional[DataFrame] = None,
+    bottom_personalization: Optional[DataFrame] = None,
+    max_iter: int = 100,
+    tol: float = 1.0e-6,
+    fixed_iter: Optional[int] = None,
+) -> DataFrame:
+    """BiRank scores (He et al., TKDE 2017) — ``(id BIGINT, score DOUBLE)``
+    over both bipartite sides.
+
+    Matches ``networkx/algorithms/bipartite/link_analysis.py:9`` exactly:
+    symmetric-sqrt-normalized biadjacency ``S = D_u^{-1/2} W D_p^{-1/2}``
+    (disconnected degrees treated as 1), iteration
+    ``p = α·Sᵀu + (1−α)·p0`` / ``u = β·Sp + (1−β)·u0`` from
+    ``p = 1/|top|``, relative-L1 convergence per side (err < n_side·tol),
+    L1 normalization of both sides when α = β = 1, and
+    ``PowerIterationFailedConvergence`` past ``max_iter``. α/β default to
+    0.8 when the matching personalization is given, else 1; personalization
+    values must be non-negative and are NOT normalized (unlike pagerank).
+
+    Same plan shape as :func:`linkgraph.algos.hits.hits`: the normalized
+    arc table is computed once and pinned; each iteration is two join+agg
+    passes over it plus one state checkpoint.
+
+    ``fixed_iter=k`` runs exactly k iterations with no convergence test
+    (the deterministic oracle/benchmark workload).
+    """
+    from linkgraph.iterutils import SuperstepCache, loop_partitions
+    from linkgraph.exceptions import PowerIterationFailedConvergence
+
+    spark = g.spark
+    top = top_nodes.select(
+        F.col(top_nodes.columns[0]).cast("long").alias("id")
+    ).distinct()
+    bottom = g.vertices.select("id").join(top, "id", "left_anti")
+    n_top = top.count()
+    n_bottom = bottom.count()
+    if n_top == 0 or n_bottom == 0:
+        raise ValueError(
+            "birank requires a bipartite graph with at least one node per set"
+        )
+    if alpha is None:
+        alpha = 0.8 if top_personalization is not None else 1.0
+    if beta is None:
+        beta = 0.8 if bottom_personalization is not None else 1.0
+    if not (0 <= alpha <= 1 and 0 <= beta <= 1):
+        raise ValueError("alpha and beta must be in [0, 1]")
+
+    def _pers(df, side, name):
+        if df is None:
+            return side.select("id", F.lit(0.0).alias(name))
+        p = df.select(
+            F.col(df.columns[0]).cast("long").alias("id"),
+            F.col(df.columns[1]).cast("double").alias(name),
+        )
+        if p.filter(F.col(name) < 0).limit(1).count():
+            raise ValueError("personalization values must be non-negative")
+        return side.join(p, "id", "left").select(
+            "id", F.coalesce(name, F.lit(0.0)).alias(name)
+        )
+
+    # cross-side arcs (i in bottom, j in top) with symmetric-sqrt weights
+    sym = g.symmetric_edges()
+    bt = (
+        sym.join(bottom.select(F.col("id").alias("src")), "src")
+        .join(top.select(F.col("id").alias("dst")), "dst")
+        .select(F.col("src").alias("i"), F.col("dst").alias("j"), "weight")
+    )
+    di = bt.groupBy("i").agg(F.sum("weight").alias("di"))
+    dj = bt.groupBy("j").agg(F.sum("weight").alias("dj"))
+    arcs = (
+        bt.join(di, "i")
+        .join(dj, "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("weight")
+                / F.sqrt(F.when(F.col("di") != 0, F.col("di")).otherwise(1.0))
+                / F.sqrt(F.when(F.col("dj") != 0, F.col("dj")).otherwise(1.0))
+            ).alias("s"),
+        )
+    )
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    m = bt.count()
+    parts = loop_partitions(m, cap, rows_per_partition=40_000)
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    cache = SuperstepCache(spark)
+    try:
+        arcs = arcs.repartition(parts, "i").persist()
+        arcs.count()
+        p0 = _pers(top_personalization, top, "p0")
+        u0 = _pers(bottom_personalization, bottom, "u0")
+        base_t = cache.truncate(p0)  # (id, p0)
+        base_b = cache.truncate(u0)  # (id, u0)
+
+        def s_p(p):  # u-side contribution: (S p)_i = Σ_j s_ij p_j
+            return (
+                arcs.join(p.withColumnRenamed("id", "j"), "j")
+                .groupBy(F.col("i").alias("id"))
+                .agg(F.sum(F.col("s") * F.col("val")).alias("c"))
+            )
+
+        def s_t_u(u):  # p-side contribution: (Sᵀ u)_j = Σ_i s_ij u_i
+            return (
+                arcs.join(u.withColumnRenamed("id", "i"), "i")
+                .groupBy(F.col("j").alias("id"))
+                .agg(F.sum(F.col("s") * F.col("val")).alias("c"))
+            )
+
+        p = top.select("id", F.lit(1.0 / n_top).alias("val"))
+        u = base_b.join(s_p(p), "id", "left").select(
+            "id",
+            (
+                F.lit(beta) * F.coalesce("c", F.lit(0.0))
+                + F.lit(1.0 - beta) * F.col("u0")
+            ).alias("val"),
+        )
+        state_p = cache.truncate(p)
+        state_u = cache.truncate(u)
+        n_iter = fixed_iter if fixed_iter is not None else max_iter
+        converged = fixed_iter is not None
+        for _ in range(n_iter):
+            new_p = base_t.join(s_t_u(state_u), "id", "left").select(
+                "id",
+                (
+                    F.lit(alpha) * F.coalesce("c", F.lit(0.0))
+                    + F.lit(1.0 - alpha) * F.col("p0")
+                ).alias("val"),
+            )
+            new_p = cache.truncate(new_p)
+            new_u = base_b.join(s_p(new_p), "id", "left").select(
+                "id",
+                (
+                    F.lit(beta) * F.coalesce("c", F.lit(0.0))
+                    + F.lit(1.0 - beta) * F.col("u0")
+                ).alias("val"),
+            )
+            new_u = cache.truncate(new_u)
+            if fixed_iter is None:
+                # relative-L1 errors, both sides in one pass each
+                def _err(old, new):
+                    return (
+                        old.select("id", F.col("val").alias("o"))
+                        .join(new, "id")
+                        .agg(
+                            F.sum(
+                                F.abs(
+                                    (F.col("o") - F.col("val"))
+                                    / F.greatest(F.lit(1.0), F.col("o"))
+                                )
+                            )
+                        )
+                        .first()[0]
+                        or 0.0
+                    )
+
+                err_u = _err(state_u, new_u)
+                done = err_u < n_bottom * tol and _err(state_p, new_p) < n_top * tol
+            else:
+                done = False
+            cache.release(state_p)
+            cache.release(state_u)
+            state_p, state_u = new_p, new_u
+            if done:
+                converged = True
+                break
+        if not converged:
+            raise PowerIterationFailedConvergence(max_iter)
+        out = state_p.unionByName(state_u)
+        if alpha == 1 and beta == 1:
+            sums = state_p.agg(F.sum("val").alias("sp")).crossJoin(
+                state_u.agg(F.sum("val").alias("su"))
+            )
+            out = (
+                state_p.crossJoin(F.broadcast(sums)).select(
+                    "id", (F.col("val") / F.col("sp")).alias("val")
+                )
+            ).unionByName(
+                state_u.crossJoin(F.broadcast(sums)).select(
+                    "id", (F.col("val") / F.col("su")).alias("val")
+                )
+            )
+        res = out.select("id", F.col("val").alias("score"))
+        res = res.localCheckpoint(eager=True)
+        arcs.unpersist()
+        cache.close(keep_result=True)
+        return res
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
