@@ -71,6 +71,19 @@ def _prep(g: SparkGraph):
     return spark, vertices, n, edges
 
 
+def _l2_scale(x: DataFrame) -> DataFrame:
+    """Divide x by its L2 norm (the reference's 1/hypot rescale,
+    ``katz.py:183-192``) — an in-plan one-row broadcast, no collect."""
+    norm = x.select(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("_n"))
+    return x.crossJoin(F.broadcast(norm)).select(
+        "id",
+        (
+            F.col("x")
+            / F.when(F.col("_n") == 0, F.lit(1.0)).otherwise(F.col("_n"))
+        ).alias("x"),
+    )
+
+
 def _push(edges: DataFrame, x: DataFrame, weighted: bool) -> DataFrame:
     """y[dst] = sum over arcs src->dst of x[src] * w — the shared shuffle."""
     w = F.col("weight") if weighted else F.lit(1.0)
@@ -87,9 +100,21 @@ def eigenvector_centrality(
     tol: float = 1.0e-6,
     nstart: Optional[dict] = None,
     weight: bool = False,
+    *,
+    fixed_iter: Optional[int] = None,
 ) -> DataFrame:
-    """Return DataFrame ``(id BIGINT, centrality DOUBLE)``."""
+    """Return DataFrame ``(id BIGINT, centrality DOUBLE)``.
+
+    ``fixed_iter=k`` runs exactly k iterations with no convergence test —
+    the deterministic workload the SQL-unrolled DuckDB oracle replicates
+    step-for-step (same role as ``pagerank(fixed_iter=...)``); it also
+    skips the per-iteration L1-delta job, halving driver round-trips.
+    """
     spark, vertices, n, edges = _prep(g)
+    if fixed_iter is not None:
+        if fixed_iter < 1:
+            raise ValueError("fixed_iter must be >= 1")
+        max_iter = fixed_iter
     if n == 0:
         raise ValueError("cannot compute centrality for the null graph")
     if nstart is None:
@@ -125,15 +150,19 @@ def eigenvector_centrality(
                 )
             )
             x_new = cache.truncate(x_new)
-            err = (
-                x_new.join(xlast.select("id", F.col("x").alias("xp")), "id")
-                .agg(F.sum(F.abs(F.col("x") - F.col("xp"))).alias("e"))
-                .first()["e"]
-            ) or 0.0
+            if fixed_iter is None:
+                err = (
+                    x_new.join(xlast.select("id", F.col("x").alias("xp")), "id")
+                    .agg(F.sum(F.abs(F.col("x") - F.col("xp"))).alias("e"))
+                    .first()["e"]
+                ) or 0.0
             x = x_new
-            if err < n * tol:
+            if fixed_iter is None and err < n * tol:
                 cache.close(keep_result=True)
                 return x.select("id", F.col("x").alias("centrality"))
+    if fixed_iter is not None:
+        cache.close(keep_result=True)
+        return x.select("id", F.col("x").alias("centrality"))
     cache.close()
     raise PowerIterationFailedConvergence(max_iter)
 
@@ -146,11 +175,21 @@ def katz_centrality(
     tol: float = 1.0e-6,
     normalized: bool = True,
     weight: bool = False,
+    *,
+    fixed_iter: Optional[int] = None,
 ) -> DataFrame:
-    """Return DataFrame ``(id BIGINT, centrality DOUBLE)``."""
+    """Return DataFrame ``(id BIGINT, centrality DOUBLE)``.
+
+    ``fixed_iter=k``: exactly k iterations, no convergence test — matches
+    the SQL-unrolled oracle and skips the per-iteration delta job.
+    """
     spark, vertices, n, edges = _prep(g)
     if n == 0:
         return spark.createDataFrame([], "id long, centrality double")
+    if fixed_iter is not None:
+        if fixed_iter < 1:
+            raise ValueError("fixed_iter must be >= 1")
+        max_iter = fixed_iter
     if isinstance(beta, dict):
         b = spark.createDataFrame(
             [(int(k), float(v)) for k, v in beta.items()], "id long, b double"
@@ -180,27 +219,22 @@ def katz_centrality(
                 )
             )
             x_new = cache.truncate(x_new)
-            err = (
-                x_new.join(xlast.select("id", F.col("x").alias("xp")), "id")
-                .agg(F.sum(F.abs(F.col("x") - F.col("xp"))).alias("e"))
-                .first()["e"]
-            ) or 0.0
+            if fixed_iter is None:
+                err = (
+                    x_new.join(xlast.select("id", F.col("x").alias("xp")), "id")
+                    .agg(F.sum(F.abs(F.col("x") - F.col("xp"))).alias("e"))
+                    .first()["e"]
+                ) or 0.0
             x = x_new
-            if err < n * tol:
+            if fixed_iter is None and err < n * tol:
                 if normalized:
-                    norm = x.select(
-                        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("_n")
-                    )
-                    x = x.crossJoin(F.broadcast(norm)).select(
-                        "id",
-                        (
-                            F.col("x")
-                            / F.when(F.col("_n") == 0, F.lit(1.0)).otherwise(
-                                F.col("_n")
-                            )
-                        ).alias("x"),
-                    )
+                    x = _l2_scale(x)
                 cache.close(keep_result=True)
                 return x.select("id", F.col("x").alias("centrality"))
+    if fixed_iter is not None:
+        if normalized:
+            x = _l2_scale(x)
+        cache.close(keep_result=True)
+        return x.select("id", F.col("x").alias("centrality"))
     cache.close()
     raise PowerIterationFailedConvergence(max_iter)
