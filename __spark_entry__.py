@@ -790,6 +790,24 @@ def q_event_node_reciprocity(spark, sf_dir):
     )
 
 
+def q_supplier_qty_degree(spark, sf_dir):
+    # edge-ATTRIBUTE aggregation: supplier->part edges carry qty (sum of
+    # l_quantity), out-degree weighted by that attr column — the
+    # G.degree(weight="qty") surface over open-schema edge attrs.
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.degrees import out_degrees
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = li.groupBy(
+        (F.col("l_suppkey") + 1000000).cast("long").alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    ).agg(F.sum("l_quantity").cast("double").alias("qty"))
+    g = SparkGraph(e, directed=True, coalesce_edges=False)
+    return out_degrees(g, weight="qty").select(
+        F.col("id").cast("long"), F.round("degree", 6).alias("qty_degree")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver checks the first ~50 entries, so new or
     # not-yet-driver-verified operators come FIRST; entries already green in
@@ -809,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_avg_clustering": q_copurchase_avg_clustering,
         "gen_tensor_p6_c8_edges": q_tensor_p6_c8_edges,
         "event_node_reciprocity": q_event_node_reciprocity,
+        "supplier_qty_degree": q_supplier_qty_degree,
         # -- implemented earlier but missing from CORRECTNESS_r02 -------- #
         "emb_ivf_top10": q_emb_ivf_top10,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1300,6 +1319,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT p.u, p.v, "
         "CAST(COALESCE(du.degree, 0) * COALESCE(dv.degree, 0) AS BIGINT) AS pa "
         "FROM p LEFT JOIN deg du ON du.id = p.u LEFT JOIN deg dv ON dv.id = p.v"
+    )
+
+    sqls["supplier_qty_degree"] = (
+        "WITH sp AS (SELECT CAST(l_suppkey + 1000000 AS BIGINT) AS src, "
+        "CAST(l_partkey AS BIGINT) AS dst, "
+        "CAST(SUM(l_quantity) AS DOUBLE) AS qty FROM lineitem GROUP BY 1, 2), "
+        "spnodes AS (SELECT src AS id FROM sp UNION SELECT dst AS id FROM sp) "
+        "SELECT n.id, ROUND(COALESCE(o.q, 0.0), 6) AS qty_degree FROM spnodes n "
+        "LEFT JOIN (SELECT src AS id, SUM(qty) AS q FROM sp GROUP BY 1) o "
+        "ON o.id = n.id"
     )
 
     sqls["copurchase_kcore80_nodes"] = _core_sql(50, where="core >= 80")

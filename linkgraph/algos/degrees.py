@@ -10,41 +10,60 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from typing import Optional
+
 from linkgraph.graph import SparkGraph
 
 
-def out_degrees(g: SparkGraph, weighted: bool = False) -> DataFrame:
+def _weight_col(weighted: bool, weight: Optional[str]) -> Optional[str]:
+    """Resolve the (weighted, weight=) pair to a column name or None.
+    ``weight="qty"`` sums an arbitrary edge attribute column — the
+    reference's ``G.degree(weight="qty")`` over per-edge attr dicts
+    (``networkx/classes/reportviews.py:383-445``)."""
+    if weight is not None:
+        return weight
+    return "weight" if weighted else None
+
+
+def out_degrees(
+    g: SparkGraph, weighted: bool = False, *, weight: Optional[str] = None
+) -> DataFrame:
     """(id, degree): out-degree for directed graphs
     (``reportviews.py:569`` OutDegreeView). For undirected graphs this equals
     :func:`degrees`."""
+    w = _weight_col(weighted, weight)
     e = g.symmetric_edges()
-    agg = F.sum("weight") if weighted else F.count(F.lit(1))
+    agg = F.sum(w) if w else F.count(F.lit(1))
     d = e.groupBy(F.col("src").alias("id")).agg(agg.alias("degree"))
-    return _with_zeros(g, d, weighted)
+    return _with_zeros(g, d, w is not None)
 
 
-def in_degrees(g: SparkGraph, weighted: bool = False) -> DataFrame:
+def in_degrees(
+    g: SparkGraph, weighted: bool = False, *, weight: Optional[str] = None
+) -> DataFrame:
     """(id, degree): in-degree (``reportviews.py:546`` InDegreeView)."""
+    w = _weight_col(weighted, weight)
     e = g.symmetric_edges()
-    agg = F.sum("weight") if weighted else F.count(F.lit(1))
+    agg = F.sum(w) if w else F.count(F.lit(1))
     d = e.groupBy(F.col("dst").alias("id")).agg(agg.alias("degree"))
-    return _with_zeros(g, d, weighted)
+    return _with_zeros(g, d, w is not None)
 
 
-def degrees(g: SparkGraph, weighted: bool = False) -> DataFrame:
+def degrees(
+    g: SparkGraph, weighted: bool = False, *, weight: Optional[str] = None
+) -> DataFrame:
     """(id, degree): total degree (``reportviews.py:478`` DegreeView).
     Undirected self-loops count twice, matching ``G.degree``; directed degree
-    is in+out."""
-    if g.directed:
-        e = g.edges
-    else:
-        e = g.edges  # canonical rows: explode both endpoints counts loops twice
-    ends = e.select(F.col("src").alias("id"), "weight").unionAll(
-        e.select(F.col("dst").alias("id"), "weight")
+    is in+out. ``weight=<attr column>`` sums that column instead of 1."""
+    w = _weight_col(weighted, weight)
+    e = g.edges  # canonical rows: explode both endpoints counts loops twice
+    cols = [w] if w else []
+    ends = e.select(F.col("src").alias("id"), *cols).unionAll(
+        e.select(F.col("dst").alias("id"), *cols)
     )
-    agg = F.sum("weight") if weighted else F.count(F.lit(1))
+    agg = F.sum(w) if w else F.count(F.lit(1))
     d = ends.groupBy("id").agg(agg.alias("degree"))
-    return _with_zeros(g, d, weighted)
+    return _with_zeros(g, d, w is not None)
 
 
 def _with_zeros(g: SparkGraph, d: DataFrame, weighted: bool) -> DataFrame:

@@ -77,10 +77,15 @@ class SparkGraph:
         e = edges
         if "weight" not in e.columns:
             e = e.withColumn("weight", F.lit(1.0))
+        # Open-schema edge attributes (the reference's per-edge attr dict,
+        # ``networkx/classes/graph.py:917-985``, as typed columns per
+        # SURVEY §1.6): every column beyond (src, dst, weight) rides along.
+        extras = [c for c in e.columns if c not in ("src", "dst", "weight")]
         e = e.select(
             F.col("src").cast("long").alias("src"),
             F.col("dst").cast("long").alias("dst"),
             F.col("weight").cast("double").alias("weight"),
+            *extras,
         )
         if not directed:
             # Canonical single-row storage: src <= dst (reference stores the
@@ -89,9 +94,16 @@ class SparkGraph:
                 F.least("src", "dst").alias("src"),
                 F.greatest("src", "dst").alias("dst"),
                 "weight",
+                *extras,
             )
         if coalesce_edges:
-            e = e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+            # parallel edges: weights sum (convert_matrix.py:649-656);
+            # other attrs keep the max — deterministic under distribution,
+            # unlike the reference's insertion-order dict overwrite.
+            e = e.groupBy("src", "dst").agg(
+                F.sum("weight").alias("weight"),
+                *[F.max(c).alias(c) for c in extras],
+            )
         if num_partitions:
             e = e.repartition(num_partitions, "src")
         self.edges = e
@@ -116,8 +128,75 @@ class SparkGraph:
             )
         return self._vertices
 
+    @property
+    def edge_attr_names(self) -> "list[str]":
+        """Names of edge attribute columns beyond (src, dst, weight)."""
+        return [c for c in self.edges.columns if c not in ("src", "dst", "weight")]
+
+    @property
+    def node_attr_names(self) -> "list[str]":
+        """Names of vertex attribute columns beyond id."""
+        return [c for c in self.vertices.columns if c != "id"]
+
+    def edge_data(self, attr: str, default=None) -> DataFrame:
+        """(src, dst, <attr>) with missing values filled by ``default`` —
+        the ``G.edges.data(attr, default=)`` projection
+        (``networkx/classes/reportviews.py:118``)."""
+        col = (
+            F.coalesce(F.col(attr), F.lit(default))
+            if default is not None
+            else F.col(attr)
+        )
+        return self.edges.select("src", "dst", col.alias(attr))
+
+    def node_data(self, attr: str, default=None) -> DataFrame:
+        """(id, <attr>) with missing values filled by ``default`` —
+        ``G.nodes.data(attr, default=)``."""
+        col = (
+            F.coalesce(F.col(attr), F.lit(default))
+            if default is not None
+            else F.col(attr)
+        )
+        return self.vertices.select("id", col.alias(attr))
+
+    def with_node_attrs(self, attrs: DataFrame) -> "SparkGraph":
+        """New graph whose vertices carry the columns of ``attrs`` (joined
+        on its first column as the node id; left join keeps every vertex) —
+        ``nx.set_node_attributes`` (``networkx/classes/function.py:648``)."""
+        a = attrs.withColumnRenamed(attrs.columns[0], "id").withColumn(
+            "id", F.col("id").cast("long")
+        )
+        v = self.vertices.join(a, "id", "left")
+        return SparkGraph(
+            self.edges, v, directed=self.directed, coalesce_edges=False,
+            num_partitions=self.num_partitions,
+        )
+
+    def with_edge_attrs(self, attrs: DataFrame) -> "SparkGraph":
+        """New graph whose edges carry the columns of ``attrs`` (joined on
+        its first two columns as (src, dst), canonicalized to this graph's
+        orientation) — ``nx.set_edge_attributes``
+        (``networkx/classes/function.py:763``)."""
+        u, v = attrs.columns[0], attrs.columns[1]
+        a = attrs.select(
+            F.col(u).cast("long").alias("src"),
+            F.col(v).cast("long").alias("dst"),
+            *[c for c in attrs.columns[2:]],
+        )
+        if not self.directed:
+            a = a.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                *[c for c in a.columns[2:]],
+            )
+        e = self.edges.join(a, ["src", "dst"], "left")
+        return SparkGraph(
+            e, self._vertices, directed=self.directed, coalesce_edges=False,
+            num_partitions=self.num_partitions,
+        )
+
     def symmetric_edges(self) -> DataFrame:
-        """Both-direction arc view (src, dst, weight).
+        """Both-direction arc view (src, dst, weight, *attrs).
 
         For an undirected graph this is the union of the canonical rows and
         their swaps (self-loops not duplicated) — the same symmetrization
@@ -127,9 +206,11 @@ class SparkGraph:
         if self.directed:
             return self.edges
         e = self.edges
+        extras = self.edge_attr_names
         return e.unionAll(
             e.filter(F.col("src") != F.col("dst")).select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight",
+                *extras,
             )
         )
 
@@ -145,7 +226,8 @@ class SparkGraph:
         if not self.directed:
             return self
         rev = self.edges.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight",
+            *self.edge_attr_names,
         )
         return SparkGraph(rev, self._vertices, directed=True, coalesce_edges=False)
 
@@ -176,7 +258,11 @@ class SparkGraph:
             F.least("src", "dst").alias("src"),
             F.greatest("src", "dst").alias("dst"),
             "weight",
-        ).groupBy("src", "dst").agg(F.max("weight").alias("weight"))
+            *self.edge_attr_names,
+        ).groupBy("src", "dst").agg(
+            F.max("weight").alias("weight"),
+            *[F.max(c).alias(c) for c in self.edge_attr_names],
+        )
         return SparkGraph(
             canon, self._vertices, directed=False, coalesce_edges=False
         )
@@ -224,7 +310,7 @@ class SparkGraph:
             )
             e = (
                 e.join(new_e.select("src", "dst"), ["src", "dst"], "left_anti")
-                .unionByName(new_e)
+                .unionByName(new_e, allowMissingColumns=True)
             )
         v = self._vertices
         if nodes is not None or (edges is not None and v is not None):
@@ -289,7 +375,6 @@ class SparkGraph:
         e = (
             self.edges.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .select("src", "dst", "weight")
         )
         v = self.vertices.join(ids, "id", "left_semi")
         return SparkGraph(e, v, directed=self.directed, coalesce_edges=False)
@@ -329,15 +414,16 @@ class SparkGraph:
             e_new = e_new.select(
                 F.col(e_new.columns[0]).alias("src"), F.col(e_new.columns[1]).alias("dst")
             ).withColumn("weight", F.lit(1.0))
+        new_extras = [c for c in e_new.columns if c not in ("src", "dst", "weight")]
         e_new = e_new.select(
             F.col("src").cast("long"), F.col("dst").cast("long"),
-            F.col("weight").cast("double"),
+            F.col("weight").cast("double"), *new_extras,
         )
         if not self.directed:
             e_new = e_new.select(
                 F.least("src", "dst").alias("src"),
                 F.greatest("src", "dst").alias("dst"),
-                "weight",
+                "weight", *new_extras,
             )
         kept = self.edges.join(
             e_new.select("src", "dst"), ["src", "dst"], "left_anti"
@@ -351,7 +437,8 @@ class SparkGraph:
             )
             v = self._vertices.select("id").unionByName(new_ids).distinct()
         return SparkGraph(
-            kept.unionByName(e_new), v, directed=self.directed, coalesce_edges=False
+            kept.unionByName(e_new, allowMissingColumns=True),
+            v, directed=self.directed, coalesce_edges=False,
         )
 
     def remove_edges(self, pairs: DataFrame) -> "SparkGraph":
@@ -534,7 +621,10 @@ def relabel_nodes(
             full.select(F.col("id").alias("dst"), F.col("new_id").alias("nd")),
             "dst",
         )
-        .select(F.col("ns").alias("src"), F.col("nd").alias("dst"), "weight")
+        .select(
+            F.col("ns").alias("src"), F.col("nd").alias("dst"), "weight",
+            *[c for c in g.edges.columns if c not in ("src", "dst", "weight")],
+        )
     )
     v = full.select(F.col("new_id").alias("id"))
     if merge:

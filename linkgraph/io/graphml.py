@@ -1,6 +1,8 @@
 """GraphML IO — ``networkx/readwrite/graphml.py`` (``read_graphml:238``,
 ``write_graphml:63``) semantics for the engine's data model (BIGINT node
-ids, one DOUBLE ``weight`` edge attribute).
+ids, DOUBLE ``weight``, plus open-schema typed node/edge attribute columns
+per SURVEY §1.6 — the reference's per-element attr dicts,
+``networkx/classes/graph.py:535-583,917-985``).
 
 GraphML is a single XML document, which pins the format's parallelism:
 
@@ -18,45 +20,130 @@ GraphML is a single XML document, which pins the format's parallelism:
 from __future__ import annotations
 
 import os
+import shutil
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from linkgraph.graph import SparkGraph
 
-_HEADER = (
-    '<?xml version="1.0" encoding="utf-8"?>\n'
-    '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n'
-    '  <key id="d0" for="edge" attr.name="weight" attr.type="double"/>\n'
-)
-_FOOTER = "  </graph>\n</graphml>"
+# Spark dtype → GraphML attr.type (graphml.py:404 ``xml_type`` table)
+_XML_TYPE = {
+    "bigint": "long",
+    "int": "long",
+    "smallint": "long",
+    "tinyint": "long",
+    "double": "double",
+    "float": "double",
+    "boolean": "boolean",
+    "string": "string",
+}
+
+_SPARK_TYPE = {
+    "long": LongType(),
+    "int": LongType(),
+    "double": DoubleType(),
+    "float": DoubleType(),
+    "boolean": BooleanType(),
+    "string": StringType(),
+}
+
+
+def _xml_escape(col: Column) -> Column:
+    """&, <, > escaped for XML text content (string attrs only)."""
+    c = F.regexp_replace(col, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    return F.regexp_replace(c, ">", "&gt;")
+
+
+def _data_fragments(df: DataFrame, attrs: "list[tuple[str, str, str]]") -> Column:
+    """Concatenated ``<data key="...">value</data>`` fragments; null attr
+    values emit nothing (the reference simply omits absent dict keys)."""
+    parts = []
+    for key_id, name, xml_type in attrs:
+        val = F.col(name).cast("string")
+        if xml_type == "string":
+            val = _xml_escape(val)
+        if xml_type == "boolean":
+            val = F.lower(val)
+        parts.append(
+            F.when(
+                F.col(name).isNotNull(),
+                F.concat(F.lit(f'<data key="{key_id}">'), val, F.lit("</data>")),
+            ).otherwise(F.lit(""))
+        )
+    return F.concat(*parts) if parts else F.lit("")
+
+
+def _attr_keys(df: DataFrame, skip: "set[str]", prefix: str, domain: str):
+    """(key_id, column, xml_type) for each attr column with a declaration
+    line for the header."""
+    out, decls = [], []
+    i = 0
+    for name, dtype in df.dtypes:
+        if name in skip:
+            continue
+        xml_type = _XML_TYPE.get(dtype, "string")
+        key_id = f"{prefix}{i}"
+        out.append((key_id, name, xml_type))
+        decls.append(
+            f'  <key id="{key_id}" for="{domain}" attr.name="{name}" '
+            f'attr.type="{xml_type}"/>'
+        )
+        i += 1
+    return out, decls
 
 
 def write_graphml(g: SparkGraph, path: str) -> None:
     """Write the graph as a single ``.graphml`` document at ``path``
-    (``graphml.py:63``). Node/edge fragments are built distributed; the
-    byte stream is assembled by one ordered writer task."""
+    (``graphml.py:63``). All vertex attr columns and the weight plus edge
+    attr columns are declared as typed <key>s and emitted per element.
+    Node/edge fragments are built distributed; the byte stream is
+    assembled by one ordered writer task."""
     spark = g.spark
     directed = "directed" if g.directed else "undirected"
+
+    edge_attrs, edge_decls = _attr_keys(g.edges, {"src", "dst"}, "d", "edge")
+    node_attrs, node_decls = _attr_keys(g.vertices, {"id"}, "n", "node")
+
+    header = (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n'
+        + "\n".join(node_decls + edge_decls)
+        + ("\n" if (node_decls or edge_decls) else "")
+        + f'  <graph edgedefault="{directed}">'
+    )
     head = spark.createDataFrame(
-        [(0, 0, _HEADER + f'  <graph edgedefault="{directed}">')],
-        "sect long, k long, line string",
+        [(0, 0, header)], "sect long, k long, line string"
     )
     nodes = g.vertices.select(
         F.lit(1).alias("sect"),
         F.col("id").alias("k"),
-        F.format_string('    <node id="%d"/>', "id").alias("line"),
+        F.concat(
+            F.format_string('    <node id="%d">', "id"),
+            _data_fragments(g.vertices, node_attrs),
+            F.lit("</node>"),
+        ).alias("line"),
     )
     edges = g.edges.select(
         F.lit(2).alias("sect"),
         F.col("src").alias("k"),
-        F.format_string(
-            '    <edge source="%d" target="%d"><data key="d0">%s</data></edge>',
-            "src",
-            "dst",
-            F.col("weight").cast("string"),
+        F.concat(
+            F.format_string('    <edge source="%d" target="%d">', "src", "dst"),
+            _data_fragments(g.edges, edge_attrs),
+            F.lit("</edge>"),
         ).alias("line"),
     )
-    tail = spark.createDataFrame([(3, 0, _FOOTER)], "sect long, k long, line string")
+    tail = spark.createDataFrame(
+        [(3, 0, "  </graph>\n</graphml>")], "sect long, k long, line string"
+    )
     out = head.unionByName(nodes).unionByName(edges).unionByName(tail)
     tmp = path + ".__parts__"
     (
@@ -68,17 +155,28 @@ def write_graphml(g: SparkGraph, path: str) -> None:
     )
     part = [f for f in os.listdir(tmp) if f.startswith("part-")][0]
     os.replace(os.path.join(tmp, part), path)
-    import shutil
-
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _coerce(text: str, xml_type: str):
+    if text is None:
+        return None
+    if xml_type in ("long", "int"):
+        return int(text)
+    if xml_type in ("double", "float"):
+        return float(text)
+    if xml_type == "boolean":
+        return text.strip().lower() == "true"
+    return text
 
 
 def read_graphml(
     spark: SparkSession, path: str, *, max_bytes: int = 256 * 1024 * 1024
 ) -> SparkGraph:
     """Parse a ``.graphml`` file (``graphml.py:238``): integer node ids,
-    optional double ``weight`` edge data; edge direction from the graph's
-    ``edgedefault``."""
+    typed node/edge attribute <key>s (long/double/boolean/string; the
+    ``weight`` edge attr defaults to 1.0 when undeclared); edge direction
+    from the graph's ``edgedefault``."""
     import xml.etree.ElementTree as ET
 
     size = os.path.getsize(path)
@@ -91,19 +189,71 @@ def read_graphml(
     root = ET.parse(path).getroot()
     graph = root.find(f"{ns}graph")
     directed = (graph.get("edgedefault") == "directed")
+
+    # key id → (domain, attr name, xml type)
+    keys = {}
+    for k in root.findall(f"{ns}key"):
+        keys[k.get("id")] = (
+            k.get("for", "all"),
+            k.get("attr.name"),
+            k.get("attr.type", "string"),
+        )
+    node_attrs = [
+        (kid, n, t) for kid, (d, n, t) in keys.items() if d in ("node", "all")
+    ]
+    edge_attrs = [
+        (kid, n, t)
+        for kid, (d, n, t) in keys.items()
+        if d in ("edge", "all") and n != "weight"
+    ]
     weight_keys = {
-        k.get("id")
-        for k in root.findall(f"{ns}key")
-        if k.get("attr.name") == "weight"
+        kid for kid, (d, n, _) in keys.items() if n == "weight" and d != "node"
     }
-    nodes = [(int(n.get("id")),) for n in graph.findall(f"{ns}node")]
+
+    def element_data(el):
+        return {d.get("key"): d.text for d in el.findall(f"{ns}data")}
+
+    nodes = []
+    for n in graph.findall(f"{ns}node"):
+        data = element_data(n)
+        nodes.append(
+            tuple(
+                [int(n.get("id"))]
+                + [_coerce(data.get(kid), t) for kid, _, t in node_attrs]
+            )
+        )
     edges = []
     for e in graph.findall(f"{ns}edge"):
+        data = element_data(e)
         w = 1.0
-        for d in e.findall(f"{ns}data"):
-            if d.get("key") in weight_keys:
-                w = float(d.text)
-        edges.append((int(e.get("source")), int(e.get("target")), w))
-    e_df = spark.createDataFrame(edges or [], "src long, dst long, weight double")
-    v_df = spark.createDataFrame(nodes or [], "id long")
+        for kid in weight_keys:
+            if data.get(kid) is not None:
+                w = float(data[kid])
+        edges.append(
+            tuple(
+                [int(e.get("source")), int(e.get("target")), w]
+                + [_coerce(data.get(kid), t) for kid, _, t in edge_attrs]
+            )
+        )
+
+    e_schema = StructType(
+        [
+            StructField("src", LongType(), False),
+            StructField("dst", LongType(), False),
+            StructField("weight", DoubleType(), True),
+        ]
+        + [
+            StructField(name, _SPARK_TYPE.get(t, StringType()), True)
+            for _, name, t in edge_attrs
+        ]
+    )
+    v_schema = StructType(
+        [StructField("id", LongType(), False)]
+        + [
+            StructField(name, _SPARK_TYPE.get(t, StringType()), True)
+            for _, name, t in node_attrs
+        ]
+    )
+    e_df = spark.createDataFrame(edges or [], e_schema)
+    v_df = spark.createDataFrame(nodes or [], v_schema)
     return SparkGraph(e_df, vertices=v_df, directed=directed, coalesce_edges=False)

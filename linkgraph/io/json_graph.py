@@ -23,10 +23,22 @@ from linkgraph.graph import SparkGraph, EDGE_SCHEMA, VERTEX_SCHEMA
 
 
 def node_link_data(g: SparkGraph) -> dict:
-    """``node_link.py:26`` — driver-side dict; small graphs only."""
-    nodes = [{"id": r["id"]} for r in g.vertices.select("id").sort("id").collect()]
+    """``node_link.py:26`` — driver-side dict; small graphs only. Node and
+    edge attribute columns ride along as extra keys (null attrs omitted,
+    like the reference's absent dict entries)."""
+    nattrs = g.node_attr_names
+    eattrs = g.edge_attr_names
+    nodes = [
+        {"id": r["id"], **{a: r[a] for a in nattrs if r[a] is not None}}
+        for r in g.vertices.sort("id").collect()
+    ]
     links = [
-        {"source": r["src"], "target": r["dst"], "weight": r["weight"]}
+        {
+            "source": r["src"],
+            "target": r["dst"],
+            "weight": r["weight"],
+            **{a: r[a] for a in eattrs if r[a] is not None},
+        }
         for r in g.edges.sort("src", "dst").collect()
     ]
     return {
@@ -39,18 +51,45 @@ def node_link_data(g: SparkGraph) -> dict:
 
 
 def node_link_graph(spark: SparkSession, data: dict) -> SparkGraph:
-    """``node_link.py:142`` — build a SparkGraph from node-link data."""
-    edge_rows = [
-        (int(l["source"]), int(l["target"]), float(l.get("weight", 1.0)))
-        for l in data.get("links", [])
-    ]
-    vert_rows = [(int(n["id"]),) for n in data.get("nodes", [])]
-    edf = spark.createDataFrame(edge_rows, schema=EDGE_SCHEMA) if edge_rows else (
-        spark.createDataFrame([], schema=EDGE_SCHEMA)
-    )
-    vdf = spark.createDataFrame(vert_rows, schema=VERTEX_SCHEMA) if vert_rows else (
-        spark.createDataFrame([], schema=VERTEX_SCHEMA)
-    )
+    """``node_link.py:142`` — build a SparkGraph from node-link data.
+    Extra node/link keys become attribute columns (types inferred by
+    Spark's Row inference)."""
+    from pyspark.sql import Row
+
+    links = data.get("links", [])
+    nodes = data.get("nodes", [])
+    eattrs = sorted({k for l in links for k in l} - {"source", "target", "weight"})
+    nattrs = sorted({k for n in nodes for k in n} - {"id"})
+
+    if eattrs and links:
+        edf = spark.createDataFrame(
+            [
+                Row(
+                    src=int(l["source"]),
+                    dst=int(l["target"]),
+                    weight=float(l.get("weight", 1.0)),
+                    **{a: l.get(a) for a in eattrs},
+                )
+                for l in links
+            ]
+        )
+    else:
+        edge_rows = [
+            (int(l["source"]), int(l["target"]), float(l.get("weight", 1.0)))
+            for l in links
+        ]
+        edf = spark.createDataFrame(edge_rows, schema=EDGE_SCHEMA) if edge_rows else (
+            spark.createDataFrame([], schema=EDGE_SCHEMA)
+        )
+    if nattrs and nodes:
+        vdf = spark.createDataFrame(
+            [Row(id=int(n["id"]), **{a: n.get(a) for a in nattrs}) for n in nodes]
+        )
+    else:
+        vert_rows = [(int(n["id"]),) for n in nodes]
+        vdf = spark.createDataFrame(vert_rows, schema=VERTEX_SCHEMA) if vert_rows else (
+            spark.createDataFrame([], schema=VERTEX_SCHEMA)
+        )
     return SparkGraph(
         edf, vdf, directed=bool(data.get("directed", False)), coalesce_edges=False
     )
