@@ -107,7 +107,13 @@ def betweenness_centrality(
         frontier = new
 
     # ---- backward: dependency accumulation level by level ------------- #
-    deltas = []  # (s, v, delta) per level, deepest first
+    # Pinned-state discipline: a BFS level's delta is FINAL once computed
+    # (in the shortest-path DAG, level d-1 only receives from level d), so
+    # each level's per-node contribution folds into a running O(n)
+    # accumulator immediately and both the consumed level and the consumed
+    # delta table are released — peak pinned state is two levels + one
+    # delta + the accumulator, not the whole forward table times levels.
+    bet_acc = None  # (id, b) running CB[w] += delta[w], w != s
     delta_next = None  # level d+1 dependencies
     for d in range(len(levels) - 1, 0, -1):
         lvl = levels[d]  # (s, v=w, sigma_w)
@@ -138,24 +144,34 @@ def betweenness_centrality(
             .groupBy("s", "v")
             .agg(F.sum("c").alias("delta"))
         )
-        delta_next = cache.truncate(contrib)
-        deltas.append(delta_next)
+        new_delta = cache.truncate(contrib)
+        if delta_next is not None:
+            cache.release(delta_next)
+        cache.release(levels[d])  # consumed; never read again
+        levels[d] = None
+        delta_next = new_delta
+        # fold this level's final deltas into the accumulator
+        lvl_bet = (
+            new_delta.filter(F.col("s") != F.col("v"))
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("delta").alias("b"))
+        )
+        if bet_acc is None:
+            bet_acc = cache.truncate(lvl_bet)
+        else:
+            folded = cache.truncate(
+                bet_acc.unionByName(lvl_bet).groupBy("id").agg(F.sum("b").alias("b"))
+            )
+            cache.release(bet_acc)
+            bet_acc = folded
 
-    if not deltas:
+    if bet_acc is None:
         out = vertices.select("id", F.lit(0.0).alias("betweenness"))
         arcs.unpersist()
         cache.close(keep_result=True)
         return out
 
-    all_delta = deltas[0]
-    for dd in deltas[1:]:
-        all_delta = all_delta.unionByName(dd)
-    # CB[w] += delta[w] for w != s (accumulate_basic)
-    bet = (
-        all_delta.filter(F.col("s") != F.col("v"))
-        .groupBy(F.col("v").alias("id"))
-        .agg(F.sum("delta").alias("b"))
-    )
+    bet = bet_acc
 
     # ---- rescale (betweenness.py:268 _rescale, replicated exactly) ---- #
     if normalized:

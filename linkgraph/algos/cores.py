@@ -240,11 +240,19 @@ def k_truss(g: SparkGraph, k: int, *, max_rounds: int = 10_000) -> SparkGraph:
         )
         .distinct()
     )
-    rounds = 0
-    while True:
-        cur = SparkGraph(edges, directed=False, coalesce_edges=False)
-        tri = _triangle_corners(cur)
-        tri_edges = tri.select(
+    # Incremental support maintenance (the standard truss-decomposition
+    # plan, cf. Wang & Cheng VLDB 2012): triangles are enumerated ONCE via
+    # the degree-oriented wedge join; each peel round then touches only the
+    # triangles incident to the edges just dropped — join dropped edges →
+    # dead triangles → decrement the surviving edges' support — instead of
+    # re-running the full wedge join on the remaining edge set every round.
+    cur = SparkGraph(edges, directed=False, coalesce_edges=False)
+    tri = _triangle_corners(cur)
+    tri_edges = cache.truncate(
+        tri.select(
+            "a",
+            "b",
+            "c",
             F.explode(
                 F.array(
                     F.struct(
@@ -257,21 +265,50 @@ def k_truss(g: SparkGraph, k: int, *, max_rounds: int = 10_000) -> SparkGraph:
                         F.least("b", "c").alias("src"), F.greatest("b", "c").alias("dst")
                     ),
                 )
-            ).alias("e")
-        ).select("e.src", "e.dst")
-        support = tri_edges.groupBy("src", "dst").agg(
-            F.count(F.lit(1)).alias("support")
+            ).alias("e"),
+        ).select("a", "b", "c", F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+    )
+    support = cache.truncate(
+        edges.join(
+            tri_edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("support")),
+            ["src", "dst"],
+            "left",
+        ).select("src", "dst", F.coalesce("support", F.lit(0)).alias("support"))
+    )
+    rounds = 0
+    while True:
+        dropped = cache.truncate(
+            support.filter(F.col("support") < k - 2).select("src", "dst")
         )
-        kept = (
-            edges.join(support, ["src", "dst"], "left")
-            .filter(F.coalesce("support", F.lit(0)) >= k - 2)
-            .select("src", "dst")
-        )
-        kept = cache.truncate(kept)
-        n_before, n_after = edges.count(), kept.count()
-        edges = kept
-        if n_after == n_before:
+        if dropped.limit(1).count() == 0:
+            edges = cache.truncate(support.select("src", "dst"))
+            cache.release([dropped, tri_edges, support])
             break
+        dead = cache.truncate(
+            tri_edges.join(dropped, ["src", "dst"], "left_semi")
+            .select("a", "b", "c")
+            .distinct()
+        )
+        dec = (
+            tri_edges.join(dead, ["a", "b", "c"], "left_semi")
+            .join(dropped, ["src", "dst"], "left_anti")
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        new_support = cache.truncate(
+            support.join(dropped, ["src", "dst"], "left_anti")
+            .join(dec, ["src", "dst"], "left")
+            .select(
+                "src",
+                "dst",
+                (F.col("support") - F.coalesce("dec", F.lit(0))).alias("support"),
+            )
+        )
+        new_tri_edges = cache.truncate(
+            tri_edges.join(dead, ["a", "b", "c"], "left_anti")
+        )
+        cache.release([support, tri_edges, dropped, dead])
+        support, tri_edges = new_support, new_tri_edges
         rounds += 1
         if rounds > max_rounds:
             raise RuntimeError("k_truss exceeded max_rounds")

@@ -175,15 +175,21 @@ def harmonic_centrality(
     )
 
 
-def _ecc_table(g: SparkGraph) -> DataFrame:
+def _ecc_table(g: SparkGraph, sources: Optional[DataFrame] = None) -> DataFrame:
     """Per-node eccentricity; raises like the reference when some pair is
     unreachable (``distance_measures.py:150``: "Found infinite path
-    length")."""
+    length"). ``sources=`` computes the exact eccentricity of just those
+    nodes (the reference's ``eccentricity(G, v=...)``) — k·m work instead
+    of n·m, the scale path for "how eccentric are THESE nodes"."""
     n = g.number_of_nodes()
-    sp = all_pairs_shortest_path_lengths(g, reverse=False).persist()
+    if sources is not None:
+        k = sources.count()
+    else:
+        k = n
+    sp = all_pairs_shortest_path_lengths(g, sources, reverse=False).persist()
     try:
         reached = sp.count()
-        if reached != n * n:
+        if reached != k * n:
             kind = "strongly connected" if g.directed else "connected"
             raise ValueError(
                 "Found infinite path length because the "
@@ -199,10 +205,90 @@ def _ecc_table(g: SparkGraph) -> DataFrame:
     return rows
 
 
-def eccentricity(g: SparkGraph) -> DataFrame:
+def eccentricity(g: SparkGraph, sources: Optional[DataFrame] = None) -> DataFrame:
     """``(id, eccentricity BIGINT)`` — max distance from each node
-    (``distance_measures.py:150``)."""
-    return _ecc_table(g)
+    (``distance_measures.py:150``). ``sources=`` restricts to those nodes
+    (exact, like the reference's ``v=`` argument)."""
+    return _ecc_table(g, sources)
+
+
+def eccentricity_bounds(g: SparkGraph, landmarks: DataFrame) -> DataFrame:
+    """``(id, ecc_lower BIGINT, ecc_upper BIGINT)`` for EVERY node from k
+    landmark BFSs — the landmark bounding scheme of the reference's
+    approximation module (``networkx/algorithms/approximation/
+    distance_measures.py:12`` and Takes & Kosters 2011, "Determining the
+    diameter of small world networks"):
+
+        max_l d(l, v)  <=  ecc(v)  <=  min_l (d(l, v) + ecc(l))
+
+    (undirected triangle inequality). k·m work and O(k·n) state instead of
+    the exact family's n·m / n² — the 100×-scale answer for per-node
+    eccentricity estimates. Landmarks must reach every node (raises
+    otherwise, same "Found infinite path length" contract)."""
+    if g.directed:
+        raise ValueError(
+            "eccentricity_bounds: undirected graphs only (the landmark "
+            "triangle-inequality bound needs symmetric distances)"
+        )
+    n = g.number_of_nodes()
+    k = landmarks.count()
+    sp = all_pairs_shortest_path_lengths(g, landmarks, reverse=False).persist()
+    try:
+        if sp.count() != k * n:
+            raise ValueError(
+                "Found infinite path length because the graph is not connected"
+            )
+        # exact ecc of each landmark falls out of its own BFS row-set
+        lecc = sp.groupBy("source").agg(F.max("distance").alias("lecc"))
+        bounds = (
+            sp.join(F.broadcast(lecc), "source")
+            .groupBy("id")
+            .agg(
+                F.max("distance").alias("ecc_lower"),
+                F.min(F.col("distance") + F.col("lecc")).alias("ecc_upper"),
+            )
+        )
+        # a landmark's own row is exact on both sides (d(l,l)=0 already
+        # makes the upper bound tight; lift the lower bound to match)
+        bounds = (
+            bounds.join(
+                F.broadcast(lecc.select(F.col("source").alias("id"), "lecc")),
+                "id",
+                "left",
+            )
+            .select(
+                "id",
+                F.greatest(
+                    "ecc_lower", F.coalesce("lecc", F.lit(0))
+                ).alias("ecc_lower"),
+                "ecc_upper",
+            )
+        )
+        return bounds.localCheckpoint(eager=True)
+    finally:
+        sp.unpersist()
+
+
+def approximate_diameter(g: SparkGraph) -> int:
+    """Two-sweep lower bound on the diameter (the reference's
+    ``approximation.diameter``, ``networkx/algorithms/approximation/
+    distance_measures.py:12``): BFS from a deterministic seed, then BFS
+    from the farthest node found; that node's eccentricity is the bound
+    (exact on trees, empirically tight on small-world graphs). Two BFS
+    sweeps total — O(m) per sweep, any scale."""
+    if g.directed:
+        raise ValueError(
+            "approximate_diameter: undirected graphs only"
+        )
+    if g.number_of_nodes() == 0:
+        raise ValueError("the graph is empty")
+    seed = g.vertices.select(F.min("id").alias("id"))
+    sweep1 = all_pairs_shortest_path_lengths(g, seed, reverse=False)
+    far = (
+        sweep1.orderBy(F.desc("distance"), F.asc("id")).limit(1).select("id")
+    )
+    sweep2 = all_pairs_shortest_path_lengths(g, far, reverse=False)
+    return int(sweep2.agg(F.max("distance")).first()[0])
 
 
 def diameter(g: SparkGraph) -> int:

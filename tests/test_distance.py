@@ -124,3 +124,64 @@ def test_average_shortest_path_length_disconnected_raises(spark):
     G = nx.Graph([(1, 2), (3, 4)])
     with pytest.raises(ValueError, match="not connected"):
         D.average_shortest_path_length(from_nx(spark, G))
+
+
+def test_eccentricity_sources_subset(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.distance import eccentricity
+
+    G = nx.gnp_random_graph(30, 0.15, seed=7)
+    G = G.subgraph(max(nx.connected_components(G), key=len)).copy()
+    G = nx.convert_node_labels_to_integers(G)
+    g = from_nx(spark, G)
+    subset = [0, 1, 2]
+    got = {
+        r["id"]: r["eccentricity"]
+        for r in eccentricity(
+            g, spark.createDataFrame([(i,) for i in subset], "id long")
+        ).collect()
+    }
+    want = {v: nx.eccentricity(G, v) for v in subset}
+    assert got == want
+
+
+def test_eccentricity_bounds_bracket_exact(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.distance import eccentricity, eccentricity_bounds
+
+    G = nx.gnp_random_graph(40, 0.12, seed=11)
+    G = G.subgraph(max(nx.connected_components(G), key=len)).copy()
+    G = nx.convert_node_labels_to_integers(G)
+    g = from_nx(spark, G)
+    landmarks = spark.createDataFrame([(0,), (5,), (9,)], "id long")
+    bounds = {
+        r["id"]: (r["ecc_lower"], r["ecc_upper"])
+        for r in eccentricity_bounds(g, landmarks).collect()
+    }
+    exact = nx.eccentricity(G)
+    assert set(bounds) == set(G.nodes())
+    for v, (lo, hi) in bounds.items():
+        assert lo <= exact[v] <= hi
+    # landmarks themselves are tight
+    assert bounds[0][0] == exact[0]
+
+
+def test_approximate_diameter_lower_bound_and_tree_exact(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.distance import approximate_diameter
+
+    # two-sweep is exact on trees
+    T = nx.balanced_tree(2, 4)
+    gt = from_nx(spark, T)
+    assert approximate_diameter(gt) == nx.diameter(T)
+
+    G = nx.gnp_random_graph(40, 0.12, seed=3)
+    G = G.subgraph(max(nx.connected_components(G), key=len)).copy()
+    G = nx.convert_node_labels_to_integers(G)
+    g = from_nx(spark, G)
+    approx = approximate_diameter(g)
+    assert approx <= nx.diameter(G)
+    assert approx >= nx.diameter(G) - 1  # empirically tight on these fixtures
