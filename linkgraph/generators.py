@@ -111,3 +111,109 @@ def gnp_random_graph(
     e = pairs.filter(coin < F.lit(float(p))).withColumn("weight", F.lit(1.0))
     return SparkGraph(e, vertices=_vertices(spark, n), directed=directed,
                       coalesce_edges=False)
+
+
+def grid_2d_graph(
+    spark: SparkSession, m: int, n: int, *, periodic: bool = False
+) -> SparkGraph:
+    """``networkx/generators/lattice.py:46`` — the m×n lattice. The
+    reference labels nodes (i, j); BIGINT ids encode ``id = i*n + j``.
+    Pure range lineage: one ``spark.range(m*n)`` scan emits the right- and
+    down-neighbor arcs, so a billion-cell lattice never touches the driver.
+    ``periodic=True`` wraps both dimensions (torus)."""
+    m, n = int(m), int(n)
+    cells = spark.range(m * n).select(
+        (F.col("id") / n).cast("long").alias("i"),
+        F.pmod(F.col("id"), F.lit(n)).cast("long").alias("j"),
+    )
+    right = cells.filter(
+        F.lit(periodic) | (F.col("j") < n - 1) if n > 1 else F.lit(False)
+    ).select(
+        (F.col("i") * n + F.col("j")).alias("src"),
+        (F.col("i") * n + F.pmod(F.col("j") + 1, F.lit(n))).cast("long").alias("dst"),
+    )
+    down = cells.filter(
+        F.lit(periodic) | (F.col("i") < m - 1) if m > 1 else F.lit(False)
+    ).select(
+        (F.col("i") * n + F.col("j")).alias("src"),
+        (F.pmod(F.col("i") + 1, F.lit(m)) * n + F.col("j")).cast("long").alias("dst"),
+    )
+    # periodic wrap on a 1- or 2-long dimension creates duplicate/self
+    # arcs: canonicalize + distinct here (summing weights would be wrong)
+    e = (
+        right.unionByName(down)
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return SparkGraph(
+        e, vertices=_vertices(spark, m * n), directed=False, coalesce_edges=False
+    )
+
+
+def lollipop_graph(spark: SparkSession, m: int, n: int) -> SparkGraph:
+    """``classic.py:688`` — K_m (nodes 0..m-1) plus an n-node path
+    (m..m+n-1) bridged at (m-1, m)."""
+    m, n = int(m), int(n)
+    if m < 2:
+        raise ValueError("invalid graph description, m should be >=2")
+    a = spark.range(m).select(F.col("id").alias("src"))
+    b = spark.range(m).select(F.col("id").alias("dst"))
+    clique = a.crossJoin(b).filter(F.col("src") < F.col("dst"))
+    path = (
+        spark.range(m - 1, m + n - 1)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        if n > 0
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    e = clique.unionByName(path).withColumn("weight", F.lit(1.0))
+    return SparkGraph(
+        e, vertices=_vertices(spark, m + n), directed=False, coalesce_edges=False
+    )
+
+
+def barabasi_albert_graph(
+    spark: SparkSession, n: int, m: int, seed: int = 0
+) -> SparkGraph:
+    """Preferential attachment (``random_graphs.py:661``) — the SURVEY's
+    named hub-skew proxy — via the static sampling shortcut instead of the
+    reference's sequential urn: node ``t`` draws its j-th target as
+    ``⌊t·u²⌋`` with ``u = hash-uniform(seed, t, j)``. In the BA process the
+    degree of node ``i`` at time ``t`` grows ~ ``m·√(t/i)``, so attaching
+    to ``⌊t·u²⌋`` (density ∝ 1/√i) IS attachment proportional to expected
+    degree — the standard parallel equivalent, embarrassingly parallel and
+    deterministic per (seed, t, j), where the reference's Mersenne stream
+    cannot be replayed across partitions. Duplicate (t, target) draws
+    collapse (the reference also rejects repeats), so multiplicities m are
+    approximate; every node t >= m keeps >= 1 arc to a lower id, so the
+    graph stays connected. Parity with nx is statistical (power-law tail,
+    hub skew), pinned in tests."""
+    n, m = int(n), int(m)
+    if m < 1 or m >= n:
+        raise ValueError(
+            f"Barabási–Albert network must have m >= 1 and m < n, m = {m}, n = {n}"
+        )
+    draws = (
+        spark.range(m, n)
+        .select(F.col("id").alias("t"))
+        .crossJoin(spark.range(m).select(F.col("id").alias("j")))
+    )
+    u = (
+        F.pmod(F.xxhash64(F.lit(int(seed)), "t", "j"), F.lit(2**32))
+        / F.lit(float(2**32))
+    )
+    e = (
+        draws.select(
+            F.col("t").alias("src"),
+            F.floor(F.col("t") * u * u).cast("long").alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return SparkGraph(
+        e, vertices=_vertices(spark, n), directed=False, coalesce_edges=False
+    )

@@ -342,6 +342,11 @@ class SparkGraph:
     # scalar stats
     # ------------------------------------------------------------------ #
 
+    def is_multigraph(self) -> bool:
+        """False — parallel edges coalesce here; SparkMultiGraph keeps them
+        (``Graph.is_multigraph``, ``networkx/classes/graph.py:1812``)."""
+        return False
+
     def number_of_nodes(self) -> int:
         return self.vertices.count()
 

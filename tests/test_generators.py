@@ -74,3 +74,97 @@ def test_gnp_deterministic_and_distribution(spark):
     from linkgraph.algos.degrees import degrees
 
     assert degrees(g1).agg(F.sum("degree")).first()[0] == 2 * m
+
+
+def test_grid_2d_matches_nx(spark):
+    import networkx as nx
+    from linkgraph.generators import grid_2d_graph
+
+    for m, n in [(3, 4), (1, 5), (4, 1), (2, 2)]:
+        g = grid_2d_graph(spark, m, n)
+        G = nx.grid_2d_graph(m, n)
+        enc = {(i * n + j) for i, j in G.nodes()}
+        got_edges = {(r["src"], r["dst"]) for r in g.edges.collect()}
+        want_edges = {
+            (min(a[0] * n + a[1], b[0] * n + b[1]),
+             max(a[0] * n + a[1], b[0] * n + b[1]))
+            for a, b in G.edges()
+        }
+        assert got_edges == want_edges, (m, n)
+        assert {r["id"] for r in g.vertices.collect()} == enc
+
+
+def test_grid_2d_periodic_matches_nx(spark):
+    import networkx as nx
+    from linkgraph.generators import grid_2d_graph
+
+    m, n = 4, 5
+    g = grid_2d_graph(spark, m, n, periodic=True)
+    G = nx.grid_2d_graph(m, n, periodic=True)
+    got = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    want = {
+        (min(a[0] * n + a[1], b[0] * n + b[1]),
+         max(a[0] * n + a[1], b[0] * n + b[1]))
+        for a, b in G.edges()
+    }
+    assert got == want
+
+
+def test_lollipop_matches_nx(spark):
+    import networkx as nx
+    from linkgraph.generators import lollipop_graph
+
+    g = lollipop_graph(spark, 5, 3)
+    G = nx.lollipop_graph(5, 3)
+    got = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    want = {(min(u, v), max(u, v)) for u, v in G.edges()}
+    assert got == want
+    assert g.number_of_nodes() == G.number_of_nodes()
+
+
+def test_barabasi_albert_power_law_tail(spark):
+    from linkgraph.generators import barabasi_albert_graph
+    from linkgraph.algos.degrees import degrees
+    from linkgraph.algos.components import connected_components
+    from pyspark.sql import functions as F
+
+    g = barabasi_albert_graph(spark, 2000, 3, seed=7)
+    deg = degrees(g)
+    stats = deg.agg(
+        F.max("degree").alias("mx"), F.avg("degree").alias("avg")
+    ).first()
+    # hub skew: the largest hub is an order of magnitude above the mean
+    assert stats["mx"] >= 8 * stats["avg"]
+    # every node t >= m keeps an arc to a lower id -> one component
+    ncomp = connected_components(g).select("component").distinct().count()
+    assert ncomp == 1
+    # deterministic per seed
+    g2 = barabasi_albert_graph(spark, 2000, 3, seed=7)
+    assert g2.edges.count() == g.edges.count()
+
+
+def test_barabasi_albert_as_skew_fixture_for_salted_pagerank(spark):
+    # the salted two-phase aggregation must be value-identical on a
+    # hub-skewed graph — BA is the SURVEY-named skew proxy
+    from linkgraph.generators import barabasi_albert_graph
+    from linkgraph.algos.pagerank import pagerank
+
+    g = barabasi_albert_graph(spark, 500, 2, seed=3)
+    plain = {r["id"]: r["rank"] for r in pagerank(g, fixed_iter=8).collect()}
+    salted = {
+        r["id"]: r["rank"]
+        for r in pagerank(g, fixed_iter=8, hub_salt=8).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert abs(plain[k] - salted[k]) < 1e-12
+
+
+def test_barabasi_albert_validation(spark):
+    import pytest as _pytest
+    from linkgraph.generators import barabasi_albert_graph
+
+    with _pytest.raises(ValueError):
+        barabasi_albert_graph(spark, 5, 0)
+    with _pytest.raises(ValueError):
+        barabasi_albert_graph(spark, 5, 5)
