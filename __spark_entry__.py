@@ -790,6 +790,26 @@ def q_event_node_reciprocity(spark, sf_dir):
     )
 
 
+def q_hierarchy_simrank_nations(spark, sf_dir):
+    # SimRank on the region->nation layer of the hierarchy DAG: a nation
+    # pair's only in-neighbor pair is its regions, so same-region pairs
+    # converge to exactly C=0.9 after one iteration and everything else
+    # stays 0 — the closed form the oracle states.
+    from linkgraph.algos.simrank import simrank_similarity
+
+    g = DS.hierarchy_dag_graph(spark, sf_dir)
+    sub = g.subgraph(g.vertices.filter(F.col("id") >= 1_000_000))
+    s = simrank_similarity(sub, importance_factor=0.9, fixed_iter=2)
+    return (
+        s.filter((F.col("u") < F.col("v")) & (F.col("simrank") > 0))
+        .select(
+            F.col("u").cast("long"),
+            F.col("v").cast("long"),
+            F.round("simrank", 6).alias("simrank"),
+        )
+    )
+
+
 def q_supplier_qty_degree(spark, sf_dir):
     # edge-ATTRIBUTE aggregation: supplier->part edges carry qty (sum of
     # l_quantity), out-degree weighted by that attr column — the
@@ -828,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_tensor_p6_c8_edges": q_tensor_p6_c8_edges,
         "event_node_reciprocity": q_event_node_reciprocity,
         "supplier_qty_degree": q_supplier_qty_degree,
+        "hierarchy_simrank_nations": q_hierarchy_simrank_nations,
         # -- implemented earlier but missing from CORRECTNESS_r02 -------- #
         "emb_ivf_top10": q_emb_ivf_top10,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1319,6 +1340,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT p.u, p.v, "
         "CAST(COALESCE(du.degree, 0) * COALESCE(dv.degree, 0) AS BIGINT) AS pa "
         "FROM p LEFT JOIN deg du ON du.id = p.u LEFT JOIN deg dv ON dv.id = p.v"
+    )
+
+    sqls["hierarchy_simrank_nations"] = (
+        "SELECT CAST(a.n_nationkey + 1000000 AS BIGINT) AS u, "
+        "CAST(b.n_nationkey + 1000000 AS BIGINT) AS v, "
+        "CAST(0.9 AS DOUBLE) AS simrank "
+        "FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey "
+        "AND a.n_nationkey < b.n_nationkey"
     )
 
     sqls["supplier_qty_degree"] = (

@@ -92,6 +92,19 @@ from linkgraph.algos.setops import (
 )
 from linkgraph import generators
 from linkgraph import multimodal
+from linkgraph.multigraph import SparkMultiGraph
+from linkgraph.algos.simrank import simrank_similarity, ExceededMaxIterations
+from linkgraph.algos.distance import (
+    eccentricity,
+    eccentricity_bounds,
+    approximate_diameter,
+    diameter,
+    radius,
+    center,
+    periphery,
+    closeness_centrality,
+    harmonic_centrality,
+)
 from linkgraph.io.graphml import read_graphml, write_graphml
 from linkgraph.io.gml import read_gml, write_gml
 from linkgraph.describe import describe
@@ -184,6 +197,18 @@ __all__ = [
     "shortest_path_length",
     "describe",
     "generators",
+    "SparkMultiGraph",
+    "simrank_similarity",
+    "ExceededMaxIterations",
+    "eccentricity",
+    "eccentricity_bounds",
+    "approximate_diameter",
+    "diameter",
+    "radius",
+    "center",
+    "periphery",
+    "closeness_centrality",
+    "harmonic_centrality",
     "multimodal",
     "read_graphml",
     "write_graphml",
