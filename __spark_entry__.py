@@ -790,6 +790,29 @@ def q_event_node_reciprocity(spark, sf_dir):
     )
 
 
+def q_ring0_maxflow(spark, sf_dir):
+    # undirected unit-capacity ring (min-nationkey nation's customers):
+    # two arc-disjoint paths between any distinct pair -> max flow == 2.
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.flow import maximum_flow_value
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k0 = c.agg(F.min("c_nationkey")).first()[0]
+    ring = c.filter(F.col("c_nationkey") == k0).select("c_custkey", "c_nationkey")
+    e = DS.customer_ring_edges(spark, sf_dir).join(
+        ring.select(F.col("c_custkey").alias("src")), "src", "left_semi"
+    ).join(ring.select(F.col("c_custkey").alias("dst")), "dst", "left_semi")
+    g = SparkGraph(
+        e.withColumn("capacity", F.lit(1.0)),
+        ring.select(F.col("c_custkey").alias("id")),
+        directed=False,
+        coalesce_edges=False,
+    )
+    lo, hi = ring.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    v = maximum_flow_value(g, int(lo), int(hi))
+    return spark.createDataFrame([(float(v),)], "flow_value double")
+
+
 def q_hierarchy_simrank_nations(spark, sf_dir):
     # SimRank on the region->nation layer of the hierarchy DAG: a nation
     # pair's only in-neighbor pair is its regions, so same-region pairs
@@ -849,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_node_reciprocity": q_event_node_reciprocity,
         "supplier_qty_degree": q_supplier_qty_degree,
         "hierarchy_simrank_nations": q_hierarchy_simrank_nations,
+        "ring0_maxflow": q_ring0_maxflow,
         # -- implemented earlier but missing from CORRECTNESS_r02 -------- #
         "emb_ivf_top10": q_emb_ivf_top10,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1340,6 +1364,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT p.u, p.v, "
         "CAST(COALESCE(du.degree, 0) * COALESCE(dv.degree, 0) AS BIGINT) AS pa "
         "FROM p LEFT JOIN deg du ON du.id = p.u LEFT JOIN deg dv ON dv.id = p.v"
+    )
+
+    sqls["ring0_maxflow"] = (
+        "WITH n0 AS (SELECT MIN(c_nationkey) AS k FROM customer), "
+        "c0 AS (SELECT c_custkey FROM customer, n0 WHERE c_nationkey = k), "
+        "sz AS (SELECT COUNT(*) AS n FROM c0) "
+        "SELECT CAST(CASE WHEN n >= 3 THEN 2.0 WHEN n = 2 THEN 1.0 "
+        "ELSE 0.0 END AS DOUBLE) AS flow_value FROM sz"
     )
 
     sqls["hierarchy_simrank_nations"] = (

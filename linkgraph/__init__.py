@@ -94,6 +94,12 @@ from linkgraph import generators
 from linkgraph import multimodal
 from linkgraph.multigraph import SparkMultiGraph
 from linkgraph.algos.simrank import simrank_similarity, ExceededMaxIterations
+from linkgraph.algos.flow import (
+    maximum_flow,
+    maximum_flow_value,
+    minimum_cut,
+    NetworkXUnbounded,
+)
 from linkgraph.algos.distance import (
     eccentricity,
     eccentricity_bounds,
@@ -199,6 +205,10 @@ __all__ = [
     "generators",
     "SparkMultiGraph",
     "simrank_similarity",
+    "maximum_flow",
+    "maximum_flow_value",
+    "minimum_cut",
+    "NetworkXUnbounded",
     "ExceededMaxIterations",
     "eccentricity",
     "eccentricity_bounds",

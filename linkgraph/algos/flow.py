@@ -1,0 +1,227 @@
+"""Maximum flow / minimum cut — shortest-augmenting-path (Edmonds-Karp)
+with the BFS phase distributed.
+
+Reference semantics: ``networkx/algorithms/flow/maxflow.py:134``
+``maximum_flow`` / ``:305`` ``maximum_flow_value`` / ``minimum_cut:447``
+(the reference defaults to preflow-push; every max-flow algorithm returns
+the same VALUE, and value + cut partition are what the parity tests pin).
+Augmenting semantics follow ``flow/edmondskarp.py:115``: shortest
+augmenting paths on the residual graph until none remains. Edges missing
+the capacity attribute are infinite (``edmondskarp.py:87`` treats absent
+``capacity`` as inf), and an s→t path of infinite arcs raises like the
+reference's ``NetworkXUnbounded``.
+
+Distributed shape:
+
+- The residual graph is an arc DataFrame ``(u, v, cap)`` (reverse arcs
+  start at 0; undirected edges become two arcs of full capacity, the
+  reference's ``G.to_directed()`` view).
+- Each augmentation runs ONE multi-superstep BFS as frontier ⋈ arcs joins
+  with deterministic min-parent selection — the level structure of
+  Dinitz's algorithm; only the O(path length) parent walk and the O(path)
+  residual update touch the driver (a handful of single-row lookups, not
+  a collect of the graph).
+- Residual updates are a broadcast join against the ≤path-length update
+  set.
+
+Cost: O(augmentations) BFS sweeps — the small-k scale contract (bounded
+flow value / unit capacities), same asymptotics the reference's
+Edmonds-Karp pays, with each sweep distributed. Min-cut falls out of the
+final residual reachability (one more BFS).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import SparkGraph
+from linkgraph.iterutils import SuperstepCache
+
+_INF = float("inf")
+
+
+class NetworkXUnbounded(Exception):
+    """Infinite-capacity s→t path (``nx.exception.NetworkXUnbounded``)."""
+
+
+def _residual(g: SparkGraph, capacity: str) -> DataFrame:
+    """(u, v, cap) arcs: forward caps + 0-cap reverse arcs, undirected
+    edges expanded both ways at full capacity."""
+    if capacity in g.edges.columns:
+        cap = F.col(capacity).cast("double")
+    else:
+        cap = F.lit(_INF)
+    arcs = (g.edges if g.directed else g.symmetric_edges()).select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), cap.alias("cap")
+    )
+    rev = arcs.select(
+        F.col("v").alias("u"), F.col("u").alias("v"), F.lit(0.0).alias("cap")
+    )
+    # parallel arcs and existing anti-parallel pairs merge by summing caps
+    return (
+        arcs.unionByName(rev)
+        .groupBy("u", "v")
+        .agg(F.sum("cap").alias("cap"))
+    )
+
+
+def _bfs_parents(res: DataFrame, s: int, t: int, cache: SuperstepCache):
+    """BFS over cap>0 arcs from s; returns list of per-level parent tables
+    ``(node, parent)`` (deterministic min-parent), stopping early when t
+    is reached. None if t unreachable."""
+    live = res.filter(F.col("cap") > 0).select("u", "v")
+    spark = res.sparkSession
+    frontier = cache.truncate(
+        spark.createDataFrame([(int(s),)], "node long")
+    )
+    seen = frontier
+    levels = []
+    while True:
+        nxt = (
+            live.join(frontier.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("u").alias("parent"))
+            .join(seen, "node", "left_anti")
+        )
+        nxt = cache.truncate(nxt)
+        if nxt.limit(1).count() == 0:
+            return None
+        levels.append(nxt)
+        if nxt.filter(F.col("node") == t).limit(1).count() > 0:
+            return levels
+        seen = cache.truncate(seen.unionByName(nxt.select("node")))
+        frontier = nxt.select("node")
+
+
+def _walk_path(levels, s: int, t: int):
+    """Parent-pointer walk t→s: one single-row lookup per level."""
+    path = []
+    cur = int(t)
+    for lvl in reversed(levels):
+        row = lvl.filter(F.col("node") == cur).select("parent").first()
+        if row is None:
+            raise RuntimeError("broken parent chain in BFS levels")
+        path.append((int(row["parent"]), cur))
+        cur = int(row["parent"])
+    assert cur == int(s)
+    return list(reversed(path))
+
+
+def _max_flow(
+    g: SparkGraph,
+    s: int,
+    t: int,
+    capacity: str,
+    max_augmentations: int,
+):
+    """Shared kernel: returns (value, flow DF, final residual DF)."""
+    spark = g.spark
+    s, t = int(s), int(t)
+    if s == t:
+        raise ValueError("source and sink are the same node")
+    cache = SuperstepCache(spark)
+    res0 = _residual(g, capacity)
+    res = cache.truncate(res0)
+    orig = cache.truncate(res0)  # initial caps, for flow extraction
+    total = 0.0
+    for _ in range(max_augmentations):
+        levels = _bfs_parents(res, s, t, cache)
+        if levels is None:
+            break
+        path = _walk_path(levels, s, t)
+        caps = {
+            (r["u"], r["v"]): r["cap"]
+            for r in res.join(
+                F.broadcast(
+                    spark.createDataFrame(path, "u long, v long")
+                ),
+                ["u", "v"],
+                "left_semi",
+            ).collect()
+        }
+        bottleneck = min(caps[p] for p in path)
+        if bottleneck == _INF:
+            cache.close()
+            raise NetworkXUnbounded(
+                "Infinite capacity path, flow unbounded above."
+            )
+        total += bottleneck
+        updates = [(u, v, -bottleneck) for (u, v) in path] + [
+            (v, u, bottleneck) for (u, v) in path
+        ]
+        upd = spark.createDataFrame(updates, "u long, v long, d double")
+        upd = upd.groupBy("u", "v").agg(F.sum("d").alias("d"))
+        res = cache.truncate(
+            res.join(F.broadcast(upd), ["u", "v"], "left").select(
+                "u",
+                "v",
+                (F.col("cap") + F.coalesce("d", F.lit(0.0))).alias("cap"),
+            ),
+            retire=res,
+        )
+    else:
+        cache.close()
+        raise RuntimeError("maximum_flow exceeded max_augmentations")
+
+    flow = (
+        orig.withColumnRenamed("cap", "cap0")
+        .join(res.select("u", "v", F.col("cap").alias("capr")), ["u", "v"])
+        .select("u", "v", (F.col("cap0") - F.col("capr")).alias("flow"))
+        .filter(F.col("flow") > 0)
+    )
+    flow = flow.localCheckpoint(eager=True)
+    cache.close(keep_result=True)
+    return float(total), flow, res
+
+
+def maximum_flow(
+    g: SparkGraph,
+    s: int,
+    t: int,
+    capacity: str = "capacity",
+    *,
+    max_augmentations: int = 100_000,
+) -> Tuple[float, DataFrame]:
+    """Return ``(flow_value, flow DataFrame (u, v, flow))`` — flow on the
+    directed arc view (only arcs carrying positive flow are listed)."""
+    value, flow, _ = _max_flow(g, s, t, capacity, max_augmentations)
+    return value, flow
+
+
+def maximum_flow_value(
+    g: SparkGraph, s: int, t: int, capacity: str = "capacity"
+) -> float:
+    """``maxflow.py:305``."""
+    value, _, _ = _max_flow(g, s, t, capacity, 100_000)
+    return value
+
+
+def minimum_cut(
+    g: SparkGraph, s: int, t: int, capacity: str = "capacity"
+) -> Tuple[float, Tuple[DataFrame, DataFrame]]:
+    """``maxflow.py:447`` — (cut_value, (reachable, non_reachable)): the
+    residual-reachable side of the final residual graph and its complement
+    (max-flow = min-cut)."""
+    value, _, res = _max_flow(g, s, t, capacity, 100_000)
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    live = res.filter(F.col("cap") > 0).select("u", "v")
+    seen = cache.truncate(spark.createDataFrame([(int(s),)], "node long"))
+    frontier = seen
+    while True:
+        nxt = cache.truncate(
+            live.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(seen, "node", "left_anti")
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        seen = cache.truncate(seen.unionByName(nxt))
+        frontier = nxt
+    reachable = seen.select(F.col("node").alias("id")).localCheckpoint(eager=True)
+    rest = g.vertices.select("id").join(reachable, "id", "left_anti")
+    cache.close(keep_result=True)
+    return value, (reachable, rest)
