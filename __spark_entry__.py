@@ -790,6 +790,23 @@ def q_event_node_reciprocity(spark, sf_dir):
     )
 
 
+def q_copurchase_leiden_sizes(spark, sf_dir):
+    # Not SQL-expressible (iterative local moves + CC refinement):
+    # rows-only; connectivity guarantee and Q-dominance vs Louvain are
+    # pinned in tests/test_community.py.
+    from linkgraph.algos.community import leiden_communities
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    labels = leiden_communities(g, seed=42)
+    return (
+        labels.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), "community")
+        .limit(10)
+        .select(F.col("community").cast("long"), F.col("size").cast("long"))
+    )
+
+
 def q_ring0_maxflow(spark, sf_dir):
     # undirected unit-capacity ring (min-nationkey nation's customers):
     # two arc-disjoint paths between any distinct pair -> max flow == 2.
@@ -884,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_asyn_lpa_sizes": q_chain_asyn_lpa_sizes,
         "chain_lpa_sizes": q_chain_lpa_sizes,
         "pages_pagerank_top20": q_pages_pagerank_top20,
+        "copurchase_leiden_sizes": q_copurchase_leiden_sizes,
         # -- green in CORRECTNESS_r02 (heavier / flagship first) --------- #
         "copurchase_pagerank_fixed20": q_pagerank_fixed20,
         "customer_components": q_components,

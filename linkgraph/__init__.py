@@ -39,7 +39,7 @@ from linkgraph.algos.triangles import (
     transitivity,
 )
 from linkgraph.algos.lpa import label_propagation_communities
-from linkgraph.algos.community import modularity, louvain_communities
+from linkgraph.algos.community import modularity, louvain_communities, leiden_communities
 from linkgraph.algos.mst import (
     minimum_spanning_edges,
     minimum_spanning_tree,
@@ -205,6 +205,7 @@ __all__ = [
     "generators",
     "SparkMultiGraph",
     "simrank_similarity",
+    "leiden_communities",
     "maximum_flow",
     "maximum_flow_value",
     "minimum_cut",

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, functions as F
 from linkgraph.graph import SparkGraph
 from linkgraph.iterutils import SuperstepCache, loop_partitions
 
-__all__ = ["modularity", "louvain_communities"]
+__all__ = ["modularity", "louvain_communities", "leiden_communities"]
 
 @contextmanager
 def _loop_conf(spark, extra=None):
@@ -361,6 +361,37 @@ def _one_level(
     return state.select("id", "community")
 
 
+def _refine_connectivity(
+    level_g: SparkGraph, comm: DataFrame, cache: SuperstepCache
+) -> DataFrame:
+    """Leiden refinement, connectivity form (Traag, Waltman & van Eck 2019,
+    "From Louvain to Leiden", §A refinement): split every community into
+    its connected components so no community is internally disconnected —
+    the paper's headline defect of Louvain. Splitting a disconnected
+    community never lowers Q (intra weight is unchanged; the degree-sum
+    penalty (D/2m)² strictly drops), so refined levels dominate unrefined
+    ones. Reuses the large-star/small-star CC machinery over the
+    intra-community edge set — one extra CC run per level."""
+    from linkgraph.algos.components import connected_components
+
+    lab = comm.select(F.col("id").alias("src"), F.col("community").alias("c_src"))
+    lab2 = comm.select(F.col("id").alias("dst"), F.col("community").alias("c_dst"))
+    intra = (
+        level_g.edges.join(lab, "src")
+        .join(lab2, "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .select("src", "dst", "weight")
+    )
+    sub = SparkGraph(
+        intra,
+        level_g.vertices.select("id"),
+        directed=False,  # weak connectivity is the Leiden criterion
+        coalesce_edges=False,
+    )
+    cc = connected_components(sub)
+    return cache.truncate(cc.select("id", F.col("component").alias("community")))
+
+
 def louvain_communities(
     g: SparkGraph,
     *,
@@ -382,6 +413,57 @@ def louvain_communities(
     super-node degree carries D_c), so this matches the reference's value
     while touching only the (geometrically shrinking) coarsened tables.
     """
+    return _partition_levels(
+        g,
+        refine=False,
+        resolution=resolution,
+        threshold=threshold,
+        max_level=max_level,
+        seed=seed,
+        max_move_rounds=max_move_rounds,
+    )
+
+
+def leiden_communities(
+    g: SparkGraph,
+    *,
+    resolution: float = 1.0,
+    threshold: float = 1e-7,
+    max_level: Optional[int] = None,
+    seed: int = 42,
+    max_move_rounds: int = 50,
+) -> DataFrame:
+    """Leiden partition (Traag et al. 2019; the reference grew
+    ``nx.community.leiden_communities`` alongside ``louvain.py``):
+    the Louvain level loop with a CONNECTIVITY REFINEMENT pass between
+    local moving and coarsening, so every returned community is internally
+    connected — the guarantee Louvain lacks. The refinement is the
+    deterministic connectivity form (see :func:`_refine_connectivity`);
+    the paper's randomized merge queue has no distributed analog, and the
+    connectivity guarantee plus the Q-dominance argument are what the
+    parity tests pin (partition validity, every community connected,
+    modularity >= Louvain's on the same fixture and seed)."""
+    return _partition_levels(
+        g,
+        refine=True,
+        resolution=resolution,
+        threshold=threshold,
+        max_level=max_level,
+        seed=seed,
+        max_move_rounds=max_move_rounds,
+    )
+
+
+def _partition_levels(
+    g: SparkGraph,
+    *,
+    refine: bool,
+    resolution: float,
+    threshold: float,
+    max_level: Optional[int],
+    seed: int,
+    max_move_rounds: int,
+) -> DataFrame:
     spark = g.spark
     cache = SuperstepCache(spark)
     # mapping from original id to current community
@@ -401,6 +483,8 @@ def louvain_communities(
                 seed=seed + level,
                 max_move_rounds=max_move_rounds,
             )
+            if refine:
+                comm = _refine_connectivity(level_g, comm, cache)
             # compose: original -> old community -> new community
             new_mapping = cache.truncate(
                 mapping.join(

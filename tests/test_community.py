@@ -125,3 +125,53 @@ def test_louvain_directed(spark):
     df = louvain_communities(from_nx(spark, G), seed=2)
     parts = _louvain_parts(df)
     assert sorted(map(sorted, parts)) == [[0, 1, 2, 3], [4, 5, 6, 7]]
+
+
+def test_leiden_communities_connected_and_dominates_louvain(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.community import (
+        louvain_communities,
+        leiden_communities,
+        modularity,
+    )
+
+    G = nx.planted_partition_graph(4, 15, 0.6, 0.04, seed=11)
+    G = nx.convert_node_labels_to_integers(G)
+    g = from_nx(spark, G)
+    lou = louvain_communities(g, seed=5)
+    lei = leiden_communities(g, seed=5)
+    # partition validity
+    assert lei.count() == G.number_of_nodes()
+    assert lei.select("id").distinct().count() == G.number_of_nodes()
+    # the Leiden guarantee: every community is internally connected
+    groups = {}
+    for r in lei.collect():
+        groups.setdefault(r["community"], set()).add(r["id"])
+    for members in groups.values():
+        assert nx.is_connected(G.subgraph(members))
+    # quality: refinement never loses to Louvain on the same seed
+    q_lou = modularity(g, lou.select("id", "community"))
+    q_lei = modularity(g, lei.select("id", "community"))
+    assert q_lei >= q_lou - 1e-9
+    # and both find real structure
+    assert q_lei > 0.3
+
+
+def test_leiden_splits_disconnected_community(spark):
+    # two disjoint triangles forced into one community by construction:
+    # the refinement pass must split them
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.community import leiden_communities
+
+    G = nx.Graph()
+    G.add_edges_from([(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)])
+    g = from_nx(spark, G)
+    lei = leiden_communities(g, seed=1)
+    comms = {}
+    for r in lei.collect():
+        comms.setdefault(r["community"], set()).add(r["id"])
+    for members in comms.values():
+        assert nx.is_connected(G.subgraph(members))
+    assert {0, 1, 2} in comms.values() and {10, 11, 12} in comms.values()
