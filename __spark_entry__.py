@@ -790,6 +790,40 @@ def q_event_node_reciprocity(spark, sf_dir):
     )
 
 
+def q_copurchase_4clique_count(spark, sf_dir):
+    # ordered k-clique join plan; oracle is the explicit 6-way self-join
+    # over canonical a<b<c<d corners.
+    from linkgraph.algos.cliques import k_clique_count
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    n = k_clique_count(g, 4)
+    return spark.createDataFrame([(n,)], "n_4cliques long")
+
+
+def q_event_cycles_le3(spark, sf_dir):
+    # directed simple cycles of length <= 3 on the event-type transition
+    # digraph, counted per length (the graph has no self-loops by
+    # construction, so lengths 2 and 3 are the full story).
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.cycles import simple_cycles
+
+    e = DS.event_transition_edges(spark, sf_dir).select(
+        F.xxhash64("src_type").alias("src"), F.xxhash64("dst_type").alias("dst")
+    )
+    g = SparkGraph(e, directed=True, coalesce_edges=False)
+    got = (
+        simple_cycles(g, 3)
+        .select(F.size("cycle").alias("length"))
+        .groupBy("length")
+        .agg(F.count(F.lit(1)).alias("n_cycles"))
+    )
+    base = spark.createDataFrame([(2,), (3,)], "length int")
+    return base.join(got, "length", "left").select(
+        F.col("length").cast("long"),
+        F.coalesce("n_cycles", F.lit(0)).cast("long").alias("n_cycles"),
+    )
+
+
 def q_copurchase_leiden_sizes(spark, sf_dir):
     # Not SQL-expressible (iterative local moves + CC refinement):
     # rows-only; connectivity guarantee and Q-dominance vs Louvain are
@@ -890,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_qty_degree": q_supplier_qty_degree,
         "hierarchy_simrank_nations": q_hierarchy_simrank_nations,
         "ring0_maxflow": q_ring0_maxflow,
+        "copurchase_4clique_count": q_copurchase_4clique_count,
+        "event_cycles_le3": q_event_cycles_le3,
         # -- implemented earlier but missing from CORRECTNESS_r02 -------- #
         "emb_ivf_top10": q_emb_ivf_top10,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1384,6 +1420,16 @@ def oracle_sql() -> dict[str, str]:
         "FROM p LEFT JOIN deg du ON du.id = p.u LEFT JOIN deg dv ON dv.id = p.v"
     )
 
+    sqls["copurchase_4clique_count"] = (
+        f"WITH {_EDGES.replace('edges AS (', 'edges AS MATERIALIZED (')} "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_4cliques FROM edges e1 "
+        "JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst "
+        "JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst "
+        "JOIN edges e4 ON e4.src = e1.src AND e4.dst > e2.dst "
+        "JOIN edges e5 ON e5.src = e1.dst AND e5.dst = e4.dst "
+        "JOIN edges e6 ON e6.src = e2.dst AND e6.dst = e4.dst"
+    )
+
     sqls["ring0_maxflow"] = (
         "WITH n0 AS (SELECT MIN(c_nationkey) AS k FROM customer), "
         "c0 AS (SELECT c_custkey FROM customer, n0 WHERE c_nationkey = k), "
@@ -1520,6 +1566,18 @@ def oracle_sql() -> dict[str, str]:
     )
     sqls["event_type_graph"] = (
         f"WITH {_EV} SELECT s AS src_type, d AS dst_type FROM e"
+    )
+
+    sqls["event_cycles_le3"] = (
+        f"WITH {_EV}, "
+        "c2 AS (SELECT COUNT(*) AS n FROM e a "
+        "JOIN e b ON a.s = b.d AND a.d = b.s AND a.s < a.d), "
+        "c3 AS (SELECT COUNT(*) AS n FROM e e1 "
+        "JOIN e e2 ON e2.s = e1.d JOIN e e3 ON e3.s = e2.d AND e3.d = e1.s "
+        "WHERE e1.s < e2.s AND e1.s < e3.s) "
+        "SELECT CAST(2 AS BIGINT) AS length, CAST(c2.n AS BIGINT) AS n_cycles FROM c2 "
+        "UNION ALL "
+        "SELECT CAST(3 AS BIGINT), CAST(c3.n AS BIGINT) FROM c3"
     )
 
     sqls["event_node_reciprocity"] = (

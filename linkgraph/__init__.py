@@ -94,6 +94,13 @@ from linkgraph import generators
 from linkgraph import multimodal
 from linkgraph.multigraph import SparkMultiGraph
 from linkgraph.algos.simrank import simrank_similarity, ExceededMaxIterations
+from linkgraph.algos.cliques import (
+    k_cliques,
+    k_clique_count,
+    node_clique_counts,
+    find_cliques,
+)
+from linkgraph.algos.cycles import simple_cycles
 from linkgraph.algos.flow import (
     maximum_flow,
     maximum_flow_value,
@@ -206,6 +213,11 @@ __all__ = [
     "SparkMultiGraph",
     "simrank_similarity",
     "leiden_communities",
+    "k_cliques",
+    "k_clique_count",
+    "node_clique_counts",
+    "find_cliques",
+    "simple_cycles",
     "maximum_flow",
     "maximum_flow_value",
     "minimum_cut",
