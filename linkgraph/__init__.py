@@ -120,6 +120,8 @@ from linkgraph.algos.distance import (
 )
 from linkgraph.io.graphml import read_graphml, write_graphml
 from linkgraph.io.gml import read_gml, write_gml
+from linkgraph.io.pajek import read_pajek, write_pajek
+from linkgraph.io.gexf import read_gexf, write_gexf
 from linkgraph.describe import describe
 from linkgraph.convert_matrix import (
     to_csr_arrays,
@@ -152,6 +154,10 @@ from linkgraph.algos.dag import (
 )
 from linkgraph.algos.richclub import rich_club_coefficient, generalized_degree
 from linkgraph.algos.products import (
+    rooted_product,
+    corona_product,
+    modular_product,
+    power,
     tensor_product,
     cartesian_product,
     strong_product,
@@ -212,6 +218,14 @@ __all__ = [
     "generators",
     "SparkMultiGraph",
     "simrank_similarity",
+    "read_pajek",
+    "write_pajek",
+    "read_gexf",
+    "write_gexf",
+    "rooted_product",
+    "corona_product",
+    "modular_product",
+    "power",
     "leiden_communities",
     "k_cliques",
     "k_clique_count",

@@ -56,3 +56,88 @@ def test_product_parity_random(spark, ours, ref):
     g, h = from_nx(spark, G), from_nx(spark, H)
     want = _encode(ref(G, H), 4)
     assert _ours(ours(g, h)) == want
+
+
+def _nx_from(g, n_h):
+    """Decode an encoded product graph back to tuple-labeled nx for parity."""
+    import networkx as nx
+
+    G = nx.Graph()
+    for r in g.vertices.collect():
+        G.add_node((r["id"] // n_h, r["id"] % n_h))
+    for r in g.edges.collect():
+        G.add_edge(
+            (r["src"] // n_h, r["src"] % n_h), (r["dst"] // n_h, r["dst"] % n_h)
+        )
+    return G
+
+
+def test_rooted_product_matches_nx(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.products import rooted_product
+
+    G, H = nx.path_graph(4), nx.cycle_graph(3)
+    got = _nx_from(
+        rooted_product(from_nx(spark, G), from_nx(spark, H), 0), 3
+    )
+    want = nx.rooted_product(G, H, 0)
+    assert set(got.nodes()) == set(want.nodes())
+    assert {frozenset(e) for e in got.edges()} == {
+        frozenset(e) for e in want.edges()
+    }
+
+
+def test_corona_product_matches_nx(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.products import corona_product
+
+    G, H = nx.cycle_graph(4), nx.path_graph(2)
+    g = corona_product(from_nx(spark, G), from_nx(spark, H))
+    want = nx.corona_product(G, H)
+    assert g.number_of_nodes() == want.number_of_nodes()
+    assert g.number_of_edges() == want.number_of_edges()
+    # structure check via degree multiset (encoding differs from nx labels)
+    from linkgraph.algos.degrees import degrees
+
+    got_degs = sorted(r["degree"] for r in degrees(g).collect())
+    want_degs = sorted(d for _, d in want.degree())
+    assert got_degs == want_degs
+
+
+def test_modular_product_matches_nx(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.products import modular_product
+
+    G, H = nx.path_graph(3), nx.path_graph(3)
+    got = _nx_from(modular_product(from_nx(spark, G), from_nx(spark, H)), 3)
+    want = nx.modular_product(G, H)
+    assert {frozenset(e) for e in got.edges()} == {
+        frozenset(e) for e in want.edges()
+    }
+
+
+def test_power_matches_nx(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.products import power
+
+    G = nx.path_graph(8)
+    for k in (1, 2, 3):
+        g = power(from_nx(spark, G), k)
+        want = nx.power(G, k)
+        got = {(r["src"], r["dst"]) for r in g.edges.collect()}
+        assert got == {(min(u, v), max(u, v)) for u, v in want.edges()}, k
+
+
+def test_power_validation(spark):
+    import pytest as _pytest
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.products import power
+
+    g = from_nx(spark, nx.path_graph(3))
+    with _pytest.raises(ValueError):
+        power(g, 0)
