@@ -902,6 +902,96 @@ def q_supplier_qty_degree(spark, sf_dir):
     )
 
 
+def q_copurchase_avg_nbr_degree(spark, sf_dir):
+    from linkgraph.algos.neighborhood import average_neighbor_degree
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return average_neighbor_degree(g).select(
+        F.col("id").cast("long"), F.round("avg_nbr_deg", 6).alias("avg_nbr_deg")
+    )
+
+
+def q_copurchase_degree_connectivity(spark, sf_dir):
+    from linkgraph.algos.neighborhood import average_degree_connectivity
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return average_degree_connectivity(g).select(
+        F.col("degree").cast("long"), F.round("knn", 6).alias("knn")
+    )
+
+
+def q_copurchase_node_boundary(spark, sf_dir):
+    # boundary of the "every tenth part" node set
+    from linkgraph.algos.neighborhood import node_boundary
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    s1 = g.vertices.filter(F.col("id") % 10 == 0).select("id")
+    return node_boundary(g, s1).select(F.col("id").cast("long"))
+
+
+def q_copurchase_edge_boundary(spark, sf_dir):
+    from linkgraph.algos.neighborhood import edge_boundary
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    s1 = g.vertices.filter(F.col("id") % 10 == 0).select("id")
+    return edge_boundary(g, s1).select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
+def q_copurchase_local_bridges(spark, sf_dir):
+    from linkgraph.algos.neighborhood import local_bridges
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return local_bridges(g).select(
+        F.col("u").cast("long"), F.col("v").cast("long")
+    )
+
+
+def q_copurchase_effective_size(spark, sf_dir):
+    from linkgraph.algos.neighborhood import effective_size
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return effective_size(g).select(
+        F.col("id").cast("long"),
+        F.round("effective_size", 6).alias("effective_size"),
+    )
+
+
+def q_copurchase_constraint(spark, sf_dir):
+    from linkgraph.algos.neighborhood import constraint
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return constraint(g).select(
+        F.col("id").cast("long"),
+        F.round("constraint", 6).alias("constraint_score"),
+    )
+
+
+def _ring0_undirected(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n0 = c.agg(F.min("c_nationkey")).first()[0]
+    ids = c.filter(F.col("c_nationkey") == n0).select(F.col("c_custkey").alias("id"))
+    return DS.customer_ring_graph(spark, sf_dir).subgraph(ids).undirected_view()
+
+
+def q_ring0_wiener(spark, sf_dir):
+    # Wiener index of a cycle C_n: n^3/8 (even n) or n(n^2-1)/8 (odd n).
+    from linkgraph.algos.neighborhood import wiener_index
+
+    w = wiener_index(_ring0_undirected(spark, sf_dir))
+    return spark.createDataFrame([(round(w, 6),)], "wiener double")
+
+
+def q_ring0_global_efficiency(spark, sf_dir):
+    # Closed form on C_n: ordered-pair inverse distances are 2n/d for
+    # d = 1..floor((n-1)/2) plus n pairs at d = n/2 when n is even.
+    from linkgraph.algos.neighborhood import global_efficiency
+
+    e = global_efficiency(_ring0_undirected(spark, sf_dir))
+    return spark.createDataFrame([(round(e, 8),)], "efficiency double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver checks the first ~50 entries, so new or
     # not-yet-driver-verified operators come FIRST; entries already green in
@@ -909,6 +999,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # drops them). Do not alphabetize.
     return {
         # -- round-3 additions (never driver-checked) ------------------- #
+        "copurchase_avg_nbr_degree": q_copurchase_avg_nbr_degree,
+        "copurchase_degree_connectivity": q_copurchase_degree_connectivity,
+        "copurchase_node_boundary": q_copurchase_node_boundary,
+        "copurchase_edge_boundary": q_copurchase_edge_boundary,
+        "copurchase_local_bridges": q_copurchase_local_bridges,
+        "copurchase_effective_size": q_copurchase_effective_size,
+        "copurchase_constraint": q_copurchase_constraint,
+        "ring0_wiener": q_ring0_wiener,
+        "ring0_global_efficiency": q_ring0_global_efficiency,
         "copurchase_eigenvector": q_copurchase_eigenvector,
         "copurchase_katz": q_copurchase_katz,
         "copurchase_adamic_adar_pairs50": q_adamic_adar_pairs50,
@@ -1394,6 +1493,77 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id"""
 
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
+
+    _SYM0 = (
+        "sym AS (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges)"
+    )
+    sqls["copurchase_avg_nbr_degree"] = (
+        f"WITH {_EDGES}, {_SYM0}, "
+        "a AS (SELECT s.src AS id, AVG(CAST(d.degree AS DOUBLE)) AS a "
+        "FROM sym s JOIN deg d ON d.id = s.dst GROUP BY 1) "
+        "SELECT CAST(deg.id AS BIGINT) AS id, "
+        "ROUND(COALESCE(a.a, 0.0), 6) AS avg_nbr_deg "
+        "FROM deg LEFT JOIN a ON a.id = deg.id"
+    )
+    sqls["copurchase_degree_connectivity"] = (
+        f"WITH {_EDGES}, {_SYM0}, "
+        "per AS (SELECT s.src AS id, SUM(d2.degree) AS s "
+        "FROM sym s JOIN deg d2 ON d2.id = s.dst GROUP BY 1) "
+        "SELECT deg.degree, "
+        "ROUND(SUM(per.s) / CAST(SUM(deg.degree) AS DOUBLE), 6) AS knn "
+        "FROM deg JOIN per ON per.id = deg.id GROUP BY deg.degree"
+    )
+    sqls["copurchase_node_boundary"] = (
+        f"WITH {_EDGES}, {_SYM0} "
+        "SELECT DISTINCT CAST(s.dst AS BIGINT) AS id FROM sym s "
+        "WHERE s.src % 10 = 0 AND s.dst % 10 <> 0"
+    )
+    sqls["copurchase_edge_boundary"] = (
+        f"WITH {_EDGES}, {_SYM0} "
+        "SELECT DISTINCT CAST(s.src AS BIGINT) AS src, CAST(s.dst AS BIGINT) AS dst "
+        "FROM sym s WHERE s.src % 10 = 0 AND s.dst % 10 <> 0"
+    )
+    sqls["copurchase_local_bridges"] = (
+        f"WITH {_EDGES}, {_SYM0} "
+        "SELECT CAST(e.src AS BIGINT) AS u, CAST(e.dst AS BIGINT) AS v "
+        "FROM edges e WHERE NOT EXISTS ("
+        "SELECT 1 FROM sym a JOIN sym b ON b.dst = a.dst "
+        "WHERE a.src = e.src AND b.src = e.dst)"
+    )
+    sqls["copurchase_effective_size"] = (
+        f"WITH {_EDGES}, {_TRI} "
+        "SELECT CAST(deg.id AS BIGINT) AS id, "
+        "ROUND(deg.degree - 2.0 * COALESCE(tcnt.t, 0) / deg.degree, 6) "
+        "AS effective_size "
+        "FROM deg LEFT JOIN tcnt ON tcnt.id = deg.id"
+    )
+    sqls["copurchase_constraint"] = (
+        f"WITH {_EDGES}, {_SYM0}, "
+        "p AS (SELECT s.src, s.dst, 1.0 / d.degree AS p "
+        "FROM sym s JOIN deg d ON d.id = s.src), "
+        "ind AS (SELECT a.src AS src, b.dst AS dst, SUM(a.p * b.p) AS ind "
+        "FROM p a JOIN p b ON b.src = a.dst AND b.dst <> a.src GROUP BY 1, 2), "
+        "lc AS (SELECT p.src, POWER(p.p + COALESCE(i.ind, 0.0), 2) AS lc "
+        "FROM p LEFT JOIN ind i ON i.src = p.src AND i.dst = p.dst) "
+        "SELECT CAST(src AS BIGINT) AS id, ROUND(SUM(lc), 6) AS constraint_score "
+        "FROM lc GROUP BY src"
+    )
+    sqls["ring0_wiener"] = (
+        "WITH n0 AS (SELECT MIN(c_nationkey) AS k FROM customer), "
+        "sz AS (SELECT COUNT(*) AS n FROM customer, n0 WHERE c_nationkey = k) "
+        "SELECT ROUND(CASE WHEN n % 2 = 0 THEN CAST(n AS DOUBLE) * n * n / 8 "
+        "ELSE CAST(n AS DOUBLE) * (n * n - 1) / 8 END, 6) AS wiener FROM sz"
+    )
+    sqls["ring0_global_efficiency"] = (
+        "WITH n0 AS (SELECT MIN(c_nationkey) AS k FROM customer), "
+        "sz AS (SELECT COUNT(*) AS n FROM customer, n0 WHERE c_nationkey = k), "
+        "inv AS (SELECT COALESCE(SUM(2.0 * n / d), 0.0) AS s "
+        "FROM range(1, 1000000) t(d), sz WHERE d <= (n - 1) // 2), "
+        "extra AS (SELECT CASE WHEN n % 2 = 0 THEN 2.0 ELSE 0.0 END AS e FROM sz) "
+        "SELECT ROUND((inv.s + extra.e) / (n * (n - 1.0)), 8) AS efficiency "
+        "FROM inv, extra, sz"
+    )
 
     # ---- round-3 coverage additions ---------------------------------- #
     sqls["copurchase_eigenvector"] = _eigen_sql(12)

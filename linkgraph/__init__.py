@@ -153,6 +153,18 @@ from linkgraph.algos.dag import (
     GraphContainsCycle,
 )
 from linkgraph.algos.richclub import rich_club_coefficient, generalized_degree
+from linkgraph.algos.neighborhood import (
+    average_neighbor_degree,
+    average_degree_connectivity,
+    node_boundary,
+    edge_boundary,
+    local_bridges,
+    effective_size,
+    constraint,
+    wiener_index,
+    global_efficiency,
+    local_efficiency,
+)
 from linkgraph.algos.products import (
     rooted_product,
     corona_product,
@@ -182,6 +194,16 @@ __version__ = "0.1.0"
 
 __all__ = [
     "SparkGraph",
+    "average_neighbor_degree",
+    "average_degree_connectivity",
+    "node_boundary",
+    "edge_boundary",
+    "local_bridges",
+    "effective_size",
+    "constraint",
+    "wiener_index",
+    "global_efficiency",
+    "local_efficiency",
     "convert_node_labels_to_integers",
     "weisfeiler_lehman_graph_hash",
     "pagerank",

@@ -1,0 +1,457 @@
+"""Neighborhood statistics, boundaries, structural holes, and efficiency.
+
+Reference semantics (networkx 3.6.1):
+
+- ``average_neighbor_degree`` — ``networkx/algorithms/assortativity/
+  neighbor_degree.py:10``: per-node mean degree of its neighbors; nodes
+  without neighbors get 0.0.
+- ``average_degree_connectivity`` (k-nearest-neighbors) —
+  ``networkx/algorithms/assortativity/connectivity.py:13``: for each degree
+  value k, the mean neighbor degree over all nodes of degree k.
+- ``node_boundary`` / ``edge_boundary`` — ``networkx/algorithms/
+  boundary.py:101,12``: nodes (edges) just outside (crossing) a node set.
+- ``local_bridges`` — ``networkx/algorithms/bridges.py:160``: edges whose
+  endpoints share no common neighbor; the *span* is the alternate
+  shortest-path length with the edge removed.
+- ``effective_size`` / ``constraint`` — ``networkx/algorithms/
+  structuralholes.py:183,281`` (Burt's structural holes).
+- ``wiener_index`` — ``networkx/algorithms/wiener.py:14``.
+- ``global_efficiency`` / ``local_efficiency`` — ``networkx/algorithms/
+  efficiency_measures.py:65,120``.
+
+Every measure is a DataFrame plan: degree tables are one hash-aggregation,
+neighbor statistics are one arc⋈degree join, structural holes are the same
+wedge join that powers triangle counting, and the distance-based measures
+reuse the batched multi-source BFS from :mod:`linkgraph.algos.distance`
+(all sources advance together; no per-source driver loop).
+
+Scale notes: ``wiener_index``/``global_efficiency`` aggregate the exact
+all-pairs distance table — inherently O(n·reach) like the reference; at web
+scale sample sources (the standard estimator) by passing the same
+``sources=`` the distance module exposes. ``local_efficiency`` runs BFS
+*inside every ego network simultaneously* — state is keyed by
+(ego, source, node), bounded by Σ_v deg(v)² — the same cost class as the
+reference's per-ego loop, but distributed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import SparkGraph
+from linkgraph.algos.degrees import degrees
+from linkgraph.algos.triangles import triangles, _simple_edges
+from linkgraph.algos.distance import all_pairs_shortest_path_lengths
+from linkgraph.iterutils import SuperstepCache
+
+__all__ = [
+    "average_neighbor_degree",
+    "average_degree_connectivity",
+    "node_boundary",
+    "edge_boundary",
+    "local_bridges",
+    "effective_size",
+    "constraint",
+    "wiener_index",
+    "global_efficiency",
+    "local_efficiency",
+]
+
+
+def _ids(nbunch: DataFrame) -> DataFrame:
+    """Normalize a one-column node DataFrame to (id long)."""
+    c = nbunch.columns[0]
+    return nbunch.select(F.col(c).cast("long").alias("id")).distinct()
+
+
+def average_neighbor_degree(
+    g: SparkGraph, *, weight: Optional[str] = None
+) -> DataFrame:
+    """(id, avg_nbr_deg): mean (weighted) degree of each node's neighbors
+    (``neighbor_degree.py:10``; source/target both the full neighborhood).
+
+    One arc⋈degree join + one aggregation; for the weighted form each
+    neighbor's degree is weighted by the connecting edge's weight and
+    normalized by the node's strength, matching the reference. Directed
+    graphs use the reference defaults source="out", target="out"
+    (successors, out-degree).
+    """
+    sym = g.symmetric_edges()
+    # target degree is NEVER weighted (neighbor_degree.py "should *not* be
+    # weighted degree"); weight only scales each term and the normalizer.
+    if g.directed:
+        from linkgraph.algos.degrees import out_degrees
+
+        deg = out_degrees(g)
+    else:
+        deg = degrees(g)
+    nbr_deg = sym.join(
+        deg.select(F.col("id").alias("dst"), F.col("degree").alias("ndeg")), "dst"
+    )
+    if weight is not None:
+        num = F.sum(F.col(weight) * F.col("ndeg"))
+        den = F.sum(F.col(weight))
+    else:
+        num = F.sum("ndeg")
+        den = F.count(F.lit(1))
+    agg = nbr_deg.groupBy(F.col("src").alias("id")).agg(
+        (num / den).alias("avg_nbr_deg")
+    )
+    return (
+        g.vertices.select("id")
+        .join(agg, "id", "left")
+        .select("id", F.coalesce("avg_nbr_deg", F.lit(0.0)).alias("avg_nbr_deg"))
+    )
+
+
+def average_degree_connectivity(g: SparkGraph) -> DataFrame:
+    """(degree, knn): mean neighbor degree of all nodes with a given degree
+    (``connectivity.py:13``, unweighted source=target="in+out").
+
+    Two joins and two aggregations; the per-k normalizer is
+    k · |{v : deg(v) = k}| exactly as the reference computes it. Directed
+    graphs use the reference default source=target="in+out": the degree key
+    and normalizer are total degree, but the neighbor sum runs over
+    successors only (``G.neighbors`` of a DiGraph), matching
+    ``connectivity.py``.
+    """
+    succ = g.symmetric_edges()  # stored arcs when directed, both dirs else
+    deg = degrees(g)
+    per_node = (
+        succ.join(
+            deg.select(F.col("id").alias("dst"), F.col("degree").alias("ddeg")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("ddeg").alias("s"))
+    )
+    node_tbl = (
+        deg.filter(F.col("degree") > 0)
+        .join(per_node, "id", "left")
+        .select("degree", F.coalesce("s", F.lit(0)).alias("s"))
+    )
+    return (
+        node_tbl.groupBy("degree")
+        .agg((F.sum("s") / F.sum("degree")).alias("knn"))
+        .orderBy("degree")
+    )
+
+
+def node_boundary(
+    g: SparkGraph, nbunch1: DataFrame, nbunch2: Optional[DataFrame] = None
+) -> DataFrame:
+    """(id): nodes outside ``nbunch1`` (within ``nbunch2`` if given) with an
+    edge from ``nbunch1`` (``boundary.py:101``; successors for directed).
+
+    Semi-join against the set, anti-join to exclude it — both
+    broadcast-able when the node set is small.
+    """
+    s1 = _ids(nbunch1)
+    sym = g.symmetric_edges() if not g.directed else g.edges
+    out = (
+        sym.join(s1.withColumnRenamed("id", "src"), "src", "left_semi")
+        .select(F.col("dst").alias("id"))
+        .distinct()
+        .join(s1, "id", "left_anti")
+    )
+    if nbunch2 is not None:
+        out = out.join(_ids(nbunch2), "id", "left_semi")
+    return out
+
+
+def edge_boundary(
+    g: SparkGraph, nbunch1: DataFrame, nbunch2: Optional[DataFrame] = None
+) -> DataFrame:
+    """(src, dst): edges with src in ``nbunch1`` and dst outside it (or in
+    ``nbunch2``) — ``boundary.py:12``. For undirected graphs each crossing
+    edge appears once, oriented out of ``nbunch1`` like the reference's
+    ``G.edges(nbunch1)`` iteration.
+    """
+    s1 = _ids(nbunch1)
+    arcs = g.symmetric_edges() if not g.directed else g.edges
+    out = arcs.join(s1.withColumnRenamed("id", "src"), "src", "left_semi")
+    if nbunch2 is not None:
+        out = out.join(
+            _ids(nbunch2).withColumnRenamed("id", "dst"), "dst", "left_semi"
+        )
+    else:
+        out = out.join(s1.withColumnRenamed("id", "dst"), "dst", "left_anti")
+    return out.select("src", "dst").distinct()
+
+
+def local_bridges(
+    g: SparkGraph, *, with_span: bool = False, max_span: int = 10
+) -> DataFrame:
+    """Edges (u, v) whose endpoints have no common neighbor
+    (``bridges.py:160``), canonical u < v.
+
+    Plan: the triangle wedge join in reverse — an anti-join of the edge set
+    against wedge-closed pairs. With ``with_span=True`` the alternate
+    distance d_{G−e}(u, v) is computed for ALL local bridges at once: a
+    multi-source BFS keyed by the bridge pair whose frontier⋈arcs join
+    filters out each pair's own edge, capped at ``max_span`` levels
+    (unreached ⇒ span NULL, the reference's ∞). No per-edge loop.
+    """
+    e = _simple_edges(g)  # raises on directed like the reference decorator
+    sym = e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # common-neighbor pairs via the wedge join (center exploded once per pair)
+    closed = (
+        sym.alias("a")
+        .join(sym.alias("b"), F.col("a.u") == F.col("b.u"))
+        .filter(F.col("a.v") < F.col("b.v"))
+        .select(F.col("a.v").alias("u"), F.col("b.v").alias("v"))
+        .distinct()
+    )
+    bridges = e.join(closed, ["u", "v"], "left_anti")
+    if not with_span:
+        return bridges.select("u", "v")
+
+    bridges = bridges.persist()
+    arcs = sym.select(F.col("u").alias("a_src"), F.col("v").alias("a_dst"))
+    cache = SuperstepCache(g.spark)
+    # state: one BFS per bridge pair, rooted at u, looking for v,
+    # with that pair's own (u,v) edge removed from its copy of the graph.
+    frontier = bridges.select("u", "v", F.col("u").alias("id"))
+    visited = frontier
+    found = None
+    span_rows = []
+    try:
+        for d in range(1, max_span + 1):
+            nxt = (
+                frontier.join(arcs, frontier["id"] == F.col("a_src"))
+                .filter(
+                    ~(
+                        (F.least(F.col("id"), F.col("a_dst")) == F.col("u"))
+                        & (F.greatest(F.col("id"), F.col("a_dst")) == F.col("v"))
+                    )
+                )
+                .select("u", "v", F.col("a_dst").alias("id"))
+                .distinct()
+                .join(visited, ["u", "v", "id"], "left_anti")
+            )
+            nxt = cache.truncate(nxt)
+            hit = nxt.filter(F.col("id") == F.col("v")).select(
+                "u", "v", F.lit(d).alias("span")
+            )
+            span_rows.append(hit)
+            if nxt.isEmpty():
+                break
+            # pairs already resolved stop expanding
+            frontier = nxt.join(hit.select("u", "v"), ["u", "v"], "left_anti")
+            visited = cache.truncate(visited.unionAll(nxt))
+        spans = span_rows[0]
+        for s in span_rows[1:]:
+            spans = spans.unionAll(s)
+        out = bridges.join(spans, ["u", "v"], "left").select("u", "v", "span")
+        out = out.localCheckpoint()
+        return out
+    finally:
+        cache.close()
+        bridges.unpersist()
+
+
+def effective_size(g: SparkGraph) -> DataFrame:
+    """(id, effective_size): Burt's effective size, unweighted undirected
+    form n − 2t/n (Borgatti's simplification, ``structuralholes.py:183``;
+    t = ties among the node's neighbors = its triangle count).
+
+    Reuses the degree-oriented triangle plan; isolates get NULL (the
+    reference's nan).
+    """
+    tri = triangles(g)
+    deg = degrees(g)
+    return tri.join(deg, "id").select(
+        "id",
+        F.when(F.col("degree") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.col("degree") - 2.0 * F.col("triangles") / F.col("degree")
+        )
+        .alias("effective_size"),
+    )
+
+
+def constraint(g: SparkGraph) -> DataFrame:
+    """(id, constraint): Burt's constraint (``structuralholes.py:281``):
+    c(u) = Σ_{v∈N(u)} (p_uv + Σ_w p_uw · p_wv)², with p_uv the proportion of
+    u's aggregated edge weight spent on v and w ranging over common
+    neighbors. Isolates get NULL (reference nan).
+
+    Plan: normalize arc weights by source strength (one join), then the
+    indirect term is one wedge self-join u→w→v re-joined to the direct arc
+    table — the same shape and cost class as triangle counting. For
+    directed graphs the neighborhood is predecessors ∪ successors with
+    mutual weights a_uv + a_vu, per the reference's
+    ``normalized_mutual_weight``.
+    """
+    if g.directed:
+        a = g.edges.filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", "weight"
+        )
+        sym = (
+            a.unionAll(
+                a.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+                )
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+        )
+    else:
+        sym = g.symmetric_edges().filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", "weight"
+        )
+    strength = sym.groupBy("src").agg(F.sum("weight").alias("s"))
+    p = (
+        sym.join(strength, "src")
+        .select("src", "dst", (F.col("weight") / F.col("s")).alias("p"))
+        .persist()
+    )
+    ind = (
+        p.alias("uw")
+        .join(
+            p.alias("wv"),
+            (F.col("uw.dst") == F.col("wv.src"))
+            & (F.col("uw.src") != F.col("wv.dst")),
+        )
+        .groupBy(F.col("uw.src").alias("src"), F.col("wv.dst").alias("dst"))
+        .agg(F.sum(F.col("uw.p") * F.col("wv.p")).alias("ind"))
+    )
+    lc = p.join(ind, ["src", "dst"], "left").select(
+        "src",
+        F.pow(F.col("p") + F.coalesce("ind", F.lit(0.0)), F.lit(2.0)).alias("lc"),
+    )
+    agg = lc.groupBy(F.col("src").alias("id")).agg(F.sum("lc").alias("constraint"))
+    if g.directed:
+        # the reference leaves constraint undefined (nan) when ``G[v]`` is
+        # empty — i.e. a node with NO successors, even if it has
+        # predecessors (``structuralholes.py:281``).
+        has_succ = g.edges.select(F.col("src").alias("id")).distinct()
+        agg = agg.join(has_succ, "id", "left_semi")
+    out = (
+        g.vertices.select("id")
+        .join(agg, "id", "left")
+        .select("id", F.col("constraint").cast("double").alias("constraint"))
+    )
+    out = out.localCheckpoint()
+    p.unpersist()
+    return out
+
+
+def wiener_index(g: SparkGraph) -> float:
+    """Sum of shortest-path distances over all (un)ordered pairs
+    (``wiener.py:14``); inf when not (strongly) connected, like the
+    reference. One aggregation over the batched all-pairs BFS table.
+    """
+    n = g.number_of_nodes()
+    row = all_pairs_shortest_path_lengths(g).agg(
+        F.sum("distance").alias("s"), F.count(F.lit(1)).alias("c")
+    ).first()
+    if (row["c"] or 0) < n * n:
+        return float("inf")
+    total = float(row["s"] or 0.0)
+    return total if g.directed else total / 2.0
+
+
+def global_efficiency(g: SparkGraph) -> float:
+    """Mean of 1/d(u, v) over ordered pairs, unreachable ⇒ 0
+    (``efficiency_measures.py:65``; undirected in the reference).
+    """
+    n = g.number_of_nodes()
+    if n < 2:
+        return 0.0
+    row = (
+        all_pairs_shortest_path_lengths(g)
+        .filter(F.col("distance") > 0)
+        .agg(F.sum(1.0 / F.col("distance")).alias("s"))
+        .first()
+    )
+    return float(row["s"] or 0.0) / (n * (n - 1))
+
+
+def local_efficiency(g: SparkGraph) -> float:
+    """Mean over nodes of the global efficiency of their ego network
+    (``efficiency_measures.py:120``).
+
+    All ego networks are searched *simultaneously*: ego-restricted arcs are
+    the triangle-style two-hop join (both endpoints adjacent to the ego),
+    the BFS state is keyed (ego, source, node), and each level is one
+    frontier⋈ego-arcs shuffle join — the reference's per-node subgraph loop
+    becomes a single distributed superstep program. Per-level distances are
+    folded into a per-ego Σ 1/d immediately, so only the visited-set grows.
+    """
+    sym = (
+        g.symmetric_edges()
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    adj = sym.select(F.col("src").alias("ego"), F.col("dst").alias("member"))
+    ego_arcs = (
+        sym.alias("e")
+        .join(adj.alias("l"), F.col("l.member") == F.col("e.src"))
+        .join(
+            adj.alias("r"),
+            (F.col("r.ego") == F.col("l.ego"))
+            & (F.col("r.member") == F.col("e.dst")),
+        )
+        .select(
+            F.col("l.ego").alias("ego"),
+            F.col("e.src").alias("a_src"),
+            F.col("e.dst").alias("a_dst"),
+        )
+        .persist()
+    )
+    n = g.number_of_nodes()
+    if n == 0:
+        ego_arcs.unpersist()
+        return 0.0
+    cache = SuperstepCache(g.spark)
+    frontier = adj.select(
+        "ego", F.col("member").alias("source"), F.col("member").alias("id")
+    )
+    visited = frontier
+    per_ego = None
+    try:
+        d = 0
+        while True:
+            d += 1
+            nxt = (
+                frontier.join(
+                    ego_arcs,
+                    (frontier["ego"] == ego_arcs["ego"])
+                    & (frontier["id"] == F.col("a_src")),
+                )
+                .select(frontier["ego"], "source", F.col("a_dst").alias("id"))
+                .distinct()
+                .join(visited, ["ego", "source", "id"], "left_anti")
+            )
+            nxt = cache.truncate(nxt)
+            if nxt.isEmpty():
+                break
+            lvl = nxt.groupBy("ego").agg(
+                (F.count(F.lit(1)) / float(d)).alias("inv")
+            )
+            per_ego = lvl if per_ego is None else per_ego.unionAll(lvl)
+            frontier = nxt
+            visited = cache.truncate(visited.unionAll(nxt))
+        if per_ego is None:
+            return 0.0
+        deg = degrees(g)
+        eff = (
+            per_ego.groupBy("ego")
+            .agg(F.sum("inv").alias("inv"))
+            .join(deg.withColumnRenamed("id", "ego"), "ego")
+            .filter(F.col("degree") >= 2)
+            .select(
+                (F.col("inv") / (F.col("degree") * (F.col("degree") - 1))).alias(
+                    "eff"
+                )
+            )
+        )
+        total = eff.agg(F.sum("eff")).first()[0] or 0.0
+        return float(total) / n
+    finally:
+        cache.close()
+        ego_arcs.unpersist()
