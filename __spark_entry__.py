@@ -992,6 +992,134 @@ def q_ring0_global_efficiency(spark, sf_dir):
     return spark.createDataFrame([(round(e, 8),)], "efficiency double")
 
 
+def q_chain_harmonic_labels(spark, sf_dir):
+    # Semi-supervised label spreading on the per-nation customer chains:
+    # each nation's min custkey is labeled "L", its max "R"; the oracle
+    # unrolls the same 30 F <- P F + B iterations in SQL.
+    from linkgraph.algos.classification import harmonic_function
+
+    g = DS.customer_chain_graph(spark, sf_dir)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ends = c.groupBy("c_nationkey").agg(
+        F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi")
+    )
+    labels = ends.select(
+        F.col("lo").cast("long").alias("id"), F.lit("L").alias("label")
+    ).unionAll(
+        ends.select(F.col("hi").cast("long").alias("id"), F.lit("R").alias("label"))
+    )
+    return harmonic_function(g, labels).select(
+        F.col("id").cast("long"), "label"
+    )
+
+
+def q_copurchase_mis_invariants(spark, sf_dir):
+    # Luby MIS is hash-randomized, so the oracle checks the two defining
+    # invariants instead of the set: zero internal edges (independence) and
+    # zero uncovered outside nodes (maximality). Both must be exactly 0.
+    from linkgraph.algos.selection import maximal_independent_set
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    mis = maximal_independent_set(g).persist()
+    sym = g.symmetric_edges()
+    viol = (
+        sym.join(mis.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(mis.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .count()
+    )
+    covered = (
+        sym.join(mis.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .select(F.col("src").alias("id"))
+        .distinct()
+    )
+    uncovered = (
+        g.vertices.select("id")
+        .join(mis, "id", "left_anti")
+        .join(covered, "id", "left_anti")
+        .count()
+    )
+    mis.unpersist()
+    return spark.createDataFrame(
+        [(viol, uncovered)], "independence_violations long, uncovered long"
+    )
+
+
+def q_copurchase_matching_invariants(spark, sf_dir):
+    # Same invariant-oracle pattern: a maximal matching has no shared
+    # endpoints and leaves no edge with both endpoints free.
+    from linkgraph.algos.selection import maximal_matching
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    m = maximal_matching(g).persist()
+    ends = m.select(F.col("u").alias("id")).unionAll(m.select(F.col("v").alias("id")))
+    overlaps = (
+        ends.groupBy("id").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).count()
+    )
+    free_edges = (
+        g.edges.join(ends.withColumnRenamed("id", "src").distinct(), "src", "left_anti")
+        .join(ends.withColumnRenamed("id", "dst").distinct(), "dst", "left_anti")
+        .count()
+    )
+    m.unpersist()
+    return spark.createDataFrame(
+        [(overlaps, free_edges)], "endpoint_overlaps long, uncovered_edges long"
+    )
+
+
+def q_copurchase_voterank10(spark, sf_dir):
+    from linkgraph.algos.selection import voterank
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return voterank(g, number_of_nodes=10).select(
+        F.col("rank").cast("long"), F.col("id").cast("long")
+    )
+
+
+def q_hierarchy_ring_bridges(spark, sf_dir):
+    # Undirected hierarchy tree (region-nation-customer) plus a cycle over
+    # the regions: every tree edge is a bridge, no ring edge is. Closed-form
+    # oracle; exercises the full pipeline (CC roots -> BFS forest ->
+    # random-cancellation deposits -> leaf-peel subtree sums).
+    from linkgraph.algos.bridges import bridges
+    from linkgraph.graph import SparkGraph
+
+    base = DS.hierarchy_dag_graph(spark, sf_dir)
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        (F.col("r_regionkey") + DS.REGION_OFFSET).cast("long").alias("id")
+    )
+    n_r = r.count()
+    ring = r.select(
+        F.col("id").alias("src"),
+        (
+            (F.col("id") - DS.REGION_OFFSET + 1) % n_r + DS.REGION_OFFSET
+        ).cast("long").alias("dst"),
+    )
+    g = SparkGraph(
+        base.edges.select("src", "dst").unionByName(ring),
+        base.vertices.select("id"),
+        directed=False,
+        coalesce_edges=True,
+    )
+    return bridges(g).select(F.col("u").cast("long"), F.col("v").cast("long"))
+
+
+def q_emb_near_dup_survivors(spark, sf_dir):
+    # The embeddings table has no natural near-dups (max pair cosine ~0.5),
+    # so every 20th vector gets an exact copy at vec_id+100000; clusters are
+    # then {v, v+100000} and the oracle re-derives them with DuckDB's own
+    # cosine over the same augmented table.
+    from linkgraph.embeddings import embedding_near_duplicates
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(dups)
+    return embedding_near_duplicates(aug, 0.99, method="exact").select(
+        F.col("vec_id").cast("long"), F.col("canonical_vec_id").cast("long")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver checks the first ~50 entries, so new or
     # not-yet-driver-verified operators come FIRST; entries already green in
@@ -999,6 +1127,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # drops them). Do not alphabetize.
     return {
         # -- round-3 additions (never driver-checked) ------------------- #
+        "hierarchy_ring_bridges": q_hierarchy_ring_bridges,
+        "emb_near_dup_survivors": q_emb_near_dup_survivors,
+        "chain_harmonic_labels": q_chain_harmonic_labels,
+        "copurchase_voterank10": q_copurchase_voterank10,
+        "copurchase_mis_invariants": q_copurchase_mis_invariants,
+        "copurchase_matching_invariants": q_copurchase_matching_invariants,
         "copurchase_avg_nbr_degree": q_copurchase_avg_nbr_degree,
         "copurchase_degree_connectivity": q_copurchase_degree_connectivity,
         "copurchase_node_boundary": q_copurchase_node_boundary,
@@ -1491,8 +1625,124 @@ SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS d
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id"""
 
 
+def _harmonic_chain_sql(iters: int = 30) -> str:
+    """Unrolled harmonic-function label spreading on the per-nation chains:
+    F <- P F + B with P = D^-1 A, labeled rows zeroed, argmax at the end.
+    Every propagation weight is 1.0 or 0.5 (chain degrees), so all sums are
+    dyadic rationals — exact in IEEE doubles on both engines, making the
+    final argmax deterministic."""
+    head = (
+        "WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_nationkey AS nk "
+        "FROM customer), "
+        "e AS (SELECT src, dst FROM (SELECT id AS src, "
+        "LEAD(id) OVER (PARTITION BY nk ORDER BY id) AS dst FROM c) "
+        "WHERE dst IS NOT NULL), "
+        "sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e), "
+        "deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY 1), "
+        "lab AS MATERIALIZED (SELECT MIN(id) AS id, 0 AS lbl FROM c GROUP BY nk "
+        "UNION ALL SELECT MAX(id) AS id, 1 AS lbl FROM c GROUP BY nk), "
+        "p AS MATERIALIZED (SELECT s.src, s.dst, 1.0 / d.d AS p FROM sym s "
+        "JOIN deg d ON d.id = s.src "
+        "WHERE s.src NOT IN (SELECT id FROM lab)), "
+        "f0 AS MATERIALIZED (SELECT id, lbl, 1.0 AS score FROM lab)"
+    )
+    its = []
+    for k in range(1, iters + 1):
+        its.append(
+            f", f{k} AS MATERIALIZED (SELECT id, lbl, SUM(score) AS score FROM ("
+            f"SELECT p.src AS id, f.lbl AS lbl, p.p * f.score AS score "
+            f"FROM p JOIN f{k - 1} f ON f.id = p.dst "
+            f"UNION ALL SELECT id, lbl, 1.0 AS score FROM lab) GROUP BY 1, 2)"
+        )
+    tail = (
+        f" SELECT c.id, CASE WHEN best.lbl = 1 THEN 'R' ELSE 'L' END AS label "
+        f"FROM c LEFT JOIN (SELECT id, lbl FROM ("
+        f"SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id "
+        f"ORDER BY score DESC, lbl ASC) AS rn FROM f{iters}) WHERE rn = 1) best "
+        f"ON best.id = c.id"
+    )
+    return head + "".join(its) + tail
+
+
+def _voterank_sql(k: int = 10) -> str:
+    """Unrolled VoteRank elections on the copurchase graph: per round, score
+    = sum of neighbor abilities, argmax (ties -> smallest id), elected
+    node's ability zeroed and its neighbors' decremented by 1/<k>."""
+    head = (
+        f"WITH {_EDGES}, "
+        "sym AS (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges), "
+        "params AS (SELECT 1.0 / (CAST(SUM(degree) AS DOUBLE) / COUNT(*)) AS f "
+        "FROM deg), "
+        "a0 AS MATERIALIZED (SELECT id, 1.0 AS ability, FALSE AS elected FROM deg)"
+    )
+    its = []
+    for r in range(1, k + 1):
+        its.append(
+            f", s{r} AS MATERIALIZED (SELECT a.id, COALESCE(SUM(b.ability), 0.0) AS score "
+            f"FROM a{r - 1} a LEFT JOIN sym ON sym.src = a.id "
+            f"LEFT JOIN a{r - 1} b ON b.id = sym.dst "
+            f"WHERE NOT a.elected GROUP BY a.id)"
+            f", t{r} AS MATERIALIZED (SELECT id AS tid FROM s{r} "
+            f"ORDER BY score DESC, id ASC LIMIT 1)"
+            f", nb{r} AS MATERIALIZED (SELECT DISTINCT s.dst AS id FROM sym s, t{r} t "
+            f"WHERE s.src = t.tid)"
+            f", a{r} AS MATERIALIZED (SELECT a.id, "
+            f"CASE WHEN a.id = (SELECT tid FROM t{r}) THEN 0.0 "
+            f"WHEN a.id IN (SELECT id FROM nb{r}) "
+            f"THEN GREATEST(a.ability - (SELECT f FROM params), 0.0) "
+            f"ELSE a.ability END AS ability, "
+            f"a.elected OR a.id = (SELECT tid FROM t{r}) AS elected "
+            f"FROM a{r - 1} a)"
+        )
+    ranks = " UNION ALL ".join(
+        f"SELECT CAST({r - 1} AS BIGINT) AS rank, "
+        f"CAST((SELECT tid FROM t{r}) AS BIGINT) AS id"
+        for r in range(1, k + 1)
+    )
+    return head + "".join(its) + " " + ranks
+
+
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
+
+    sqls["hierarchy_ring_bridges"] = (
+        "SELECT CAST(n_nationkey + 1000000 AS BIGINT) AS u, "
+        "CAST(n_regionkey + 2000000 AS BIGINT) AS v FROM nation "
+        "UNION ALL SELECT CAST(c_custkey AS BIGINT), "
+        "CAST(c_nationkey + 1000000 AS BIGINT) FROM customer"
+    )
+    sqls["emb_near_dup_survivors"] = (
+        "WITH aug AS (SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL SELECT vec_id + 100000, embedding FROM embeddings "
+        "WHERE vec_id % 20 = 0), "
+        "dup AS (SELECT a.vec_id AS u, b.vec_id AS v FROM aug a JOIN aug b "
+        "ON a.vec_id < b.vec_id "
+        "AND ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99), "
+        "symd AS (SELECT u, v FROM dup UNION ALL SELECT v, u FROM dup), "
+        "l0 AS (SELECT vec_id AS id, vec_id AS lab FROM aug), "
+        "l1 AS (SELECT l.id, LEAST(l.lab, COALESCE(MIN(n.lab), l.lab)) AS lab "
+        "FROM l0 l LEFT JOIN symd s ON s.u = l.id "
+        "LEFT JOIN l0 n ON n.id = s.v GROUP BY l.id, l.lab), "
+        "l2 AS (SELECT l.id, LEAST(l.lab, COALESCE(MIN(n.lab), l.lab)) AS lab "
+        "FROM l1 l LEFT JOIN symd s ON s.u = l.id "
+        "LEFT JOIN l1 n ON n.id = s.v GROUP BY l.id, l.lab), "
+        "l3 AS (SELECT l.id, LEAST(l.lab, COALESCE(MIN(n.lab), l.lab)) AS lab "
+        "FROM l2 l LEFT JOIN symd s ON s.u = l.id "
+        "LEFT JOIN l2 n ON n.id = s.v GROUP BY l.id, l.lab) "
+        "SELECT CAST(id AS BIGINT) AS vec_id, "
+        "CAST(lab AS BIGINT) AS canonical_vec_id FROM l3"
+    )
+    sqls["chain_harmonic_labels"] = _harmonic_chain_sql(30)
+    sqls["copurchase_voterank10"] = _voterank_sql(10)
+    sqls["copurchase_mis_invariants"] = (
+        "SELECT CAST(0 AS BIGINT) AS independence_violations, "
+        "CAST(0 AS BIGINT) AS uncovered"
+    )
+    sqls["copurchase_matching_invariants"] = (
+        "SELECT CAST(0 AS BIGINT) AS endpoint_overlaps, "
+        "CAST(0 AS BIGINT) AS uncovered_edges"
+    )
 
     _SYM0 = (
         "sym AS (SELECT src, dst FROM edges "

@@ -153,6 +153,20 @@ from linkgraph.algos.dag import (
     GraphContainsCycle,
 )
 from linkgraph.algos.richclub import rich_club_coefficient, generalized_degree
+from linkgraph.algos.bridges import (
+    bridges,
+    has_bridges,
+    two_edge_connected_components,
+)
+from linkgraph.algos.selection import (
+    maximal_independent_set,
+    maximal_matching,
+    voterank,
+)
+from linkgraph.algos.classification import (
+    harmonic_function,
+    local_and_global_consistency,
+)
 from linkgraph.algos.neighborhood import (
     average_neighbor_degree,
     average_degree_connectivity,
@@ -194,6 +208,14 @@ __version__ = "0.1.0"
 
 __all__ = [
     "SparkGraph",
+    "bridges",
+    "has_bridges",
+    "two_edge_connected_components",
+    "maximal_independent_set",
+    "maximal_matching",
+    "voterank",
+    "harmonic_function",
+    "local_and_global_consistency",
     "average_neighbor_degree",
     "average_degree_connectivity",
     "node_boundary",

@@ -363,3 +363,86 @@ def ivf_topk(
         .filter(F.col("_rk") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    *,
+    method: str = "lsh",
+    dim: int = 64,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate clustering — the vector-side sibling
+    of :func:`linkgraph.text.near_duplicates`:
+
+    1. candidate pairs — ``method="lsh"`` buckets by hyperplane sign
+       patterns (:func:`simhash_buckets`) and equi-joins bucket keys, never
+       all-pairs (the 100 TB path; recall vs exact pinned in pytest);
+       ``method="exact"`` joins all id-ordered pairs (the oracle/test-scale
+       form, like ``ngram_jaccard_pairs`` for text);
+    2. exact cosine verify on candidates only (JVM-side ``zip_with`` fold,
+       rounded to 6 decimals so the threshold cut is engine-stable);
+    3. connected components over the duplicate graph
+       (large-star/small-star);
+    4. canonical survivor = minimum vec_id per cluster.
+
+    Returns ``(vec_id BIGINT, canonical_vec_id BIGINT)`` for every vector;
+    ``vec_id == canonical_vec_id`` marks survivors.
+    """
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.components import connected_components
+
+    base = emb.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec")
+    )
+    if method == "exact":
+        a = with_norm(base, "vec").select(
+            F.col("vid").alias("ua"), F.col("vec").alias("_va"), F.col("_norm").alias("_na")
+        )
+        b = with_norm(base, "vec").select(
+            F.col("vid").alias("ub"), F.col("vec").alias("_vb"), F.col("_norm").alias("_nb")
+        )
+        cand = a.join(b, F.col("ua") < F.col("ub"))
+    elif method == "lsh":
+        buckets = simhash_buckets(
+            base, dim, n_tables=n_tables, n_bits=n_bits, vec_col="vec", id_col="vid"
+        )
+        pairs = (
+            buckets.alias("x")
+            .join(buckets.alias("y"), F.col("x.bucket") == F.col("y.bucket"))
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("ua"), F.col("y.id").alias("ub"))
+            .distinct()
+        )
+        an = with_norm(base, "vec").select(
+            F.col("vid").alias("ua"), F.col("vec").alias("_va"), F.col("_norm").alias("_na")
+        )
+        bn = with_norm(base, "vec").select(
+            F.col("vid").alias("ub"), F.col("vec").alias("_vb"), F.col("_norm").alias("_nb")
+        )
+        cand = pairs.join(an, "ua").join(bn, "ub")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    dup = cand.select(
+        "ua",
+        "ub",
+        F.round(
+            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+    g = SparkGraph(
+        dup.select(F.col("ua").alias("src"), F.col("ub").alias("dst")),
+        vertices=base.select(F.col("vid").alias("id")),
+        directed=False,
+        coalesce_edges=False,
+    )
+    return connected_components(g).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("canonical_vec_id"),
+    )
