@@ -1075,6 +1075,18 @@ def q_copurchase_voterank10(spark, sf_dir):
     )
 
 
+def q_chain_bipartite_color(spark, sf_dir):
+    # Per-nation chains are paths -> bipartite; the BFS-parity coloring has
+    # the closed form 1 - (position-in-chain % 2); single-customer nations
+    # are isolates and take color 0 like the reference.
+    from linkgraph.algos.bipartite import color
+
+    g = DS.customer_chain_graph(spark, sf_dir)
+    return color(g).select(
+        F.col("id").cast("long"), F.col("color").cast("long")
+    )
+
+
 def q_hierarchy_ring_bridges(spark, sf_dir):
     # Undirected hierarchy tree (region-nation-customer) plus a cycle over
     # the regions: every tree edge is a bridge, no ring edge is. Closed-form
@@ -1127,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # drops them). Do not alphabetize.
     return {
         # -- round-3 additions (never driver-checked) ------------------- #
+        "chain_bipartite_color": q_chain_bipartite_color,
         "hierarchy_ring_bridges": q_hierarchy_ring_bridges,
         "emb_near_dup_survivors": q_emb_near_dup_survivors,
         "chain_harmonic_labels": q_chain_harmonic_labels,
@@ -1706,6 +1719,13 @@ def _voterank_sql(k: int = 10) -> str:
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
+    sqls["chain_bipartite_color"] = (
+        "SELECT CAST(c_custkey AS BIGINT) AS id, "
+        "CASE WHEN COUNT(*) OVER (PARTITION BY c_nationkey) = 1 "
+        "THEN CAST(0 AS BIGINT) ELSE CAST(1 - (ROW_NUMBER() OVER "
+        "(PARTITION BY c_nationkey ORDER BY c_custkey) - 1) % 2 AS BIGINT) "
+        "END AS color FROM customer"
+    )
     sqls["hierarchy_ring_bridges"] = (
         "SELECT CAST(n_nationkey + 1000000 AS BIGINT) AS u, "
         "CAST(n_regionkey + 2000000 AS BIGINT) AS v FROM nation "

@@ -153,6 +153,11 @@ from linkgraph.algos.dag import (
     GraphContainsCycle,
 )
 from linkgraph.algos.richclub import rich_club_coefficient, generalized_degree
+from linkgraph.algos.bipartite import (
+    color as bipartite_color,
+    is_bipartite,
+    sets as bipartite_sets,
+)
 from linkgraph.algos.bridges import (
     bridges,
     has_bridges,
@@ -208,6 +213,9 @@ __version__ = "0.1.0"
 
 __all__ = [
     "SparkGraph",
+    "bipartite_color",
+    "is_bipartite",
+    "bipartite_sets",
     "bridges",
     "has_bridges",
     "two_edge_connected_components",

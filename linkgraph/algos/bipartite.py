@@ -348,3 +348,77 @@ def birank(
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def color(g: SparkGraph) -> DataFrame:
+    """(id, color): a two-coloring (``networkx/algorithms/bipartite/
+    basic.py:17``): per component the min-id node takes color 1 (the
+    reference's scan-order start), neighbors alternate; isolates take 0.
+    Raises :class:`NetworkXError` when the graph is not bipartite.
+
+    Plan: BFS parity from every component root simultaneously (the roots
+    come from the large-star/small-star CC labels), then one edge⋈color
+    join checks every edge is bi-chromatic.
+    """
+    from linkgraph.exceptions import NetworkXError
+    from linkgraph.algos.components import connected_components
+    from linkgraph.algos.distance import all_pairs_shortest_path_lengths
+
+    und = g.undirected_view() if g.directed else g
+    comp = connected_components(und)
+    roots = comp.select(F.col("component").alias("id")).distinct()
+    dist = all_pairs_shortest_path_lengths(und, sources=roots)
+    deg0 = und.symmetric_edges().select(F.col("src").alias("id")).distinct()
+    colors = (
+        dist.select("id", (1 - F.pmod(F.col("distance"), F.lit(2))).alias("color"))
+        .join(deg0, "id", "left_semi")  # non-isolates: parity color
+        .unionByName(
+            g.vertices.select("id").join(deg0, "id", "left_anti")
+            .select("id", F.lit(0).cast("long").alias("color"))
+        )
+    ).localCheckpoint()
+    bad = (
+        und.symmetric_edges()
+        .join(colors.select(F.col("id").alias("src"), F.col("color").alias("cs")), "src")
+        .join(colors.select(F.col("id").alias("dst"), F.col("color").alias("cd")), "dst")
+        .filter(F.col("cs") == F.col("cd"))
+    )
+    if not bad.isEmpty():
+        raise NetworkXError("Graph is not bipartite.")
+    return colors
+
+
+def is_bipartite(g: SparkGraph) -> bool:
+    """``basic.py:88``."""
+    from linkgraph.exceptions import NetworkXError
+
+    try:
+        color(g)
+        return True
+    except NetworkXError:
+        return False
+
+
+def sets(g: SparkGraph) -> "tuple[DataFrame, DataFrame]":
+    """Bipartite node sets (X, Y) as two one-column DataFrames
+    (``basic.py:109``). Like the reference, raises
+    :class:`AmbiguousSolution` when the graph is disconnected (the
+    bipartition is not unique) and :class:`NetworkXError` when it is not
+    bipartite."""
+    from linkgraph.exceptions import AmbiguousSolution
+
+    und = g.undirected_view() if g.directed else g
+    from linkgraph.algos.components import connected_components
+
+    n_comp = (
+        connected_components(und).select("component").distinct().count()
+    )
+    if n_comp > 1:
+        raise AmbiguousSolution(
+            "Disconnected graph: ambiguous solution for bipartite sets."
+        )
+    c = color(g)
+    return (
+        c.filter(F.col("color") == 1).select("id"),
+        c.filter(F.col("color") == 0).select("id"),
+    )

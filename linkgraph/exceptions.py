@@ -28,3 +28,13 @@ class PowerIterationFailedConvergence(Exception):
 
 class NotImplementedForDirected(Exception):
     """Mirror of ``networkx.NetworkXNotImplemented`` for directed input."""
+
+
+class NetworkXError(Exception):
+    """Mirror of ``networkx.NetworkXError`` (``networkx/exception.py:19``)
+    for semantic errors like 2-coloring a non-bipartite graph."""
+
+
+class AmbiguousSolution(Exception):
+    """Mirror of ``networkx.AmbiguousSolution`` (``networkx/exception.py:168``):
+    bipartite ``sets`` of a disconnected graph are not unique."""
