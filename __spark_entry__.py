@@ -1075,6 +1075,41 @@ def q_copurchase_voterank10(spark, sf_dir):
     )
 
 
+def q_copurchase_swap_degree_histogram(spark, sf_dir):
+    # Degree-preservation invariant of the parallel double-edge-swap null
+    # model: after m attempted swaps the degree histogram must be IDENTICAL
+    # to the original graph's (the oracle recomputes it from the raw edges).
+    from linkgraph.algos.swap import double_edge_swap
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    m = g.edges.count()
+    swapped = double_edge_swap(g, nswap=m, seed=7, max_rounds=12)
+    return degree_histogram(swapped).select(
+        F.col("degree").cast("long"), F.col("frequency").cast("long")
+    )
+
+
+def q_copurchase_s_metric(spark, sf_dir):
+    from linkgraph.algos.degrees import s_metric
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return spark.createDataFrame(
+        [(round(s_metric(g), 1),)], "s_metric double"
+    )
+
+
+def q_supplier_part_moral_edges(spark, sf_dir):
+    # Moralize the supplier->part digraph: undirected arcs plus marriages
+    # between suppliers sharing a part (the co-parent join).
+    from linkgraph.algos.dag import moral_graph
+
+    g = DS.supplier_part_graph(spark, sf_dir)
+    mg = moral_graph(g)
+    return mg.edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
 def q_chain_bipartite_color(spark, sf_dir):
     # Per-nation chains are paths -> bipartite; the BFS-parity coloring has
     # the closed form 1 - (position-in-chain % 2); single-customer nations
@@ -1139,6 +1174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # drops them). Do not alphabetize.
     return {
         # -- round-3 additions (never driver-checked) ------------------- #
+        "copurchase_swap_degree_histogram": q_copurchase_swap_degree_histogram,
+        "copurchase_s_metric": q_copurchase_s_metric,
+        "supplier_part_moral_edges": q_supplier_part_moral_edges,
         "chain_bipartite_color": q_chain_bipartite_color,
         "hierarchy_ring_bridges": q_hierarchy_ring_bridges,
         "emb_near_dup_survivors": q_emb_near_dup_survivors,
@@ -1719,6 +1757,23 @@ def _voterank_sql(k: int = 10) -> str:
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
+    sqls["copurchase_swap_degree_histogram"] = (
+        f"WITH {_EDGES} SELECT degree, CAST(COUNT(*) AS BIGINT) AS frequency "
+        "FROM deg GROUP BY degree"
+    )
+    sqls["copurchase_s_metric"] = (
+        f"WITH {_EDGES} "
+        "SELECT ROUND(SUM(CAST(du.degree AS DOUBLE) * dv.degree), 1) AS s_metric "
+        "FROM edges e JOIN deg du ON du.id = e.src JOIN deg dv ON dv.id = e.dst"
+    )
+    sqls["supplier_part_moral_edges"] = (
+        "WITH sp AS (SELECT DISTINCT l_suppkey + 1000000 AS s, l_partkey AS p "
+        "FROM lineitem), "
+        "und AS (SELECT CAST(p AS BIGINT) AS src, CAST(s AS BIGINT) AS dst FROM sp), "
+        "marry AS (SELECT CAST(a.s AS BIGINT) AS src, CAST(b.s AS BIGINT) AS dst "
+        "FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s) "
+        "SELECT DISTINCT src, dst FROM (SELECT * FROM und UNION ALL SELECT * FROM marry)"
+    )
     sqls["chain_bipartite_color"] = (
         "SELECT CAST(c_custkey AS BIGINT) AS id, "
         "CASE WHEN COUNT(*) OVER (PARTITION BY c_nationkey) = 1 "

@@ -167,7 +167,11 @@ from linkgraph.algos.selection import (
     maximal_independent_set,
     maximal_matching,
     voterank,
+    dominating_set,
 )
+from linkgraph.algos.degrees import s_metric
+from linkgraph.algos.swap import double_edge_swap
+from linkgraph.algos.dag import moral_graph
 from linkgraph.algos.classification import (
     harmonic_function,
     local_and_global_consistency,
@@ -222,6 +226,10 @@ __all__ = [
     "maximal_independent_set",
     "maximal_matching",
     "voterank",
+    "dominating_set",
+    "s_metric",
+    "moral_graph",
+    "double_edge_swap",
     "harmonic_function",
     "local_and_global_consistency",
     "average_neighbor_degree",

@@ -197,3 +197,26 @@ def dag_longest_path_length(
     arcs.unpersist()
     cache.close(keep_result=False)
     return float(best)
+
+
+def moral_graph(g: SparkGraph):
+    """Moralization of a directed graph (``networkx/algorithms/
+    moral.py:9``): drop directions and marry co-parents — one self-join of
+    the arc table on the common child. Returns an undirected
+    :class:`SparkGraph`."""
+    from linkgraph.graph import SparkGraph
+
+    if not g.directed:
+        raise ValueError("moral_graph: graph must be directed")
+    e = g.edges.select("src", "dst")
+    marry = (
+        e.alias("a")
+        .join(e.alias("b"), (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
+        .select(F.col("a.src").alias("src"), F.col("b.src").alias("dst"))
+    )
+    return SparkGraph(
+        e.unionByName(marry),
+        g.vertices.select("id"),
+        directed=False,
+        coalesce_edges=True,
+    )

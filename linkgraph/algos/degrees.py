@@ -94,3 +94,17 @@ def degree_centrality(g: SparkGraph) -> DataFrame:
     return degrees(g).select(
         "id", (F.col("degree") * F.lit(s)).alias("centrality")
     )
+
+
+def s_metric(g: SparkGraph) -> float:
+    """Sum of deg(u)·deg(v) over edges (``networkx/algorithms/
+    smetric.py:5``, Li et al. 2005 scale-free metric) — one degree join
+    over the edge table."""
+    deg = degrees(g)
+    row = (
+        g.edges.join(deg.select(F.col("id").alias("src"), F.col("degree").alias("du")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("dv")), "dst")
+        .agg(F.sum(F.col("du").cast("double") * F.col("dv")).alias("s"))
+        .first()
+    )
+    return float(row["s"] or 0.0)

@@ -22,18 +22,38 @@ from linkgraph.graph import SparkGraph
 from linkgraph.exceptions import NotImplementedForDirected
 
 
-def rich_club_coefficient(g: SparkGraph, normalized: bool = False) -> DataFrame:
+def rich_club_coefficient(
+    g: SparkGraph, normalized: bool = False, Q: int = 100, seed: int = 42
+) -> DataFrame:
     """DataFrame ``(degree BIGINT, coefficient DOUBLE)`` for k = 0.. while
-    N_k > 1 — the reference's result dict as rows."""
+    N_k > 1 — the reference's result dict as rows.
+
+    ``normalized=True`` divides by the coefficient of a degree-preserving
+    null model with Q·m double-edge swaps (``richclub.py:96``), generated
+    by the distributed parallel Maslov–Sneppen rounds of
+    :func:`linkgraph.algos.swap.double_edge_swap` (same null-model family
+    as the reference, different random trajectory — documented deviation;
+    degrees preserved exactly)."""
     if g.directed:
         raise NotImplementedForDirected(
             "rich_club_coefficient: not implemented for directed type"
         )
     if normalized:
-        raise NotImplementedError(
-            "normalized rich-club needs the sequential double-edge-swap "
-            "null model (richclub.py:96) — run normalized=False and "
-            "normalize against a generated null model externally"
+        from linkgraph.algos.swap import double_edge_swap
+
+        m = g.edges.filter(F.col("src") != F.col("dst")).count()
+        null = double_edge_swap(
+            g, nswap=Q * m, seed=seed, max_rounds=max(50, 8 * Q)
+        )
+        rc = rich_club_coefficient(g, normalized=False)
+        rc_null = rich_club_coefficient(null, normalized=False).select(
+            "degree", F.col("coefficient").alias("c0")
+        )
+        return rc.join(rc_null, "degree", "left").select(
+            "degree",
+            F.when(F.col("c0") > 0, F.col("coefficient") / F.col("c0"))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("coefficient"),
         )
     e = g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
     deg = (

@@ -39,7 +39,7 @@ from linkgraph.graph import SparkGraph
 from linkgraph.exceptions import NotImplementedForDirected
 from linkgraph.iterutils import SuperstepCache
 
-__all__ = ["maximal_independent_set", "maximal_matching", "voterank"]
+__all__ = ["maximal_independent_set", "maximal_matching", "voterank", "dominating_set"]
 
 
 class NetworkXUnfeasible(Exception):
@@ -286,3 +286,14 @@ def voterank(g: SparkGraph, number_of_nodes: Optional[int] = None) -> DataFrame:
         )
     finally:
         cache.close()
+
+
+def dominating_set(g: SparkGraph, seed: int = 42) -> DataFrame:
+    """(id): a dominating set (``networkx/algorithms/dominating.py:10``
+    contract: every node is in the set or adjacent to it). The reference
+    grows one greedily in scan order — sequential — so this returns a
+    maximal independent set instead, which is always a minimal dominating
+    set (every MIS is dominating by maximality, and minimal by
+    independence); Luby's rounds make it distributed and deterministic
+    per ``seed``."""
+    return maximal_independent_set(g, seed=seed)

@@ -259,3 +259,47 @@ def test_harmonic_no_labels_raises(spark):
     g = from_nx(spark, nx.path_graph(3))
     with pytest.raises(ValueError):
         CLS.harmonic_function(g)
+
+
+# ------------------------- quick-win operators -------------------------- #
+
+
+def test_s_metric(spark):
+    from linkgraph.algos.degrees import s_metric
+
+    G = _gnp(30, 0.12, seed=41)
+    assert s_metric(from_nx(spark, G)) == nx.s_metric(G)
+
+
+def test_moral_graph(spark):
+    from linkgraph.algos.dag import moral_graph
+
+    G = nx.DiGraph([(1, 2), (2, 3), (2, 5), (3, 4), (4, 3)])
+    want = {frozenset(e) for e in nx.moral_graph(G).edges()}
+    mg = moral_graph(from_nx(spark, G))
+    got = {
+        frozenset((r["src"], r["dst"])) for r in mg.edges.select("src", "dst").collect()
+    }
+    assert got == want
+    assert mg.directed is False
+
+
+def test_moral_graph_gnp(spark):
+    from linkgraph.algos.dag import moral_graph
+
+    G = _gnp(25, 0.1, seed=43, directed=True)
+    want = {frozenset(e) for e in nx.moral_graph(G).edges() if len(frozenset(e)) == 2}
+    mg = moral_graph(from_nx(spark, G))
+    got = {
+        frozenset((r["src"], r["dst"]))
+        for r in mg.edges.select("src", "dst").collect()
+        if r["src"] != r["dst"]
+    }
+    assert got == want
+
+
+def test_dominating_set(spark):
+    G = _gnp(40, 0.1, seed=47)
+    G.add_node(99)
+    ds = {r["id"] for r in SEL.dominating_set(from_nx(spark, G)).collect()}
+    assert nx.is_dominating_set(G, ds)
