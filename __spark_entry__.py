@@ -1075,6 +1075,16 @@ def q_copurchase_voterank10(spark, sf_dir):
     )
 
 
+def q_copurchase_square_clustering(spark, sf_dir):
+    from linkgraph.algos.triangles import square_clustering
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return square_clustering(g).select(
+        F.col("id").cast("long"),
+        F.round("square_clustering", 6).alias("square_clustering"),
+    )
+
+
 def q_copurchase_swap_degree_histogram(spark, sf_dir):
     # Degree-preservation invariant of the parallel double-edge-swap null
     # model: after m attempted swaps the degree histogram must be IDENTICAL
@@ -1174,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # drops them). Do not alphabetize.
     return {
         # -- round-3 additions (never driver-checked) ------------------- #
+        "copurchase_square_clustering": q_copurchase_square_clustering,
         "copurchase_swap_degree_histogram": q_copurchase_swap_degree_histogram,
         "copurchase_s_metric": q_copurchase_s_metric,
         "supplier_part_moral_edges": q_supplier_part_moral_edges,
@@ -1757,6 +1768,32 @@ def _voterank_sql(k: int = 10) -> str:
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
+    _SYM0 = (
+        "sym AS (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges)"
+    )
+
+    sqls["copurchase_square_clustering"] = (
+        f"WITH {_EDGES}, {_SYM0}, "
+        "p2t AS MATERIALIZED (SELECT x.dst AS id, y.dst AS a, COUNT(*) AS p2 "
+        "FROM sym x JOIN sym y ON y.src = x.src AND x.dst <> y.dst GROUP BY 1, 2), "
+        "sq AS (SELECT id, SUM(p2 * (p2 - 1)) / 2.0 AS squares FROM p2t GROUP BY id), "
+        "tt AS (SELECT p2t.id, SUM(p2) AS tterm FROM p2t "
+        "JOIN sym s ON s.src = p2t.id AND s.dst = p2t.a GROUP BY 1), "
+        "sk AS (SELECT s.src AS id, SUM(d.degree) AS sumk FROM sym s "
+        "JOIN deg d ON d.id = s.dst GROUP BY 1) "
+        "SELECT CAST(deg.id AS BIGINT) AS id, "
+        "ROUND(CASE WHEN deg.degree <= 1 THEN 0.0 "
+        "WHEN (deg.degree - 1) * COALESCE(sk.sumk, 0) "
+        "- deg.degree * (deg.degree - 1) "
+        "- COALESCE(tt.tterm, 0) - COALESCE(sq.squares, 0) > 0 "
+        "THEN COALESCE(sq.squares, 0) / ((deg.degree - 1) * COALESCE(sk.sumk, 0) "
+        "- deg.degree * (deg.degree - 1) "
+        "- COALESCE(tt.tterm, 0) - COALESCE(sq.squares, 0)) "
+        "ELSE 0.0 END, 6) AS square_clustering "
+        "FROM deg LEFT JOIN sq ON sq.id = deg.id "
+        "LEFT JOIN tt ON tt.id = deg.id LEFT JOIN sk ON sk.id = deg.id"
+    )
     sqls["copurchase_swap_degree_histogram"] = (
         f"WITH {_EDGES} SELECT degree, CAST(COUNT(*) AS BIGINT) AS frequency "
         "FROM deg GROUP BY degree"
@@ -1819,10 +1856,6 @@ def oracle_sql() -> dict[str, str]:
         "CAST(0 AS BIGINT) AS uncovered_edges"
     )
 
-    _SYM0 = (
-        "sym AS (SELECT src, dst FROM edges "
-        "UNION ALL SELECT dst AS src, src AS dst FROM edges)"
-    )
     sqls["copurchase_avg_nbr_degree"] = (
         f"WITH {_EDGES}, {_SYM0}, "
         "a AS (SELECT s.src AS id, AVG(CAST(d.degree AS DOUBLE)) AS a "

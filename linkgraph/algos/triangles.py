@@ -174,3 +174,87 @@ def transitivity(g: SparkGraph) -> float:
     ).first()
     t, w = row["t"] or 0, row["w"] or 0
     return 0.0 if w == 0 else 2.0 * t / w
+
+
+def square_clustering(g: SparkGraph) -> DataFrame:
+    """DataFrame (id, square_clustering) — C4 coefficient
+    (``cluster.py:590``, Lind et al. 2005 / Zhang et al. 2008 form).
+
+    Relational reformulation of the reference's per-node set loops: with
+    P(v,a) = |N(v) ∩ N(a)| (the wedge pair-count table — one degree-bounded
+    self-join, the same cost class as triangle counting),
+
+    - squares(v)        = Σ_a P(v,a)·(P(v,a)−1) / 2
+    - triangles_term(v) = Σ_{a∈N(v)} P(v,a)      (= 2·T(v))
+    - uw_degrees(v)     = (k_v−1) · Σ_{u∈N(v)} k_u,  uw_count = k_v(k_v−1)
+    - C4(v) = squares / (uw_degrees − uw_count − triangles_term − squares),
+      0 when k_v ≤ 1 or the denominator is ≤ 0 — exactly the reference's
+      accumulator algebra, so values match to the double.
+    """
+    e = _simple_edges(g)
+    sym = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("k"))
+    # wedge pair counts P(v, a), v != a
+    pairs = (
+        sym.alias("x")
+        .join(sym.alias("y"), F.col("x.u") == F.col("y.u"))
+        .filter(F.col("x.v") != F.col("y.v"))
+        .groupBy(F.col("x.v").alias("id"), F.col("y.v").alias("a"))
+        .agg(F.count(F.lit(1)).alias("p2"))
+    ).persist()
+    sq = pairs.groupBy("id").agg(
+        (F.sum(F.col("p2") * (F.col("p2") - 1)) / 2).alias("squares")
+    )
+    tri = (
+        pairs.join(
+            sym.select(F.col("u").alias("id"), F.col("v").alias("a")), ["id", "a"]
+        )
+        .groupBy("id")
+        .agg(F.sum("p2").alias("tterm"))
+    )
+    sumdeg = (
+        sym.join(deg.select(F.col("id").alias("v"), F.col("k").alias("ku")), "v")
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.sum("ku").alias("sumk"))
+    )
+    out = (
+        g.vertices.select("id")
+        .join(deg, "id", "left")
+        .join(sq, "id", "left")
+        .join(tri, "id", "left")
+        .join(sumdeg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("k", F.lit(0)).alias("k"),
+            F.coalesce("squares", F.lit(0.0)).alias("squares"),
+            F.coalesce("tterm", F.lit(0)).alias("tterm"),
+            F.coalesce("sumk", F.lit(0)).alias("sumk"),
+        )
+        .select(
+            "id",
+            F.when(F.col("k") <= 1, F.lit(0.0))
+            .otherwise(
+                F.when(
+                    (F.col("k") - 1) * F.col("sumk")
+                    - F.col("k") * (F.col("k") - 1)
+                    - F.col("tterm")
+                    - F.col("squares")
+                    > 0,
+                    F.col("squares")
+                    / (
+                        (F.col("k") - 1) * F.col("sumk")
+                        - F.col("k") * (F.col("k") - 1)
+                        - F.col("tterm")
+                        - F.col("squares")
+                    ),
+                ).otherwise(F.lit(0.0))
+            )
+            .alias("square_clustering"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    pairs.unpersist()
+    return out

@@ -98,3 +98,66 @@ def test_transitivity_no_wedges(spark):
     G.add_nodes_from([1, 2])
     g = from_nx(spark, G)
     assert transitivity(g) == 0.0
+
+
+# --------------------------- square clustering -------------------------- #
+
+
+def test_square_clustering_complete(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.triangles import square_clustering
+
+    G = nx.complete_graph(5)
+    want = nx.square_clustering(G)
+    got = {
+        r["id"]: r["square_clustering"]
+        for r in square_clustering(from_nx(spark, G)).collect()
+    }
+    assert got == pytest.approx(want)
+
+
+def test_square_clustering_cycle4(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.triangles import square_clustering
+
+    G = nx.cycle_graph(4)
+    want = nx.square_clustering(G)
+    got = {
+        r["id"]: r["square_clustering"]
+        for r in square_clustering(from_nx(spark, G)).collect()
+    }
+    assert got == pytest.approx(want)
+
+
+def test_square_clustering_gnp(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.triangles import square_clustering
+
+    G = nx.gnp_random_graph(35, 0.15, seed=13)
+    G.add_node(99)
+    want = nx.square_clustering(G)
+    got = {
+        r["id"]: r["square_clustering"]
+        for r in square_clustering(from_nx(spark, G)).collect()
+    }
+    assert set(got) == set(want)
+    for n, v in want.items():
+        assert got[n] == pytest.approx(v, abs=1e-12)
+
+
+def test_square_clustering_bipartite(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.triangles import square_clustering
+
+    G = nx.bipartite.random_graph(10, 8, 0.4, seed=7)
+    want = nx.square_clustering(G)
+    got = {
+        r["id"]: r["square_clustering"]
+        for r in square_clustering(from_nx(spark, G)).collect()
+    }
+    for n, v in want.items():
+        assert got[n] == pytest.approx(v, abs=1e-12)
