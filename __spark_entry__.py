@@ -1160,6 +1160,48 @@ def q_hierarchy_ring_bridges(spark, sf_dir):
     return bridges(g).select(F.col("u").cast("long"), F.col("v").cast("long"))
 
 
+def _hierarchy_ring(spark, sf_dir):
+    from linkgraph.graph import SparkGraph
+
+    base = DS.hierarchy_dag_graph(spark, sf_dir)
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        (F.col("r_regionkey") + DS.REGION_OFFSET).cast("long").alias("id")
+    )
+    n_r = r.count()
+    ring = r.select(
+        F.col("id").alias("src"),
+        ((F.col("id") - DS.REGION_OFFSET + 1) % n_r + DS.REGION_OFFSET)
+        .cast("long")
+        .alias("dst"),
+    )
+    return SparkGraph(
+        base.edges.select("src", "dst").unionByName(ring),
+        base.vertices.select("id"),
+        directed=False,
+        coalesce_edges=True,
+    )
+
+
+def q_hierarchy_ring_articulation(spark, sf_dir):
+    # Closed form: every nation (cuts its customers off) and every region
+    # (cuts its nations off the ring) is an articulation point; customers
+    # are leaves and the region ring itself is 2-connected.
+    from linkgraph.algos.biconnected import articulation_points
+
+    g = _hierarchy_ring(spark, sf_dir)
+    return articulation_points(g).select(F.col("id").cast("long"))
+
+
+def q_hierarchy_ring_block_count(spark, sf_dir):
+    # Closed form: one block per tree edge (|nation| + |customer|) plus the
+    # region ring as a single 2-connected block.
+    from linkgraph.algos.biconnected import biconnected_components
+
+    g = _hierarchy_ring(spark, sf_dir)
+    n = biconnected_components(g).select("block").distinct().count()
+    return spark.createDataFrame([(n,)], "blocks long")
+
+
 def q_emb_near_dup_survivors(spark, sf_dir):
     # The embeddings table has no natural near-dups (max pair cosine ~0.5),
     # so every 20th vector gets an exact copy at vec_id+100000; clusters are
@@ -1189,6 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_s_metric": q_copurchase_s_metric,
         "supplier_part_moral_edges": q_supplier_part_moral_edges,
         "chain_bipartite_color": q_chain_bipartite_color,
+        "hierarchy_ring_articulation": q_hierarchy_ring_articulation,
+        "hierarchy_ring_block_count": q_hierarchy_ring_block_count,
         "hierarchy_ring_bridges": q_hierarchy_ring_bridges,
         "emb_near_dup_survivors": q_emb_near_dup_survivors,
         "chain_harmonic_labels": q_chain_harmonic_labels,
@@ -1817,6 +1861,14 @@ def oracle_sql() -> dict[str, str]:
         "THEN CAST(0 AS BIGINT) ELSE CAST(1 - (ROW_NUMBER() OVER "
         "(PARTITION BY c_nationkey ORDER BY c_custkey) - 1) % 2 AS BIGINT) "
         "END AS color FROM customer"
+    )
+    sqls["hierarchy_ring_articulation"] = (
+        "SELECT DISTINCT CAST(c_nationkey + 1000000 AS BIGINT) AS id FROM customer "
+        "UNION SELECT DISTINCT CAST(n_regionkey + 2000000 AS BIGINT) FROM nation"
+    )
+    sqls["hierarchy_ring_block_count"] = (
+        "SELECT CAST((SELECT COUNT(*) FROM nation) "
+        "+ (SELECT COUNT(*) FROM customer) + 1 AS BIGINT) AS blocks"
     )
     sqls["hierarchy_ring_bridges"] = (
         "SELECT CAST(n_nationkey + 1000000 AS BIGINT) AS u, "

@@ -158,6 +158,10 @@ from linkgraph.algos.bipartite import (
     is_bipartite,
     sets as bipartite_sets,
 )
+from linkgraph.algos.biconnected import (
+    biconnected_components,
+    articulation_points,
+)
 from linkgraph.algos.bridges import (
     bridges,
     has_bridges,
@@ -223,6 +227,8 @@ __all__ = [
     "bridges",
     "has_bridges",
     "two_edge_connected_components",
+    "biconnected_components",
+    "articulation_points",
     "maximal_independent_set",
     "maximal_matching",
     "voterank",

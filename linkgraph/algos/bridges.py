@@ -60,7 +60,7 @@ def _simple(g: SparkGraph) -> DataFrame:
 
 
 def _bfs_forest(g: SparkGraph, e: DataFrame, cache: SuperstepCache) -> DataFrame:
-    """(child, parent) rows of a BFS spanning forest rooted at each
+    """(child, parent, depth) rows of a BFS spanning forest rooted at each
     component's min id. Deterministic: ties pick the minimum parent."""
     sym = e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     comp = connected_components(g)
@@ -68,13 +68,16 @@ def _bfs_forest(g: SparkGraph, e: DataFrame, cache: SuperstepCache) -> DataFrame
     visited = cache.truncate(roots)
     frontier = visited
     parents = []
+    depth = 0
     while True:
+        depth += 1
         nxt = (
             sym.join(frontier.select(F.col("id").alias("u")), "u")
             .select(F.col("v").alias("id"), F.col("u").alias("parent"))
             .join(visited, "id", "left_anti")
             .groupBy("id")
             .agg(F.min("parent").alias("parent"))
+            .select("id", "parent", F.lit(depth).cast("long").alias("depth"))
         )
         nxt = cache.truncate(nxt)
         if nxt.isEmpty():
@@ -83,7 +86,7 @@ def _bfs_forest(g: SparkGraph, e: DataFrame, cache: SuperstepCache) -> DataFrame
         frontier = nxt.select("id")
         visited = cache.truncate(visited.unionAll(frontier), retire=visited)
     if not parents:
-        return g.spark.createDataFrame([], "id long, parent long")
+        return g.spark.createDataFrame([], "id long, parent long, depth long")
     out = parents[0]
     for p in parents[1:]:
         out = out.unionAll(p)
