@@ -1075,6 +1075,32 @@ def q_copurchase_voterank10(spark, sf_dir):
     )
 
 
+def q_copurchase_attr_assortativity(spark, sf_dir):
+    # Categorical assortativity over a synthetic id%4 node attribute; the
+    # oracle replays the matrix-free identity over the symmetric arc table.
+    from linkgraph.algos.assortativity import attribute_assortativity_coefficient
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    attrs = g.vertices.select("id", (F.col("id") % 4).cast("string").alias("grp"))
+    r = attribute_assortativity_coefficient(g.with_node_attrs(attrs), "grp")
+    return spark.createDataFrame([(round(r, 6),)], "assortativity double")
+
+
+def q_ring0_is_eulerian(spark, sf_dir):
+    # The nation-0 customer ring is one directed cycle: in==out everywhere
+    # and a single SCC -> Eulerian (closed form TRUE); exercises the SCC
+    # machinery inside the check.
+    from linkgraph.algos.cycles import is_eulerian
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n0 = c.agg(F.min("c_nationkey")).first()[0]
+    ids = c.filter(F.col("c_nationkey") == n0).select(F.col("c_custkey").alias("id"))
+    g = DS.customer_ring_graph(spark, sf_dir).subgraph(ids)
+    return spark.createDataFrame(
+        [(1 if is_eulerian(g) else 0,)], "is_eulerian long"
+    )
+
+
 def q_copurchase_square_clustering(spark, sf_dir):
     from linkgraph.algos.triangles import square_clustering
 
@@ -1226,6 +1252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # drops them). Do not alphabetize.
     return {
         # -- round-3 additions (never driver-checked) ------------------- #
+        "copurchase_attr_assortativity": q_copurchase_attr_assortativity,
+        "ring0_is_eulerian": q_ring0_is_eulerian,
         "copurchase_square_clustering": q_copurchase_square_clustering,
         "copurchase_swap_degree_histogram": q_copurchase_swap_degree_histogram,
         "copurchase_s_metric": q_copurchase_s_metric,
@@ -1817,6 +1845,17 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT dst AS src, src AS dst FROM edges)"
     )
 
+    sqls["copurchase_attr_assortativity"] = (
+        f"WITH {_EDGES}, {_SYM0}, "
+        "pr AS (SELECT src % 4 AS xa, dst % 4 AS xb FROM sym), "
+        "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM pr), "
+        "tr AS (SELECT COUNT(*) / (SELECT t FROM tot) AS tr FROM pr WHERE xa = xb), "
+        "rs AS (SELECT xa AS z, COUNT(*) / (SELECT t FROM tot) AS r FROM pr GROUP BY 1), "
+        "cs AS (SELECT xb AS z, COUNT(*) / (SELECT t FROM tot) AS c FROM pr GROUP BY 1), "
+        "s AS (SELECT SUM(r * c) AS s FROM rs JOIN cs ON rs.z = cs.z) "
+        "SELECT ROUND(((SELECT tr FROM tr) - s.s) / (1 - s.s), 6) AS assortativity FROM s"
+    )
+    sqls["ring0_is_eulerian"] = "SELECT CAST(1 AS BIGINT) AS is_eulerian"
     sqls["copurchase_square_clustering"] = (
         f"WITH {_EDGES}, {_SYM0}, "
         "p2t AS MATERIALIZED (SELECT x.dst AS id, y.dst AS a, COUNT(*) AS p2 "

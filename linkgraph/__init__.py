@@ -174,6 +174,12 @@ from linkgraph.algos.selection import (
     dominating_set,
 )
 from linkgraph.algos.degrees import s_metric
+from linkgraph.algos.assortativity import (
+    attribute_assortativity_coefficient,
+    numeric_assortativity_coefficient,
+)
+from linkgraph.algos.cycles import is_eulerian, has_eulerian_path
+from linkgraph.algos.triangles import square_clustering
 from linkgraph.algos.swap import double_edge_swap
 from linkgraph.algos.dag import moral_graph
 from linkgraph.algos.classification import (
@@ -236,6 +242,11 @@ __all__ = [
     "s_metric",
     "moral_graph",
     "double_edge_swap",
+    "attribute_assortativity_coefficient",
+    "numeric_assortativity_coefficient",
+    "is_eulerian",
+    "has_eulerian_path",
+    "square_clustering",
     "harmonic_function",
     "local_and_global_consistency",
     "average_neighbor_degree",

@@ -48,3 +48,60 @@ def degree_assortativity_coefficient(g: SparkGraph) -> float:
             )
         )
     return joined.agg(F.corr(F.col("dx").cast("double"), F.col("dy").cast("double"))).first()[0]
+
+
+def _attr_arcs(g: SparkGraph, attribute: str):
+    """(xa, xb): attribute values at the two ends of every arc (both
+    orientations for undirected — the symmetrized mixing matrix)."""
+    vals = g.node_data(attribute).withColumnRenamed(attribute, "_x")
+    arcs = g.symmetric_edges().select("src", "dst")
+    return (
+        arcs.join(vals.select(F.col("id").alias("src"), F.col("_x").alias("xa")), "src")
+        .join(vals.select(F.col("id").alias("dst"), F.col("_x").alias("xb")), "dst")
+        .select("xa", "xb")
+    )
+
+
+def attribute_assortativity_coefficient(g: SparkGraph, attribute: str) -> float:
+    """Categorical assortativity over a node attribute column
+    (``correlation.py:192``): r = (tr e − Σ(e·e)) / (1 − Σ(e·e)) for the
+    edge-wise joint distribution e of attribute pairs.
+
+    Matrix-free identity: Σ over all entries of e·e equals
+    Σ_z rowsum(z)·colsum(z) — so the whole coefficient is three
+    aggregations over the attribute-pair arc table, no matrices.
+    """
+    pairs = _attr_arcs(g, attribute).persist()
+    total = pairs.count()
+    if total == 0:
+        pairs.unpersist()
+        return float("nan")
+    tr = pairs.filter(F.col("xa") == F.col("xb")).count() / total
+    rows = pairs.groupBy(F.col("xa").alias("z")).agg(
+        (F.count(F.lit(1)) / total).alias("rs")
+    )
+    cols = pairs.groupBy(F.col("xb").alias("z")).agg(
+        (F.count(F.lit(1)) / total).alias("cs")
+    )
+    s = (
+        rows.join(cols, "z")
+        .agg(F.sum(F.col("rs") * F.col("cs")))
+        .first()[0]
+        or 0.0
+    )
+    pairs.unpersist()
+    if s == 1.0:
+        return float("nan")
+    return (tr - s) / (1.0 - s)
+
+
+def numeric_assortativity_coefficient(g: SparkGraph, attribute: str) -> float:
+    """Numeric assortativity over a node attribute column
+    (``correlation.py:136``) — the Pearson correlation of the attribute
+    values across edges, identical to the reference's mixing-matrix form;
+    one ``corr`` aggregate over the arc table."""
+    pairs = _attr_arcs(g, attribute).select(
+        F.col("xa").cast("double"), F.col("xb").cast("double")
+    )
+    r = pairs.agg(F.corr("xa", "xb")).first()[0]
+    return float("nan") if r is None else float(r)

@@ -110,3 +110,56 @@ def simple_cycles(g: SparkGraph, length_bound: int) -> DataFrame:
         cache.close(keep_result=True)
         return result
     return out.localCheckpoint(eager=True)
+
+
+def is_eulerian(g) -> bool:
+    """``networkx/algorithms/euler.py:18``: every degree even + connected
+    (undirected), or in==out everywhere + strongly connected (directed)."""
+    from pyspark.sql import functions as F
+    from linkgraph.algos.degrees import in_degrees, out_degrees, degrees
+    from linkgraph.algos.components import connected_components
+    from linkgraph.algos.strongly_connected import strongly_connected_components
+
+    if g.directed:
+        bal = (
+            in_degrees(g).withColumnRenamed("degree", "din")
+            .join(out_degrees(g).withColumnRenamed("degree", "dout"), "id")
+            .filter(F.col("din") != F.col("dout"))
+        )
+        if not bal.isEmpty():
+            return False
+        scc = strongly_connected_components(g)
+        return scc.select("component").distinct().count() == 1
+    odd = degrees(g).filter(F.col("degree") % 2 == 1)
+    if not odd.isEmpty():
+        return False
+    return connected_components(g).select("component").distinct().count() == 1
+
+
+def has_eulerian_path(g) -> bool:
+    """``euler.py:57``: Eulerian, or exactly one unbalanced pair (directed)
+    / exactly two odd-degree vertices (undirected), and (weakly)
+    connected."""
+    from pyspark.sql import functions as F
+    from linkgraph.algos.degrees import in_degrees, out_degrees, degrees
+    from linkgraph.algos.components import connected_components
+
+    if is_eulerian(g):
+        return True
+    if g.directed:
+        bal = (
+            in_degrees(g).withColumnRenamed("degree", "din")
+            .join(out_degrees(g).withColumnRenamed("degree", "dout"), "id")
+            .select((F.col("din") - F.col("dout")).alias("d"))
+        )
+        counts = bal.groupBy("d").count().collect()
+        ins = sum(r["count"] for r in counts if r["d"] == 1)
+        outs = sum(r["count"] for r in counts if r["d"] == -1)
+        bad = sum(r["count"] for r in counts if abs(r["d"]) > 1)
+        if bad or ins > 1 or outs > 1:
+            return False
+        return connected_components(g).select("component").distinct().count() == 1
+    n_odd = degrees(g).filter(F.col("degree") % 2 == 1).count()
+    if n_odd != 2:
+        return False
+    return connected_components(g).select("component").distinct().count() == 1
