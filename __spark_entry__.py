@@ -1075,6 +1075,16 @@ def q_copurchase_voterank10(spark, sf_dir):
     )
 
 
+def q_copurchase_laplacian(spark, sf_dir):
+    from linkgraph.algos.degrees import laplacian_centrality
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return laplacian_centrality(g).select(
+        F.col("id").cast("long"),
+        F.round("laplacian_centrality", 8).alias("laplacian_centrality"),
+    )
+
+
 def q_copurchase_attr_assortativity(spark, sf_dir):
     # Categorical assortativity over a synthetic id%4 node attribute; the
     # oracle replays the matrix-free identity over the symmetric arc table.
@@ -1252,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # drops them). Do not alphabetize.
     return {
         # -- round-3 additions (never driver-checked) ------------------- #
+        "copurchase_laplacian": q_copurchase_laplacian,
         "copurchase_attr_assortativity": q_copurchase_attr_assortativity,
         "ring0_is_eulerian": q_ring0_is_eulerian,
         "copurchase_square_clustering": q_copurchase_square_clustering,
@@ -1845,6 +1856,17 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT dst AS src, src AS dst FROM edges)"
     )
 
+    sqls["copurchase_laplacian"] = (
+        f"WITH {_EDGES}, {_SYM0}, "
+        "en AS (SELECT CAST(SUM(degree * degree) + SUM(degree) AS DOUBLE) AS e "
+        "FROM deg), "
+        "ns AS (SELECT s.src AS id, SUM(d.degree) AS s FROM sym s "
+        "JOIN deg d ON d.id = s.dst GROUP BY 1) "
+        "SELECT CAST(deg.id AS BIGINT) AS id, "
+        "ROUND((deg.degree * deg.degree + deg.degree + 2 * COALESCE(ns.s, 0)) "
+        "/ (SELECT e FROM en), 8) AS laplacian_centrality "
+        "FROM deg LEFT JOIN ns ON ns.id = deg.id"
+    )
     sqls["copurchase_attr_assortativity"] = (
         f"WITH {_EDGES}, {_SYM0}, "
         "pr AS (SELECT src % 4 AS xa, dst % 4 AS xb FROM sym), "

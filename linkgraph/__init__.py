@@ -173,7 +173,7 @@ from linkgraph.algos.selection import (
     voterank,
     dominating_set,
 )
-from linkgraph.algos.degrees import s_metric
+from linkgraph.algos.degrees import s_metric, laplacian_centrality
 from linkgraph.algos.assortativity import (
     attribute_assortativity_coefficient,
     numeric_assortativity_coefficient,
@@ -246,6 +246,7 @@ __all__ = [
     "numeric_assortativity_coefficient",
     "is_eulerian",
     "has_eulerian_path",
+    "laplacian_centrality",
     "square_clustering",
     "harmonic_function",
     "local_and_global_consistency",

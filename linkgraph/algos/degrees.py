@@ -108,3 +108,46 @@ def s_metric(g: SparkGraph) -> float:
         .first()
     )
     return float(row["s"] or 0.0)
+
+
+def laplacian_centrality(g: SparkGraph, normalized: bool = True) -> DataFrame:
+    """(id, laplacian_centrality): drop in Laplacian energy when the node
+    is removed (``networkx/algorithms/centrality/laplacian.py:12``),
+    unweighted form.
+
+    Closed form — no per-node graph surgery: E(G) = tr(L²) = Σd² + 2m and
+    ΔE(v) = d_v² + d_v + 2·Σ_{u∈N(v)} d_u, so the whole measure is the
+    degree table joined to one neighbor-degree sum. Weighted graphs would
+    need the full Laplacian spectrum — not supported here (raise), like
+    the reference's separate weighted path.
+    """
+    deg = degrees(g).persist()
+    sym = g.symmetric_edges().select("src", "dst")
+    nbr_sum = (
+        sym.join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("nd")), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("nd").alias("s"))
+    )
+    row = deg.agg(
+        F.sum(F.col("degree") * F.col("degree")).alias("sq"),
+        F.sum("degree").alias("dd"),
+    ).first()
+    energy = float((row["sq"] or 0) + (row["dd"] or 0))
+    scale = 1.0 / energy if (normalized and energy > 0) else 1.0
+    out = (
+        deg.join(nbr_sum, "id", "left")
+        .select(
+            "id",
+            (
+                (
+                    F.col("degree") * F.col("degree")
+                    + F.col("degree")
+                    + 2 * F.coalesce("s", F.lit(0))
+                )
+                * F.lit(scale)
+            ).alias("laplacian_centrality"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    deg.unpersist()
+    return out

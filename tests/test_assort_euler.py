@@ -98,3 +98,50 @@ def test_is_eulerian_directed(spark):
 def test_has_eulerian_path(spark, edges, directed):
     G = nx.DiGraph(edges) if directed else nx.Graph(edges)
     assert has_eulerian_path(from_nx(spark, G)) is nx.has_eulerian_path(G)
+
+
+def _lap_want(G, normalized=True):
+    """Pure-python replica of the reference definition (no scipy in the
+    container): energy = tr(L^2) via numpy on the dense Laplacian, node
+    removal = row/col deletion (laplacian.py:12 semantics)."""
+    import numpy as np
+
+    nodes = list(G.nodes())
+    A = nx.to_numpy_array(G, nodelist=nodes)
+    L = np.diag(A.sum(axis=1)) - A
+    E = np.trace(L @ L)
+    out = {}
+    for i, n in enumerate(nodes):
+        keep = [j for j in range(len(nodes)) if j != i]
+        A2 = A[np.ix_(keep, keep)]
+        L2 = np.diag(A2.sum(axis=1)) - A2
+        dE = E - np.trace(L2 @ L2)
+        out[n] = dE / E if normalized else dE
+    return out
+
+
+def test_laplacian_centrality(spark):
+    from linkgraph.algos.degrees import laplacian_centrality
+
+    G = nx.gnp_random_graph(30, 0.15, seed=13)
+    want = _lap_want(G)
+    got = {
+        r["id"]: r["laplacian_centrality"]
+        for r in laplacian_centrality(from_nx(spark, G)).collect()
+    }
+    assert set(got) == set(want)
+    for n, v in want.items():
+        assert got[n] == pytest.approx(v, abs=1e-9)
+
+
+def test_laplacian_centrality_unnormalized(spark):
+    from linkgraph.algos.degrees import laplacian_centrality
+
+    G = nx.gnp_random_graph(20, 0.2, seed=17)
+    want = _lap_want(G, normalized=False)
+    got = {
+        r["id"]: r["laplacian_centrality"]
+        for r in laplacian_centrality(from_nx(spark, G), normalized=False).collect()
+    }
+    for n, v in want.items():
+        assert got[n] == pytest.approx(v, abs=1e-9)
