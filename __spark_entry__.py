@@ -1075,6 +1075,28 @@ def q_copurchase_voterank10(spark, sf_dir):
     )
 
 
+def q_ring0_connectivity(spark, sf_dir):
+    # On the undirected nation-0 customer cycle, both the local edge and
+    # node connectivity between two non-adjacent customers are exactly 2
+    # (Menger on a cycle) — computed via unit-capacity max-flow and the
+    # vertex-splitting reduction respectively.
+    from linkgraph.algos.flow import edge_connectivity, node_connectivity
+
+    g = _ring0_undirected(spark, sf_dir)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n0 = c.agg(F.min("c_nationkey")).first()[0]
+    keys = sorted(
+        r["c_custkey"]
+        for r in c.filter(F.col("c_nationkey") == n0)
+        .select("c_custkey")
+        .collect()
+    )
+    s, t = int(keys[0]), int(keys[2])  # consecutive keys are ring-adjacent
+    ec = edge_connectivity(g, s, t)
+    nc = node_connectivity(g, s, t)
+    return spark.createDataFrame([(ec, nc)], "edge_conn long, node_conn long")
+
+
 def q_copurchase_laplacian(spark, sf_dir):
     from linkgraph.algos.degrees import laplacian_centrality
 
@@ -1262,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # drops them). Do not alphabetize.
     return {
         # -- round-3 additions (never driver-checked) ------------------- #
+        "ring0_connectivity": q_ring0_connectivity,
         "copurchase_laplacian": q_copurchase_laplacian,
         "copurchase_attr_assortativity": q_copurchase_attr_assortativity,
         "ring0_is_eulerian": q_ring0_is_eulerian,
@@ -1856,6 +1879,9 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT dst AS src, src AS dst FROM edges)"
     )
 
+    sqls["ring0_connectivity"] = (
+        "SELECT CAST(2 AS BIGINT) AS edge_conn, CAST(2 AS BIGINT) AS node_conn"
+    )
     sqls["copurchase_laplacian"] = (
         f"WITH {_EDGES}, {_SYM0}, "
         "en AS (SELECT CAST(SUM(degree * degree) + SUM(degree) AS DOUBLE) AS e "

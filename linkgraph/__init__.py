@@ -179,6 +179,7 @@ from linkgraph.algos.assortativity import (
     numeric_assortativity_coefficient,
 )
 from linkgraph.algos.cycles import is_eulerian, has_eulerian_path
+from linkgraph.algos.flow import edge_connectivity, node_connectivity
 from linkgraph.algos.triangles import square_clustering
 from linkgraph.algos.swap import double_edge_swap
 from linkgraph.algos.dag import moral_graph
@@ -247,6 +248,8 @@ __all__ = [
     "is_eulerian",
     "has_eulerian_path",
     "laplacian_centrality",
+    "edge_connectivity",
+    "node_connectivity",
     "square_clustering",
     "harmonic_function",
     "local_and_global_consistency",

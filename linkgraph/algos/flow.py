@@ -225,3 +225,57 @@ def minimum_cut(
     rest = g.vertices.select("id").join(reachable, "id", "left_anti")
     cache.close(keep_result=True)
     return value, (reachable, rest)
+
+
+def edge_connectivity(g: SparkGraph, s: int, t: int) -> int:
+    """Local edge connectivity λ(s, t): minimum number of edges separating
+    t from s (``networkx/algorithms/connectivity/connectivity.py:364``) —
+    max-flow with unit capacities (Menger)."""
+    unit = SparkGraph(
+        g.edges.select("src", "dst", F.lit(1.0).alias("capacity")),
+        g.vertices.select("id"),
+        directed=g.directed,
+        coalesce_edges=False,
+    )
+    return int(round(maximum_flow_value(unit, s, t, "capacity")))
+
+
+def node_connectivity(g: SparkGraph, s: int, t: int) -> int:
+    """Local node connectivity κ(s, t): minimum number of nodes (besides
+    s, t) separating them (``connectivity.py:53``); raises when s and t
+    are adjacent, like the reference.
+
+    Standard vertex-splitting reduction onto the same distributed
+    Edmonds-Karp: node v becomes v_in → v_out with capacity 1 (∞ for s
+    and t, encoded as n — κ never exceeds n), each edge (u, v) becomes
+    u_out → v_in at capacity n (both directions when undirected); κ(s,t)
+    is the max-flow from s_out to t_in.
+    """
+    adjacent = not (
+        g.symmetric_edges()
+        .filter((F.col("src") == s) & (F.col("dst") == t))
+        .isEmpty()
+    )
+    if adjacent:
+        raise ValueError(
+            "node connectivity is undefined for adjacent source and target"
+        )
+    n = g.number_of_nodes()
+    big = float(n)
+    arcs = g.symmetric_edges() if not g.directed else g.edges
+    cross = arcs.select(
+        (F.col("src") * 2 + 1).alias("src"),
+        (F.col("dst") * 2).alias("dst"),
+        F.lit(big).alias("capacity"),
+    )
+    internal = g.vertices.select(
+        (F.col("id") * 2).alias("src"),
+        (F.col("id") * 2 + 1).alias("dst"),
+        F.when(F.col("id").isin(int(s), int(t)), big)
+        .otherwise(1.0)
+        .alias("capacity"),
+    )
+    split = SparkGraph(
+        cross.unionByName(internal), directed=True, coalesce_edges=False
+    )
+    return int(round(maximum_flow_value(split, int(s) * 2 + 1, int(t) * 2, "capacity")))

@@ -181,8 +181,10 @@ def square_clustering(g: SparkGraph) -> DataFrame:
     (``cluster.py:590``, Lind et al. 2005 / Zhang et al. 2008 form).
 
     Relational reformulation of the reference's per-node set loops: with
-    P(v,a) = |N(v) ∩ N(a)| (the wedge pair-count table — one degree-bounded
-    self-join, the same cost class as triangle counting),
+    P(v,a) = |N(v) ∩ N(a)| (the wedge pair-count table — one self-join on
+    the wedge center; cost O(Σ deg²), the same neighbor-of-neighbor volume
+    the reference scans — unlike triangles this cannot be degree-oriented
+    down to O(m^1.5) because BOTH wedge orientations are needed),
 
     - squares(v)        = Σ_a P(v,a)·(P(v,a)−1) / 2
     - triangles_term(v) = Σ_{a∈N(v)} P(v,a)      (= 2·T(v))

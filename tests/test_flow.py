@@ -123,3 +123,50 @@ def test_ring_unit_capacity_closed_form(spark):
     e = g0.edges.withColumn("capacity", F.lit(1.0))
     g = SparkGraph(e, g0.vertices, directed=False, coalesce_edges=False)
     assert maximum_flow_value(g, 0, 6) == pytest.approx(2.0)
+
+
+# ------------------------- local connectivity --------------------------- #
+
+
+def test_edge_connectivity(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.flow import edge_connectivity
+
+    G = nx.gnp_random_graph(25, 0.2, seed=5)
+    want = nx.edge_connectivity(G, 0, 20)
+    assert edge_connectivity(from_nx(spark, G), 0, 20) == want
+
+
+def test_edge_connectivity_directed(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.flow import edge_connectivity
+
+    G = nx.gnp_random_graph(20, 0.2, seed=9, directed=True)
+    want = nx.edge_connectivity(G, 1, 15)
+    assert edge_connectivity(from_nx(spark, G), 1, 15) == want
+
+
+def test_node_connectivity(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.flow import node_connectivity
+
+    G = nx.gnp_random_graph(25, 0.15, seed=13)
+    pairs = [(s, t) for s in [0, 3] for t in [20, 22] if not G.has_edge(s, t)]
+    for s, t in pairs:
+        assert node_connectivity(from_nx(spark, G), s, t) == nx.node_connectivity(
+            G, s, t
+        ), (s, t)
+
+
+def test_node_connectivity_adjacent_raises(spark):
+    import networkx as nx
+    import pytest as _pytest
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.flow import node_connectivity
+
+    G = nx.path_graph(4)
+    with _pytest.raises(ValueError):
+        node_connectivity(from_nx(spark, G), 0, 1)
