@@ -1075,6 +1075,20 @@ def q_copurchase_voterank10(spark, sf_dir):
     )
 
 
+def q_copurchase_dispersion50(spark, sf_dir):
+    # Ego-network dispersion for the 50 lexicographically-first copurchase
+    # edges; the oracle replays the candidate/witness algebra in SQL.
+    from linkgraph.algos.linkpred import dispersion
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    prs = g.edges.select("src", "dst").orderBy("src", "dst").limit(50)
+    return dispersion(g, prs).select(
+        F.col("u").cast("long"),
+        F.col("v").cast("long"),
+        F.round("dispersion", 6).alias("dispersion"),
+    )
+
+
 def q_ring0_connectivity(spark, sf_dir):
     # On the undirected nation-0 customer cycle, both the local edge and
     # node connectivity between two non-adjacent customers are exactly 2
@@ -1284,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # drops them). Do not alphabetize.
     return {
         # -- round-3 additions (never driver-checked) ------------------- #
+        "copurchase_dispersion50": q_copurchase_dispersion50,
         "ring0_connectivity": q_ring0_connectivity,
         "copurchase_laplacian": q_copurchase_laplacian,
         "copurchase_attr_assortativity": q_copurchase_attr_assortativity,
@@ -1879,6 +1894,30 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT dst AS src, src AS dst FROM edges)"
     )
 
+    sqls["copurchase_dispersion50"] = (
+        f"WITH {_EDGES}, {_SYM0}, "
+        "p AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges "
+        "ORDER BY src, dst LIMIT 50), "
+        "cn AS MATERIALIZED (SELECT p.u, p.v, a.dst AS s FROM p "
+        "JOIN sym a ON a.src = p.u JOIN sym b ON b.src = p.v AND b.dst = a.dst), "
+        "emb AS (SELECT u, v, COUNT(*) AS e FROM cn GROUP BY 1, 2), "
+        "cand AS MATERIALIZED (SELECT x.u, x.v, x.s AS s, y.s AS t FROM cn x "
+        "JOIN cn y ON y.u = x.u AND y.v = x.v AND x.s < y.s "
+        "WHERE NOT EXISTS (SELECT 1 FROM sym e2 "
+        "WHERE e2.src = x.s AND e2.dst = y.s)), "
+        "good AS (SELECT u, v FROM cand c WHERE NOT EXISTS ("
+        "SELECT 1 FROM sym ws JOIN sym wt ON wt.dst = ws.dst "
+        "JOIN sym wu ON wu.dst = ws.dst "
+        "WHERE ws.src = c.s AND wt.src = c.t AND wu.src = c.u "
+        "AND ws.dst <> c.v)), "
+        "tot AS (SELECT u, v, COUNT(*) AS tt FROM good GROUP BY 1, 2) "
+        "SELECT CAST(p.u AS BIGINT) AS u, CAST(p.v AS BIGINT) AS v, "
+        "ROUND(CASE WHEN COALESCE(emb.e, 0) = 0 "
+        "THEN CAST(COALESCE(tot.tt, 0) AS DOUBLE) "
+        "ELSE CAST(COALESCE(tot.tt, 0) AS DOUBLE) / emb.e END, 6) AS dispersion "
+        "FROM p LEFT JOIN emb ON emb.u = p.u AND emb.v = p.v "
+        "LEFT JOIN tot ON tot.u = p.u AND tot.v = p.v"
+    )
     sqls["ring0_connectivity"] = (
         "SELECT CAST(2 AS BIGINT) AS edge_conn, CAST(2 AS BIGINT) AS node_conn"
     )

@@ -215,6 +215,7 @@ from linkgraph.algos.linkpred import (
     adamic_adar_index,
     resource_allocation_index,
     preferential_attachment,
+    dispersion,
 )
 from linkgraph.algos.degrees import (
     degrees,
@@ -250,6 +251,7 @@ __all__ = [
     "laplacian_centrality",
     "edge_connectivity",
     "node_connectivity",
+    "dispersion",
     "square_clustering",
     "harmonic_function",
     "local_and_global_consistency",
