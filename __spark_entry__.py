@@ -1075,6 +1075,32 @@ def q_copurchase_voterank10(spark, sf_dir):
     )
 
 
+def q_event_triadic_census(spark, sf_dir):
+    # Full 16-type Davis-Leinhardt census of the event-type transition
+    # digraph. Census counts are isomorphism invariants, so the oracle can
+    # brute-force all C(n,3) triples in SQL over the same arcs (n = 20
+    # event types) while Spark runs the wedge-join plan — two genuinely
+    # different algorithms agreeing.
+    from pyspark.sql import Window
+    from linkgraph.algos.triads import triadic_census
+    from linkgraph.graph import SparkGraph
+
+    e = DS.event_transition_edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("src_type").alias("t"))
+        .unionAll(e.select(F.col("dst_type").alias("t")))
+        .distinct()
+        .withColumn("id", F.row_number().over(Window.orderBy("t")))
+    )
+    arcs = (
+        e.join(nodes.select(F.col("t").alias("src_type"), F.col("id").alias("src")), "src_type")
+        .join(nodes.select(F.col("t").alias("dst_type"), F.col("id").alias("dst")), "dst_type")
+        .select("src", "dst")
+    )
+    g = SparkGraph(arcs, directed=True, coalesce_edges=False)
+    return triadic_census(g).orderBy("triad_type")
+
+
 def q_copurchase_dispersion50(spark, sf_dir):
     # Ego-network dispersion for the 50 lexicographically-first copurchase
     # edges; the oracle replays the candidate/witness algebra in SQL.
@@ -1298,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # drops them). Do not alphabetize.
     return {
         # -- round-3 additions (never driver-checked) ------------------- #
+        "event_triadic_census": q_event_triadic_census,
         "copurchase_dispersion50": q_copurchase_dispersion50,
         "ring0_connectivity": q_ring0_connectivity,
         "copurchase_laplacian": q_copurchase_laplacian,
@@ -2263,6 +2290,30 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    from linkgraph.algos.triads import _code_to_name, _REPRESENTATIVES
+
+    _lut = ", ".join(f"({c}, '{nm}')" for c, nm in sorted(_code_to_name().items()))
+    _names = ", ".join(f"('{nm}')" for nm in sorted(_REPRESENTATIVES))
+    sqls["event_triadic_census"] = (
+        f"WITH {_EV}, "
+        "nodes AS (SELECT DISTINCT s AS t FROM e UNION SELECT DISTINCT d FROM e), "
+        "tr AS (SELECT a.t AS u, b.t AS v, c.t AS w FROM nodes a, nodes b, nodes c "
+        "WHERE a.t < b.t AND b.t < c.t), "
+        "coded AS (SELECT "
+        "(CASE WHEN EXISTS (SELECT 1 FROM e WHERE s = u AND d = v) THEN 1 ELSE 0 END) "
+        "+ (CASE WHEN EXISTS (SELECT 1 FROM e WHERE s = v AND d = u) THEN 2 ELSE 0 END) "
+        "+ (CASE WHEN EXISTS (SELECT 1 FROM e WHERE s = u AND d = w) THEN 4 ELSE 0 END) "
+        "+ (CASE WHEN EXISTS (SELECT 1 FROM e WHERE s = w AND d = u) THEN 8 ELSE 0 END) "
+        "+ (CASE WHEN EXISTS (SELECT 1 FROM e WHERE s = v AND d = w) THEN 16 ELSE 0 END) "
+        "+ (CASE WHEN EXISTS (SELECT 1 FROM e WHERE s = w AND d = v) THEN 32 ELSE 0 END) "
+        "AS code FROM tr), "
+        f"lut(code, name) AS (VALUES {_lut}), "
+        "cnt AS (SELECT name, COUNT(*) AS c FROM coded JOIN lut USING (code) "
+        "GROUP BY name), "
+        f"names(name) AS (VALUES {_names}) "
+        "SELECT name AS triad_type, CAST(COALESCE(c, 0) AS BIGINT) AS count "
+        "FROM names LEFT JOIN cnt USING (name)"
     )
     sqls["event_reciprocity"] = (
         f"WITH {_EV}, m AS (SELECT COUNT(*) AS c FROM e), "

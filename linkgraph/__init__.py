@@ -180,6 +180,7 @@ from linkgraph.algos.assortativity import (
 )
 from linkgraph.algos.cycles import is_eulerian, has_eulerian_path
 from linkgraph.algos.flow import edge_connectivity, node_connectivity
+from linkgraph.algos.triads import triadic_census
 from linkgraph.algos.triangles import square_clustering
 from linkgraph.algos.swap import double_edge_swap
 from linkgraph.algos.dag import moral_graph
@@ -252,6 +253,7 @@ __all__ = [
     "edge_connectivity",
     "node_connectivity",
     "dispersion",
+    "triadic_census",
     "square_clustering",
     "harmonic_function",
     "local_and_global_consistency",
