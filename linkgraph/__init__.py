@@ -101,6 +101,11 @@ from linkgraph.algos.cliques import (
     find_cliques,
 )
 from linkgraph.algos.cycles import simple_cycles
+from linkgraph.algos.isomorphism import (
+    subgraph_matches,
+    count_subgraph_matches,
+    subgraph_is_isomorphic,
+)
 from linkgraph.algos.flow import (
     maximum_flow,
     maximum_flow_value,
@@ -316,6 +321,9 @@ __all__ = [
     "k_clique_count",
     "node_clique_counts",
     "find_cliques",
+    "subgraph_matches",
+    "count_subgraph_matches",
+    "subgraph_is_isomorphic",
     "simple_cycles",
     "maximum_flow",
     "maximum_flow_value",

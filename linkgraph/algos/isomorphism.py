@@ -1,0 +1,250 @@
+"""Subgraph pattern matching — the distributable slice of the reference's
+``networkx/algorithms/isomorphism/`` package (VF2: ``isomorphvf2.py:GraphMatcher
+.subgraph_isomorphisms_iter / subgraph_monomorphisms_iter``).
+
+VF2 is a sequential backtracking search; its distributed twin — for the case
+that actually occurs at 100 TB, a SMALL driver-side pattern matched against a
+LARGE distributed data graph — is the standard *motif join plan* (the same
+shape GraphFrames' ``find()`` and worst-case-optimal join systems use;
+cf. Afrati et al., "Enumerating subgraph instances using map-reduce"):
+
+1. Order the pattern vertices greedily so each next vertex is adjacent to as
+   many already-bound vertices as possible (a connected search order keeps
+   every expansion an equi-join, never a cross join, whenever the pattern is
+   connected).
+2. Bind vertex by vertex: one equi-join against the arc table generates
+   candidates through a single pattern edge; every remaining pattern edge to
+   bound vertices becomes a ``left_semi`` adjacency check; injectivity is a
+   codegen'd column filter.
+3. ``induced=True`` (the reference's *subgraph isomorphism*: node-induced)
+   additionally anti-joins each bound NON-edge of the pattern against the arc
+   table; ``induced=False`` is the reference's *monomorphism*.
+
+Every intermediate is a DataFrame of partial embeddings — the frontier
+fan-out is bounded by data-graph degrees, exactly the quantity AQE's skew
+handling and salting manage elsewhere in this repo. Enumeration parity with
+the reference: every automorphic image is a distinct row, matching the
+iterator semantics of ``subgraph_isomorphisms_iter`` (so a triangle pattern
+yields 6 rows per data triangle).
+
+Full graph↔graph isomorphism of two LARGE graphs (canonical forms) stays out
+of scope — no join-shaped twin exists; ``weisfeiler_lehman_graph_hash``
+(``algos/wlhash.py``) is this repo's scalable isomorphism *witness*.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.graph import SparkGraph
+from linkgraph.exceptions import NetworkXError
+
+
+def _pattern_norm(pattern_edges: Iterable[Tuple], directed: bool):
+    """Normalize the driver-side pattern: node list + edge set.
+
+    Returns (nodes, edges) where edges is a set of (a, b) tuples —
+    canonicalized a <= b when undirected.
+    """
+    edges = set()
+    nodes: list = []
+    seen = set()
+    for a, b in pattern_edges:
+        if a == b:
+            raise NetworkXError(
+                "pattern self-loops are not supported (data-graph self-loops "
+                "are ignored by matching, as in the reference's simple-graph "
+                "matchers)"
+            )
+        e = (a, b) if directed else (min(a, b), max(a, b))
+        edges.add(e)
+        for n in (a, b):
+            if n not in seen:
+                seen.add(n)
+                nodes.append(n)
+    if not edges:
+        raise NetworkXError("pattern must contain at least one edge")
+    return nodes, edges
+
+
+def _search_order(nodes: Sequence, edges: set, directed: bool) -> list:
+    """Greedy connected order: highest pattern degree first, then always the
+    unbound vertex with the most edges into the bound set (ties: degree,
+    then first-seen order). Guarantees each expansion join has >= 1 anchor
+    edge whenever the pattern is connected."""
+    def adj(a, b):
+        if directed:
+            return (a, b) in edges or (b, a) in edges
+        return (min(a, b), max(a, b)) in edges
+
+    deg = {n: sum(1 for m in nodes if m != n and adj(n, m)) for n in nodes}
+    pos = {n: i for i, n in enumerate(nodes)}
+    order = [max(nodes, key=lambda n: (deg[n], -pos[n]))]
+    bound = {order[0]}
+    while len(order) < len(nodes):
+        rest = [n for n in nodes if n not in bound]
+        nxt = max(
+            rest,
+            key=lambda n: (sum(1 for b in bound if adj(n, b)), deg[n], -pos[n]),
+        )
+        order.append(nxt)
+        bound.add(nxt)
+    return order
+
+
+def _arcs(g: SparkGraph) -> DataFrame:
+    """Directed arc table (s, d) the joins run against: stored arcs for a
+    digraph, both orientations of the canonical rows for an undirected
+    graph. Self-loops are dropped (simple-graph matching)."""
+    e = g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    if g.directed:
+        e = e.distinct()
+        return e.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+    e = e.distinct()
+    return e.select(F.col("src").alias("s"), F.col("dst").alias("d")).unionAll(
+        e.select(F.col("dst").alias("s"), F.col("src").alias("d"))
+    )
+
+
+def subgraph_matches(
+    g: SparkGraph,
+    pattern_edges: Iterable[Tuple],
+    *,
+    induced: bool = True,
+) -> DataFrame:
+    """All embeddings of the pattern in ``g`` — one row per mapping, column
+    ``m_<node>`` = the data-graph vertex bound to pattern vertex ``<node>``.
+
+    ``induced=True`` matches the reference's ``GraphMatcher
+    .subgraph_isomorphisms_iter`` (node-induced: pattern non-edges must be
+    data non-edges); ``induced=False`` matches
+    ``subgraph_monomorphisms_iter``. Directedness follows ``g``; pattern
+    edges are read as arcs for a digraph and as undirected pairs otherwise.
+    """
+    nodes, edges = _pattern_norm(pattern_edges, g.directed)
+    order = _search_order(nodes, edges, g.directed)
+    arcs = _arcs(g)
+
+    def col(n):
+        return f"m_{n}"
+
+    def has_edge(a, b):
+        # directed: arc a -> b in the pattern; undirected: pair
+        if g.directed:
+            return (a, b) in edges
+        return (min(a, b), max(a, b)) in edges
+
+    # constraints between the q-th vertex and the already-bound prefix
+    def bound_constraints(q_idx):
+        q = order[q_idx]
+        pos, neg = [], []  # (bound_node, src_is_bound) adjacency constraints
+        for p in order[:q_idx]:
+            if g.directed:
+                if has_edge(p, q):
+                    pos.append((p, True))
+                if has_edge(q, p):
+                    pos.append((p, False))
+                if not has_edge(p, q):
+                    neg.append((p, True))
+                if not has_edge(q, p):
+                    neg.append((p, False))
+            else:
+                if has_edge(p, q):
+                    pos.append((p, True))
+                else:
+                    neg.append((p, True))
+        return pos, neg
+
+    # seed: bind order[0] and order[1] through one pattern edge when
+    # possible, else (disconnected pattern) all vertices for order[0]
+    pos0, _ = bound_constraints(1)
+    if pos0:
+        p, src_is_bound = pos0[0]
+        a = arcs
+        first = a.select(
+            (F.col("s") if src_is_bound else F.col("d")).alias(col(p)),
+            (F.col("d") if src_is_bound else F.col("s")).alias(col(order[1])),
+        )
+        matches = first
+        start = 2
+        # residual constraints between the first two (reverse arc / induced
+        # non-arcs in a digraph)
+        pos, neg = bound_constraints(1)
+        for pp, sib in pos[1:]:
+            matches = _semi(matches, arcs, col(pp), col(order[1]), sib)
+        if induced:
+            for pp, sib in neg:
+                matches = _anti(matches, arcs, col(pp), col(order[1]), sib)
+    else:
+        matches = g.vertices.select(F.col("id").alias(col(order[0])))
+        start = 1
+
+    for q_idx in range(start, len(order)):
+        q = order[q_idx]
+        pos, neg = bound_constraints(q_idx)
+        if pos:
+            p, src_is_bound = pos[0]
+            gen = arcs.select(
+                (F.col("s") if src_is_bound else F.col("d")).alias(col(p)),
+                (F.col("d") if src_is_bound else F.col("s")).alias(col(q)),
+            )
+            matches = matches.join(gen, col(p))
+            rest = pos[1:]
+        else:
+            # disconnected pattern component: candidate = every vertex
+            # (documented cost — the reference pays the same |V| factor)
+            matches = matches.crossJoin(
+                g.vertices.select(F.col("id").alias(col(q)))
+            )
+            rest = []
+        # injectivity before the checks — cheapest filter first
+        inj = None
+        for p in order[:q_idx]:
+            c = F.col(col(q)) != F.col(col(p))
+            inj = c if inj is None else (inj & c)
+        matches = matches.filter(inj)
+        for p, src_is_bound in rest:
+            matches = _semi(matches, arcs, col(p), col(q), src_is_bound)
+        if induced:
+            for p, src_is_bound in neg:
+                matches = _anti(matches, arcs, col(p), col(q), src_is_bound)
+
+    return matches.select(*[col(n) for n in nodes])
+
+
+def _semi(matches, arcs, bound_col, cand_col, src_is_bound):
+    a = arcs.select(
+        (F.col("s") if src_is_bound else F.col("d")).alias(bound_col),
+        (F.col("d") if src_is_bound else F.col("s")).alias(cand_col),
+    )
+    return matches.join(a, [bound_col, cand_col], "left_semi")
+
+
+def _anti(matches, arcs, bound_col, cand_col, src_is_bound):
+    a = arcs.select(
+        (F.col("s") if src_is_bound else F.col("d")).alias(bound_col),
+        (F.col("d") if src_is_bound else F.col("s")).alias(cand_col),
+    )
+    return matches.join(a, [bound_col, cand_col], "left_anti")
+
+
+def count_subgraph_matches(
+    g: SparkGraph, pattern_edges: Iterable[Tuple], *, induced: bool = True
+) -> int:
+    """Number of embeddings (mappings, not node-set occurrences) — the
+    length of the reference's ``subgraph_isomorphisms_iter`` /
+    ``subgraph_monomorphisms_iter`` streams."""
+    return subgraph_matches(g, pattern_edges, induced=induced).count()
+
+
+def subgraph_is_isomorphic(
+    g: SparkGraph, pattern_edges: Iterable[Tuple], *, induced: bool = True
+) -> bool:
+    """``GraphMatcher.subgraph_is_isomorphic`` — does at least one embedding
+    exist? Short-circuits with LIMIT 1, so Spark stops expanding embeddings
+    as soon as one survives."""
+    return (
+        subgraph_matches(g, pattern_edges, induced=induced).limit(1).count() > 0
+    )
