@@ -1317,6 +1317,51 @@ def q_emb_near_dup_survivors(spark, sf_dir):
     )
 
 
+_DOM_ROOT = 9_000_000  # disjoint from partkeys (<1M) and offset suppkeys (1M..2M)
+
+
+def _supplier_part_rooted(spark, sf_dir):
+    # Super-root 0 → every supplier → its parts: a 2-level flow graph whose
+    # dominator tree has the closed form the oracle states (a part's idom is
+    # its sole supplier, or the root once a second supplier gives an
+    # alternate path around any single supplier).
+    from linkgraph.graph import SparkGraph
+
+    sp = DS.supplier_part_edges(spark, sf_dir).select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+    root_arcs = (
+        sp.select(F.col("src").alias("dst"))
+        .distinct()
+        .select(F.lit(_DOM_ROOT).cast("long").alias("src"), "dst")
+    )
+    return SparkGraph(root_arcs.unionByName(sp), directed=True, coalesce_edges=False)
+
+
+def q_supplier_part_idom(spark, sf_dir):
+    from linkgraph.algos.dominance import immediate_dominators
+
+    g = _supplier_part_rooted(spark, sf_dir)
+    return immediate_dominators(g, _DOM_ROOT).select(
+        F.col("id").cast("long"), F.col("idom").cast("long")
+    )
+
+
+def q_supplier_part_dom_frontiers(spark, sf_dir):
+    # DF(s) = {parts of s with ≥2 suppliers}; root and parts have empty
+    # frontiers, so grouping the pair table by dominator yields one row per
+    # multi-part supplier.
+    from linkgraph.algos.dominance import dominance_frontiers
+
+    g = _supplier_part_rooted(spark, sf_dir)
+    return (
+        dominance_frontiers(g, _DOM_ROOT)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("df_size"))
+        .select(F.col("id").cast("long"), F.col("df_size").cast("long"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver checks the first ~50 entries, so new or
     # not-yet-driver-verified operators come FIRST; entries already green in
@@ -1324,6 +1369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # drops them). Do not alphabetize.
     return {
         # -- round-3 additions (never driver-checked) ------------------- #
+        "supplier_part_idom": q_supplier_part_idom,
+        "supplier_part_dom_frontiers": q_supplier_part_dom_frontiers,
         "event_triadic_census": q_event_triadic_census,
         "copurchase_dispersion50": q_copurchase_dispersion50,
         "ring0_connectivity": q_ring0_connectivity,
@@ -1921,6 +1968,25 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT dst AS src, src AS dst FROM edges)"
     )
 
+    _SP_DOM = (
+        "sp AS MATERIALIZED (SELECT DISTINCT l_suppkey + 1000000 AS s, "
+        "l_partkey AS p FROM lineitem), "
+        "pd AS MATERIALIZED (SELECT p, COUNT(*) AS ns, MIN(s) AS ms "
+        "FROM sp GROUP BY p)"
+    )
+    sqls["supplier_part_idom"] = (
+        f"WITH {_SP_DOM} "
+        "SELECT CAST(s AS BIGINT) AS id, CAST(9000000 AS BIGINT) AS idom "
+        "FROM (SELECT DISTINCT s FROM sp) "
+        "UNION ALL "
+        "SELECT CAST(p AS BIGINT) AS id, "
+        "CAST(CASE WHEN ns > 1 THEN 9000000 ELSE ms END AS BIGINT) AS idom FROM pd"
+    )
+    sqls["supplier_part_dom_frontiers"] = (
+        f"WITH {_SP_DOM} "
+        "SELECT CAST(s AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS df_size "
+        "FROM sp JOIN pd USING (p) WHERE pd.ns > 1 GROUP BY s"
+    )
     sqls["copurchase_dispersion50"] = (
         f"WITH {_EDGES}, {_SYM0}, "
         "p AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges "

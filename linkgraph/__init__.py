@@ -186,6 +186,11 @@ from linkgraph.algos.assortativity import (
 from linkgraph.algos.cycles import is_eulerian, has_eulerian_path
 from linkgraph.algos.flow import edge_connectivity, node_connectivity
 from linkgraph.algos.triads import triadic_census
+from linkgraph.algos.dominance import (
+    immediate_dominators,
+    dominance_frontiers,
+    dominator_pairs,
+)
 from linkgraph.algos.triangles import square_clustering
 from linkgraph.algos.swap import double_edge_swap
 from linkgraph.algos.dag import moral_graph
@@ -242,6 +247,9 @@ __all__ = [
     "has_bridges",
     "two_edge_connected_components",
     "biconnected_components",
+    "immediate_dominators",
+    "dominance_frontiers",
+    "dominator_pairs",
     "articulation_points",
     "maximal_independent_set",
     "maximal_matching",
