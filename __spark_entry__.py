@@ -800,6 +800,44 @@ def q_copurchase_4clique_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "n_4cliques long")
 
 
+def q_chain_tree_flags(spark, sf_dir):
+    # 25 disjoint per-nation chains: a forest, a tree only if one nation.
+    from linkgraph.algos.tree import is_forest, is_tree
+
+    g = DS.customer_chain_graph(spark, sf_dir)
+    f, t = int(is_forest(g)), int(is_tree(g))
+    return spark.createDataFrame([(f, t)], "is_forest long, is_tree long")
+
+
+def q_ring_cycle_basis(spark, sf_dir):
+    # per-nation customer rings: cycle space dimension = 25, each basis
+    # cycle is the whole nation ring, so the length histogram equals the
+    # nation-size histogram — closed form for the BFS-forest + parallel
+    # LCA-climb plan.
+    from linkgraph.algos.cycles import cycle_basis
+
+    g = DS.customer_ring_graph(spark, sf_dir).undirected_view()
+    return (
+        cycle_basis(g)
+        .select(F.size("cycle").cast("long").alias("cycle_len"))
+        .groupBy("cycle_len")
+        .agg(F.count(F.lit(1)).alias("n_cycles"))
+    )
+
+
+def q_copurchase_maximal_2cliques(spark, sf_dir):
+    # maximal 2-cliques = edges in no triangle; exercises find_cliques'
+    # level-wise anti-join (the Bron-Kerbosch replacement) end-to-end.
+    from linkgraph.algos.cliques import find_cliques
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    mc = find_cliques(g, max_size=3).filter(F.size("members") == 2)
+    return mc.select(
+        F.least(F.col("members")[0], F.col("members")[1]).cast("long").alias("u"),
+        F.greatest(F.col("members")[0], F.col("members")[1]).cast("long").alias("v"),
+    )
+
+
 def q_event_cycles_le3(spark, sf_dir):
     # directed simple cycles of length <= 3 on the event-type transition
     # digraph, counted per length (the graph has no self-loops by
@@ -1371,6 +1409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-3 additions (never driver-checked) ------------------- #
         "supplier_part_idom": q_supplier_part_idom,
         "supplier_part_dom_frontiers": q_supplier_part_dom_frontiers,
+        "copurchase_maximal_2cliques": q_copurchase_maximal_2cliques,
+        "chain_tree_flags": q_chain_tree_flags,
+        "ring_cycle_basis": q_ring_cycle_basis,
         "event_triadic_census": q_event_triadic_census,
         "copurchase_dispersion50": q_copurchase_dispersion50,
         "ring0_connectivity": q_ring0_connectivity,
@@ -1973,6 +2014,27 @@ def oracle_sql() -> dict[str, str]:
         "l_partkey AS p FROM lineitem), "
         "pd AS MATERIALIZED (SELECT p, COUNT(*) AS ns, MIN(s) AS ms "
         "FROM sp GROUP BY p)"
+    )
+    sqls["chain_tree_flags"] = (
+        "SELECT CAST(1 AS BIGINT) AS is_forest, "
+        "CAST(CASE WHEN COUNT(DISTINCT c_nationkey) = 1 THEN 1 ELSE 0 END "
+        "AS BIGINT) AS is_tree FROM customer"
+    )
+    sqls["ring_cycle_basis"] = (
+        # cnt = 2 collapses to one undirected edge (no cycle); cnt = 1 is a
+        # self-loop (length-1 cycle); otherwise the ring itself.
+        "WITH ns AS (SELECT c_nationkey, COUNT(*) AS cnt FROM customer "
+        "GROUP BY c_nationkey) "
+        "SELECT CAST(cnt AS BIGINT) AS cycle_len, "
+        "CAST(COUNT(*) AS BIGINT) AS n_cycles FROM ns "
+        "WHERE cnt <> 2 GROUP BY cnt"
+    )
+    sqls["copurchase_maximal_2cliques"] = (
+        f"WITH {_EDGES}, {_SYM0} "
+        "SELECT CAST(e.src AS BIGINT) AS u, CAST(e.dst AS BIGINT) AS v "
+        "FROM edges e WHERE NOT EXISTS ("
+        "SELECT 1 FROM sym a JOIN sym b "
+        "ON b.src = e.dst AND b.dst = a.dst WHERE a.src = e.src)"
     )
     sqls["supplier_part_idom"] = (
         f"WITH {_SP_DOM} "

@@ -183,7 +183,13 @@ from linkgraph.algos.assortativity import (
     attribute_assortativity_coefficient,
     numeric_assortativity_coefficient,
 )
-from linkgraph.algos.cycles import is_eulerian, has_eulerian_path
+from linkgraph.algos.cycles import is_eulerian, has_eulerian_path, cycle_basis
+from linkgraph.algos.tree import (
+    is_tree,
+    is_forest,
+    is_branching,
+    is_arborescence,
+)
 from linkgraph.algos.flow import edge_connectivity, node_connectivity
 from linkgraph.algos.triads import triadic_census
 from linkgraph.algos.dominance import (
@@ -248,6 +254,11 @@ __all__ = [
     "two_edge_connected_components",
     "biconnected_components",
     "immediate_dominators",
+    "cycle_basis",
+    "is_tree",
+    "is_forest",
+    "is_branching",
+    "is_arborescence",
     "dominance_frontiers",
     "dominator_pairs",
     "articulation_points",

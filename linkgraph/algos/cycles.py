@@ -163,3 +163,136 @@ def has_eulerian_path(g) -> bool:
     if n_odd != 2:
         return False
     return connected_components(g).select("component").distinct().count() == 1
+
+
+def cycle_basis(g: SparkGraph, *, max_iter: int = 100_000) -> DataFrame:
+    """Fundamental cycle basis — ``networkx/algorithms/cycles.py:28``
+    (``cycle_basis``, Paton's spanning-tree method). DataFrame
+    ``(cycle array<BIGINT>)``, one row per basis cycle; row count is the
+    cycle-space dimension ``m − n + c``.
+
+    The reference walks one spanning tree sequentially and XORs ancestor
+    paths. The distributed twin: a multi-root BFS forest (deterministic
+    min-id roots / min-id parents), then EVERY non-tree edge climbs its two
+    endpoints toward their lowest common ancestor in parallel — one parent
+    join per tree level, all cycles growing simultaneously. The basis
+    differs from the reference's (Paton's DFS order is meaningless under
+    distribution) but spans the identical cycle space: each cycle contains
+    exactly one non-tree edge, so independence and dimension are structural.
+    Self-loops are single-node cycles, matching the reference.
+
+    State is one row per non-tree edge carrying its partial paths — the
+    intrinsic Σ|cycle| output size; rounds = forest height.
+    """
+    from linkgraph.algos.components import connected_components
+    from linkgraph.algos.setops import shortest_path_lengths
+    from linkgraph.exceptions import NetworkXError, NotImplementedForDirected
+
+    if g.directed:
+        raise NotImplementedForDirected(
+            "cycle_basis: not implemented for directed type"
+        )
+    spark = g.spark
+    cache = SuperstepCache(spark)
+
+    simple = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    selfloops = (
+        g.edges.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .select(F.array(F.col("id").cast("long")).alias("cycle"))
+    )
+
+    roots = connected_components(g).select("component").distinct()
+    dist = cache.truncate(shortest_path_lengths(g, roots))
+
+    # min-id BFS parent per non-root node; parent table also carries depth
+    sym = simple.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        simple.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    parent = cache.truncate(
+        sym.join(dist.select(F.col("id").alias("src"), F.col("distance").alias("ds")), "src")
+        .join(dist.select(F.col("id").alias("dst"), F.col("distance").alias("dd")), "dst")
+        .filter(F.col("ds") + 1 == F.col("dd"))
+        .groupBy("dst")
+        .agg(F.min("src").alias("parent"))
+        .select(F.col("dst").alias("id"), "parent")
+    )
+
+    tree = parent.select(
+        F.least("id", "parent").alias("u"), F.greatest("id", "parent").alias("v")
+    )
+    nontree = simple.join(tree, ["u", "v"], "left_anti")
+
+    state = cache.truncate(
+        nontree.join(dist.select(F.col("id").alias("u"), F.col("distance").alias("du")), "u")
+        .join(dist.select(F.col("id").alias("v"), F.col("distance").alias("dv")), "v")
+        .select(
+            F.col("u").cast("long").alias("au"),
+            F.col("v").cast("long").alias("av"),
+            F.col("du").cast("long"),
+            F.col("dv").cast("long"),
+            F.array(F.col("u").cast("long")).alias("pu"),
+            F.array(F.col("v").cast("long")).alias("pv"),
+        )
+    )
+    done = spark.createDataFrame(
+        [], "au long, av long, du long, dv long, pu array<long>, pv array<long>"
+    )
+    done = cache.truncate(done)
+    pu_tbl = parent.select(
+        F.col("id").alias("au"), F.col("parent").alias("pau")
+    )
+    pv_tbl = parent.select(
+        F.col("id").alias("av"), F.col("parent").alias("pav")
+    )
+    for _ in range(max_iter):
+        if state.limit(1).count() == 0:
+            break
+        move_u = F.col("du") >= F.col("dv")
+        move_v = F.col("dv") >= F.col("du")
+        stepped = (
+            state.join(pu_tbl, "au", "left")
+            .join(pv_tbl, "av", "left")
+            .select(
+                F.when(move_u, F.col("pau")).otherwise(F.col("au")).alias("nau"),
+                F.when(move_v, F.col("pav")).otherwise(F.col("av")).alias("nav"),
+                F.when(move_u, F.col("du") - 1).otherwise(F.col("du")).alias("ndu"),
+                F.when(move_v, F.col("dv") - 1).otherwise(F.col("dv")).alias("ndv"),
+                F.when(move_u, F.concat("pu", F.array("pau")))
+                .otherwise(F.col("pu"))
+                .alias("npu"),
+                F.when(move_v, F.concat("pv", F.array("pav")))
+                .otherwise(F.col("pv"))
+                .alias("npv"),
+            )
+            .select(
+                F.col("nau").alias("au"),
+                F.col("nav").alias("av"),
+                F.col("ndu").alias("du"),
+                F.col("ndv").alias("dv"),
+                F.col("npu").alias("pu"),
+                F.col("npv").alias("pv"),
+            )
+        )
+        stepped = cache.truncate(stepped, retire=state)
+        finished = stepped.filter(F.col("au") == F.col("av"))
+        done = cache.truncate(done.unionByName(finished), retire=done)
+        state = cache.truncate(stepped.filter(F.col("au") != F.col("av")))
+    else:
+        cache.close()
+        raise NetworkXError(f"cycle_basis did not converge in {max_iter} rounds")
+
+    # pu = [u..lca], pv = [v..lca]  →  cycle = u..lca..v (lca kept once)
+    cycles = done.select(
+        F.concat(
+            "pu", F.reverse(F.slice("pv", 1, F.size("pv") - 1))
+        ).alias("cycle")
+    )
+    out = selfloops.unionByName(cycles).localCheckpoint(eager=True)
+    cache.close(keep_result=True)
+    return out
