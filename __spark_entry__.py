@@ -800,6 +800,19 @@ def q_copurchase_4clique_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "n_4cliques long")
 
 
+def q_chain_transitive_reduction(spark, sf_dir):
+    # reduce the transitive CLOSURE of the per-nation chains: the unique
+    # minimal DAG with the same reachability is the chain itself — the
+    # closed form the oracle re-derives with a window lead.
+    from linkgraph.algos.dag import transitive_closure, transitive_reduction
+
+    g = DS.customer_chain_digraph(spark, sf_dir)
+    red = transitive_reduction(transitive_closure(g))
+    return red.edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
 def q_chain_tree_flags(spark, sf_dir):
     # 25 disjoint per-nation chains: a forest, a tree only if one nation.
     from linkgraph.algos.tree import is_forest, is_tree
@@ -1411,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_dom_frontiers": q_supplier_part_dom_frontiers,
         "copurchase_maximal_2cliques": q_copurchase_maximal_2cliques,
         "chain_tree_flags": q_chain_tree_flags,
+        "chain_transitive_reduction": q_chain_transitive_reduction,
         "ring_cycle_basis": q_ring_cycle_basis,
         "event_triadic_census": q_event_triadic_census,
         "copurchase_dispersion50": q_copurchase_dispersion50,
@@ -2014,6 +2028,13 @@ def oracle_sql() -> dict[str, str]:
         "l_partkey AS p FROM lineitem), "
         "pd AS MATERIALIZED (SELECT p, COUNT(*) AS ns, MIN(s) AS ms "
         "FROM sp GROUP BY p)"
+    )
+    sqls["chain_transitive_reduction"] = (
+        "WITH ch AS (SELECT c_custkey AS src, "
+        "LEAD(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) "
+        "AS dst FROM customer) "
+        "SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst "
+        "FROM ch WHERE dst IS NOT NULL"
     )
     sqls["chain_tree_flags"] = (
         "SELECT CAST(1 AS BIGINT) AS is_forest, "

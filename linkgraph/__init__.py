@@ -199,7 +199,7 @@ from linkgraph.algos.dominance import (
 )
 from linkgraph.algos.triangles import square_clustering
 from linkgraph.algos.swap import double_edge_swap
-from linkgraph.algos.dag import moral_graph
+from linkgraph.algos.dag import moral_graph, transitive_reduction
 from linkgraph.algos.classification import (
     harmonic_function,
     local_and_global_consistency,
@@ -255,6 +255,7 @@ __all__ = [
     "biconnected_components",
     "immediate_dominators",
     "cycle_basis",
+    "transitive_reduction",
     "is_tree",
     "is_forest",
     "is_branching",

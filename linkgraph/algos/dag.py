@@ -220,3 +220,35 @@ def moral_graph(g: SparkGraph):
         directed=False,
         coalesce_edges=True,
     )
+
+
+def transitive_reduction(g: SparkGraph) -> SparkGraph:
+    """``networkx/algorithms/dag.py`` ``transitive_reduction``: the unique
+    minimal DAG with the same reachability — edge (u, v) survives iff no
+    other path u ⇝ v exists. Raises on non-DAGs like the reference.
+
+    The reference walks descendants per node sequentially; the distributed
+    plan marks an edge redundant iff some OTHER first hop reaches v:
+    ``E(u, w) ⋈ TC(w, v)`` (the closure is non-reflexive on a DAG, so
+    w ≠ v is automatic), then one anti-join. Attributes are not carried
+    over, matching the reference's bare-structure output.
+    """
+    _require_directed(g, "transitive_reduction")
+    if not is_directed_acyclic_graph(g):
+        raise GraphContainsCycle()
+    e = g.edges.select("src", "dst").distinct()
+    tc = transitive_closure(g).edges.select(
+        F.col("src").alias("mid"), F.col("dst").alias("dst")
+    )
+    redundant = (
+        e.select("src", F.col("dst").alias("mid"))
+        .join(tc, "mid")
+        .select("src", "dst")
+        .distinct()
+    )
+    return SparkGraph(
+        e.join(redundant, ["src", "dst"], "left_anti"),
+        g.vertices,
+        directed=True,
+        coalesce_edges=False,
+    )
