@@ -800,6 +800,26 @@ def q_copurchase_4clique_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "n_4cliques long")
 
 
+def q_chain_voronoi(spark, sf_dir):
+    # centers = both ends of every nation chain; each customer goes to the
+    # nearer end, distance ties to the smaller id — closed form on the
+    # chain position (the oracle's window expression).
+    from linkgraph.algos.sssp import voronoi_cells
+
+    g = DS.customer_chain_graph(spark, sf_dir)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ends = (
+        c.groupBy("c_nationkey")
+        .agg(F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi"))
+    )
+    centers = ends.select(F.col("lo").alias("id")).unionByName(
+        ends.select(F.col("hi").alias("id"))
+    ).distinct()
+    return voronoi_cells(g, centers, weight=False).select(
+        F.col("id").cast("long"), F.col("center").cast("long")
+    )
+
+
 def q_chain_transitive_reduction(spark, sf_dir):
     # reduce the transitive CLOSURE of the per-nation chains: the unique
     # minimal DAG with the same reachability is the chain itself — the
@@ -1425,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_maximal_2cliques": q_copurchase_maximal_2cliques,
         "chain_tree_flags": q_chain_tree_flags,
         "chain_transitive_reduction": q_chain_transitive_reduction,
+        "chain_voronoi": q_chain_voronoi,
         "ring_cycle_basis": q_ring_cycle_basis,
         "event_triadic_census": q_event_triadic_census,
         "copurchase_dispersion50": q_copurchase_dispersion50,
@@ -2028,6 +2049,16 @@ def oracle_sql() -> dict[str, str]:
         "l_partkey AS p FROM lineitem), "
         "pd AS MATERIALIZED (SELECT p, COUNT(*) AS ns, MIN(s) AS ms "
         "FROM sp GROUP BY p)"
+    )
+    sqls["chain_voronoi"] = (
+        "WITH c AS (SELECT c_custkey, "
+        "ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1 "
+        "AS pos, COUNT(*) OVER (PARTITION BY c_nationkey) AS n, "
+        "MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS lo, "
+        "MAX(c_custkey) OVER (PARTITION BY c_nationkey) AS hi FROM customer) "
+        "SELECT CAST(c_custkey AS BIGINT) AS id, "
+        "CAST(CASE WHEN pos <= n - 1 - pos THEN lo ELSE hi END AS BIGINT) "
+        "AS center FROM c"
     )
     sqls["chain_transitive_reduction"] = (
         "WITH ch AS (SELECT c_custkey AS src, "

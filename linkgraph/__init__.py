@@ -136,6 +136,7 @@ from linkgraph.convert_matrix import (
     from_scipy_sparse_array,
 )
 from linkgraph.algos.sssp import (
+    voronoi_cells,
     shortest_path_length,
     weighted_shortest_path_lengths,
     single_source_weighted_path_length,

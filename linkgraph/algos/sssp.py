@@ -180,3 +180,103 @@ def shortest_path_length(g: SparkGraph, sources, *, weight: bool = False, **kwar
     from linkgraph.algos.setops import shortest_path_lengths
 
     return shortest_path_lengths(g, sources, **kwargs)
+
+
+def voronoi_cells(
+    g: SparkGraph,
+    center_nodes,
+    *,
+    weight: bool = True,
+    max_rounds: Optional[int] = None,
+) -> DataFrame:
+    """Nearest-center partition — ``networkx/algorithms/voronoi.py:10``
+    (``voronoi_cells``, multi-source Dijkstra). DataFrame
+    ``(id BIGINT, center BIGINT, distance DOUBLE)``: each reachable node
+    keyed by its nearest center. Unreachable nodes are simply absent (the
+    reference collects them under an ``"unreachable"`` dict key — callers
+    wanting that view anti-join ``g.vertices``). Distance ties break to the
+    MINIMUM center id — a deterministic rule where the reference inherits
+    heap insertion order.
+
+    Same frontier-relaxation loop as ``weighted_shortest_path_lengths``
+    with the state widened to a ``struct(distance, center)`` whose natural
+    lexicographic order implements the tie-break inside the same
+    map-side-combinable ``min``. ``weight=False`` counts hops.
+    """
+    spark = g.spark
+    adj = (
+        g.symmetric_edges().select("src", "dst", "weight")
+        if not g.directed
+        else g.edges.select("src", "dst", "weight")
+    )
+    w = F.col("weight") if weight else F.lit(1.0)
+    adj = adj.select("src", "dst", w.cast("double").alias("w")).persist()
+
+    cache = SuperstepCache(spark)
+    best = cache.truncate(
+        _source_df(g, center_nodes).select(
+            "id",
+            F.struct(
+                F.lit(0.0).alias("distance"), F.col("id").alias("center")
+            ).alias("best"),
+        )
+    )
+    frontier = best
+    n_limit = None
+    rounds = 0
+    while True:
+        rounds += 1
+        if max_rounds is not None and rounds > max_rounds:
+            break
+        if max_rounds is None:
+            if n_limit is None and rounds > 64:
+                n_limit = g.number_of_nodes()
+            if n_limit is not None and rounds > n_limit:
+                adj.unpersist()
+                cache.close()
+                raise NegativeCycleError(
+                    "voronoi_cells: relaxation still improving after "
+                    f"{n_limit} rounds (negative weights?)"
+                )
+        cand = (
+            adj.join(frontier.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.col("best.distance") + F.col("w")).alias("distance"),
+                        F.col("best.center").alias("center"),
+                    )
+                ).alias("cand")
+            )
+        )
+        merged = cache.truncate(
+            best.join(cand, "id", "full").select(
+                "id",
+                F.when(
+                    F.col("best").isNull() | (F.col("cand") < F.col("best")),
+                    F.col("cand"),
+                )
+                .otherwise(F.col("best"))
+                .alias("best"),
+                (
+                    F.col("best").isNull()
+                    | (F.col("cand") < F.col("best"))
+                ).alias("_improved"),
+            ),
+            retire=best,
+        )
+        frontier = merged.filter("_improved").select("id", "best")
+        new_best = merged.select("id", "best")
+        improved = frontier.limit(1).count()
+        best = new_best
+        if improved == 0:
+            break
+    out = best.select(
+        "id",
+        F.col("best.center").alias("center"),
+        F.col("best.distance").alias("distance"),
+    ).localCheckpoint(eager=True)
+    adj.unpersist()
+    cache.close(keep_result=True)
+    return out
