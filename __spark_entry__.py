@@ -800,6 +800,37 @@ def q_copurchase_4clique_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "n_4cliques long")
 
 
+def q_ring_arborescence(spark, sf_dir):
+    # per-nation directed rings (weight 1) + expensive root arcs (weight
+    # 100) to each nation's minimum customer: every min in-arc pick closes
+    # a full ring cycle, so all 25 rings contract and the expansion pass
+    # drops exactly the closing arc per ring — the closed form is root
+    # arcs + chain arcs.
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.branchings import minimum_spanning_arborescence
+
+    ROOT = 9_000_000
+    ring = DS.customer_ring_edges(spark, sf_dir).select(
+        F.col("src").cast("long"), F.col("dst").cast("long"),
+        F.lit(1.0).alias("weight"),
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    root_arcs = c.groupBy("c_nationkey").agg(
+        F.min("c_custkey").alias("dst")
+    ).select(
+        F.lit(ROOT).cast("long").alias("src"),
+        F.col("dst").cast("long"),
+        F.lit(100.0).alias("weight"),
+    )
+    g = SparkGraph(
+        ring.unionByName(root_arcs), directed=True, coalesce_edges=False
+    )
+    return minimum_spanning_arborescence(g, root=ROOT).select(
+        F.col("src").cast("long"), F.col("dst").cast("long"),
+        F.col("weight").cast("double"),
+    )
+
+
 def q_chain_voronoi(spark, sf_dir):
     # centers = both ends of every nation chain; each customer goes to the
     # nearer end, distance ties to the smaller id — closed form on the
@@ -1446,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_tree_flags": q_chain_tree_flags,
         "chain_transitive_reduction": q_chain_transitive_reduction,
         "chain_voronoi": q_chain_voronoi,
+        "ring_arborescence": q_ring_arborescence,
         "ring_cycle_basis": q_ring_cycle_basis,
         "event_triadic_census": q_event_triadic_census,
         "copurchase_dispersion50": q_copurchase_dispersion50,
@@ -2049,6 +2081,17 @@ def oracle_sql() -> dict[str, str]:
         "l_partkey AS p FROM lineitem), "
         "pd AS MATERIALIZED (SELECT p, COUNT(*) AS ns, MIN(s) AS ms "
         "FROM sp GROUP BY p)"
+    )
+    sqls["ring_arborescence"] = (
+        "WITH ch AS (SELECT c_custkey AS src, "
+        "LEAD(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) "
+        "AS dst FROM customer), "
+        "mn AS (SELECT MIN(c_custkey) AS m FROM customer GROUP BY c_nationkey) "
+        "SELECT CAST(9000000 AS BIGINT) AS src, CAST(m AS BIGINT) AS dst, "
+        "CAST(100.0 AS DOUBLE) AS weight FROM mn "
+        "UNION ALL "
+        "SELECT CAST(src AS BIGINT), CAST(dst AS BIGINT), "
+        "CAST(1.0 AS DOUBLE) FROM ch WHERE dst IS NOT NULL"
     )
     sqls["chain_voronoi"] = (
         "WITH c AS (SELECT c_custkey, "

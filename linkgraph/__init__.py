@@ -201,6 +201,10 @@ from linkgraph.algos.dominance import (
 from linkgraph.algos.triangles import square_clustering
 from linkgraph.algos.swap import double_edge_swap
 from linkgraph.algos.dag import moral_graph, transitive_reduction
+from linkgraph.algos.branchings import (
+    minimum_spanning_arborescence,
+    maximum_spanning_arborescence,
+)
 from linkgraph.algos.classification import (
     harmonic_function,
     local_and_global_consistency,
@@ -257,6 +261,9 @@ __all__ = [
     "immediate_dominators",
     "cycle_basis",
     "transitive_reduction",
+    "minimum_spanning_arborescence",
+    "maximum_spanning_arborescence",
+    "voronoi_cells",
     "is_tree",
     "is_forest",
     "is_branching",
