@@ -800,6 +800,27 @@ def q_copurchase_4clique_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "n_4cliques long")
 
 
+def q_hierarchy_lca(spark, sf_dir):
+    # LCA of globally-consecutive customer pairs on the region→nation→
+    # customer DAG: same nation → the nation, same region → the region,
+    # different regions → absent (no common ancestor).
+    from pyspark.sql import Window
+    from linkgraph.algos.dag import lowest_common_ancestors
+
+    g = DS.hierarchy_dag_graph(spark, sf_dir)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.orderBy("c_custkey")
+    pairs = (
+        c.select("c_custkey", F.lead("c_custkey").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("c_custkey").alias("u"), F.col("nxt").alias("v"))
+    )
+    return lowest_common_ancestors(g, pairs).select(
+        F.col("u").cast("long"), F.col("v").cast("long"),
+        F.col("lca").cast("long"),
+    )
+
+
 def q_ring_arborescence(spark, sf_dir):
     # per-nation directed rings (weight 1) + expensive root arcs (weight
     # 100) to each nation's minimum customer: every min in-arc pick closes
@@ -1478,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_transitive_reduction": q_chain_transitive_reduction,
         "chain_voronoi": q_chain_voronoi,
         "ring_arborescence": q_ring_arborescence,
+        "hierarchy_lca": q_hierarchy_lca,
         "ring_cycle_basis": q_ring_cycle_basis,
         "event_triadic_census": q_event_triadic_census,
         "copurchase_dispersion50": q_copurchase_dispersion50,
@@ -2081,6 +2103,18 @@ def oracle_sql() -> dict[str, str]:
         "l_partkey AS p FROM lineitem), "
         "pd AS MATERIALIZED (SELECT p, COUNT(*) AS ns, MIN(s) AS ms "
         "FROM sp GROUP BY p)"
+    )
+    sqls["hierarchy_lca"] = (
+        "WITH c AS (SELECT c_custkey AS u, c_nationkey AS un, "
+        "LEAD(c_custkey) OVER (ORDER BY c_custkey) AS v, "
+        "LEAD(c_nationkey) OVER (ORDER BY c_custkey) AS vn FROM customer), "
+        "j AS (SELECT u, v, un, vn FROM c WHERE v IS NOT NULL) "
+        "SELECT CAST(j.u AS BIGINT) AS u, CAST(j.v AS BIGINT) AS v, "
+        "CAST(CASE WHEN j.un = j.vn THEN j.un + 1000000 "
+        "ELSE na.n_regionkey + 2000000 END AS BIGINT) AS lca "
+        "FROM j JOIN nation na ON na.n_nationkey = j.un "
+        "JOIN nation nb ON nb.n_nationkey = j.vn "
+        "WHERE j.un = j.vn OR na.n_regionkey = nb.n_regionkey"
     )
     sqls["ring_arborescence"] = (
         "WITH ch AS (SELECT c_custkey AS src, "

@@ -200,7 +200,7 @@ from linkgraph.algos.dominance import (
 )
 from linkgraph.algos.triangles import square_clustering
 from linkgraph.algos.swap import double_edge_swap
-from linkgraph.algos.dag import moral_graph, transitive_reduction
+from linkgraph.algos.dag import moral_graph, transitive_reduction, lowest_common_ancestors
 from linkgraph.algos.branchings import (
     minimum_spanning_arborescence,
     maximum_spanning_arborescence,
@@ -261,6 +261,7 @@ __all__ = [
     "immediate_dominators",
     "cycle_basis",
     "transitive_reduction",
+    "lowest_common_ancestors",
     "minimum_spanning_arborescence",
     "maximum_spanning_arborescence",
     "voronoi_cells",

@@ -252,3 +252,56 @@ def transitive_reduction(g: SparkGraph) -> SparkGraph:
         directed=True,
         coalesce_edges=False,
     )
+
+
+def lowest_common_ancestors(g: SparkGraph, pairs: DataFrame) -> DataFrame:
+    """Per-pair lowest common ancestor on a DAG —
+    ``networkx/algorithms/lowest_common_ancestors.py``
+    (``all_pairs_lowest_common_ancestor`` semantics: a node is its own
+    ancestor; pairs with no common ancestor are absent from the result).
+
+    ``pairs``: DataFrame with two columns (u, v). Returns
+    ``(u, v, lca BIGINT)``.
+
+    The reference walks ancestor sets per pair in Python. The distributed
+    plan: reflexive transitive closure → per-pair common-ancestor equi-join
+    → keep the candidate with the MAXIMUM Kahn generation (a deepest common
+    ancestor can have no common-ancestor descendant, so it is always a
+    valid LCA; the reference returns an arbitrary one, so parity tests
+    check validity, and exactness only where the LCA is unique). Ties break
+    to the largest node id, deterministically. Candidate-driven: the
+    closure is semi-joined to the queried nodes before expanding, so cost
+    scales with the queried ancestor sets, not the full n² closure.
+    """
+    _require_directed(g, "lowest_common_ancestors")
+    spark = g.spark
+    uc, vc = pairs.columns[0], pairs.columns[1]
+    p = pairs.select(
+        F.col(uc).cast("long").alias("u"), F.col(vc).cast("long").alias("v")
+    ).distinct()
+
+    wanted = (
+        p.select(F.col("u").alias("id"))
+        .unionAll(p.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    anc = (
+        transitive_closure(g, reflexive=True)
+        .edges.select(F.col("src").alias("a"), F.col("dst").alias("id"))
+        .join(wanted, "id", "left_semi")
+    )
+    gen = topological_generations(g)
+    au = anc.select(F.col("id").alias("u"), F.col("a").alias("anc_u"))
+    av = anc.select(F.col("id").alias("v"), F.col("a").alias("anc_v"))
+    common = (
+        p.join(au, "u")
+        .join(av, "v")
+        .filter(F.col("anc_u") == F.col("anc_v"))
+        .select("u", "v", F.col("anc_u").alias("lca"))
+    )
+    return (
+        common.join(gen.select(F.col("id").alias("lca"), "generation"), "lca")
+        .groupBy("u", "v")
+        .agg(F.max(F.struct("generation", "lca")).alias("m"))
+        .select("u", "v", F.col("m.lca").alias("lca"))
+    )
