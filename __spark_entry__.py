@@ -634,10 +634,12 @@ def q_emb_ann_top10(spark, sf_dir):
 
 
 def q_emb_ivf_top10(spark, sf_dir):
-    # IVF path: deterministic k-means coarse quantizer (seeded init, 2 Lloyd
-    # rounds as DataFrame ops) -> per-query probe of the 4 nearest inverted
-    # lists -> exact re-rank. Rows-only check (the quantizer is not SQL-
-    # portable); recall vs brute force pinned in tests/test_embeddings.py.
+    # IVF path: deterministic k-means coarse quantizer (md5-seeded init,
+    # 2 Lloyd rounds as DataFrame ops) -> per-query probe of the 4 nearest
+    # inverted lists -> exact re-rank. Fully oracled: the quantizer is
+    # engine-stable (md5 ordering + ROUND-9 argmax decisions + ROUND-9
+    # centroid rebuilds), so the oracle replays the whole pipeline in SQL.
+    # Recall vs brute force additionally pinned in tests/test_embeddings.py.
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 20)
     return EMB.ivf_topk(emb, queries_df, k=10, n_centroids=32, n_probe=4).select(
@@ -2910,5 +2912,86 @@ rk AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine
 FROM rk WHERE r <= 10"""
+
+    # IVF top-k: the ENTIRE pipeline — deterministic k-means coarse
+    # quantizer (md5-seeded init, 2 Lloyd rounds), inverted-list assignment,
+    # 4-list probe, exact re-rank — replayed in SQL. Portability rests on
+    # three engine-stability snaps mirrored in linkgraph/embeddings.py:
+    # md5 init ordering (identical hex in both engines), ROUND(sim, 9)
+    # before every argmax/top-probe decision, ROUND(AVG, 9) on rebuilt
+    # centroid components.
+    def _ivf_assign(src: str) -> str:
+        return f"""
+cn_{src} AS MATERIALIZED (SELECT cid, SQRT(SUM(val*val)) AS cn FROM {src} GROUP BY 1),
+sim_{src} AS MATERIALIZED (
+  SELECT v.id, c.cid,
+         ROUND(SUM(v.val*c.val) / (CASE WHEN n.cn > 0 THEN n.cn ELSE 1 END), 9) AS s
+  FROM vx v JOIN {src} c ON v.ord = c.ord JOIN cn_{src} n ON n.cid = c.cid
+  GROUP BY v.id, c.cid, n.cn
+),
+asg_{src} AS MATERIALIZED (
+  SELECT id, cid FROM (
+    SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) AS r
+    FROM sim_{src}) WHERE r = 1
+)"""
+
+    def _ivf_rebuild(src: str, out: str) -> str:
+        return f"""
+{out} AS MATERIALIZED (
+  SELECT a.cid, v.ord, ROUND(AVG(v.val), 9) AS val
+  FROM asg_{src} a JOIN vx v ON v.id = a.id GROUP BY a.cid, v.ord
+)"""
+
+    sqls["emb_ivf_top10"] = (
+        """WITH
+vx AS MATERIALIZED (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS ord,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+nrm AS MATERIALIZED (SELECT id, SQRT(SUM(val*val)) AS nrm FROM vx GROUP BY 1),
+ini AS MATERIALIZED (
+  SELECT id, cid FROM (
+    SELECT vec_id AS id,
+           ROW_NUMBER() OVER (ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+    FROM embeddings) WHERE cid < 32
+),
+c0 AS MATERIALIZED (SELECT i.cid, v.ord, v.val FROM ini i JOIN vx v ON v.id = i.id),"""
+        + _ivf_assign("c0")
+        + ","
+        + _ivf_rebuild("c0", "c1")
+        + ","
+        + _ivf_assign("c1")
+        + ","
+        + _ivf_rebuild("c1", "c2")
+        + ","
+        + _ivf_assign("c2")
+        + """,
+probe AS MATERIALIZED (
+  SELECT id AS query_id, cid FROM (
+    SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid) AS r
+    FROM sim_c2 WHERE id < 20) WHERE r <= 4
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT p.query_id, a.id AS neighbor_id
+  FROM probe p JOIN asg_c2 a ON a.cid = p.cid AND a.id <> p.query_id
+),
+dots AS MATERIALIZED (
+  SELECT c.query_id, c.neighbor_id, SUM(q.val * n.val) AS dot
+  FROM cand c JOIN vx q ON q.id = c.query_id
+  JOIN vx n ON n.id = c.neighbor_id AND n.ord = q.ord
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id, ROUND(d.dot / (nq.nrm * nn.nrm), 4) AS cosine
+  FROM dots d JOIN nrm nq ON nq.id = d.query_id JOIN nrm nn ON nn.id = d.neighbor_id
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS r
+  FROM sims
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine
+FROM rk WHERE r <= 10"""
+    )
 
     return sqls

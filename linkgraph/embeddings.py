@@ -182,10 +182,17 @@ def ann_topk(
 
 def _nearest_centroid(vec_col, cents_col):
     """Expression: id of the nearest centroid (max cosine, ties → lower id)
-    from an array<struct<cid,cv,cn>> column, computed as a JVM-side fold."""
-    sim = lambda c: _dot(vec_col, c["cv"]) / F.when(
-        c["cn"] > 0, c["cn"]
-    ).otherwise(F.lit(1.0))
+    from an array<struct<cid,cv,cn>> column, computed as a JVM-side fold.
+
+    The similarity is rounded to 9 decimals before the argmax so the
+    assignment decision is identical across engines (Spark's fold and the
+    oracle's SUM may add the 64 products in different orders; the ~1e-16
+    difference would otherwise flip borderline argmax choices)."""
+    sim = lambda c: F.round(
+        _dot(vec_col, c["cv"])
+        / F.when(c["cn"] > 0, c["cn"]).otherwise(F.lit(1.0)),
+        9,
+    )
     best = F.aggregate(
         cents_col,
         F.struct(
@@ -211,8 +218,11 @@ def train_ivf_centroids(
     """IVF coarse quantizer: ``(cid BIGINT, centroid ARRAY<DOUBLE>)``.
 
     k-means with deterministic init (the ``n_centroids`` corpus vectors with
-    the smallest ``xxhash64(id, seed)`` — a seeded uniform sample with no RNG
-    state) and ``lloyd_iters`` Lloyd rounds, entirely as DataFrame ops:
+    the smallest ``md5(concat(seed, ':', id))`` digest — a seeded uniform
+    sample with no RNG state; md5 rather than xxhash64 because both Spark
+    and DuckDB produce the identical lowercase-hex digest, which makes the
+    whole quantizer replayable in the SQL oracle) and ``lloyd_iters`` Lloyd
+    rounds, entirely as DataFrame ops:
     assignment is a fold over the broadcast centroid array (O(n·C·d) FLOPs,
     map-only); the update is ``posexplode`` → per-(cid, dim) mean → rebuild,
     i.e. one shuffle keyed on (cid, dim) per round — no driver-side vectors,
@@ -223,7 +233,10 @@ def train_ivf_centroids(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     init = (
-        v.withColumn("_h", F.xxhash64("id", F.lit(seed)))
+        v.withColumn(
+            "_h",
+            F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col("id").cast("string"))),
+        )
         .orderBy("_h", "id")
         .limit(n_centroids)
         .select(
@@ -247,10 +260,12 @@ def train_ivf_centroids(
         assigned = v.crossJoin(F.broadcast(packed)).select(
             "id", "v", _nearest_centroid(F.col("v"), F.col("cents")).alias("cid")
         )
+        # ROUND(avg, 9) snaps the new centroid components to engine-stable
+        # values (Spark and the oracle sum members in different orders).
         cents = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("x"))
+            .agg(F.round(F.avg("x"), 9).alias("x"))
             .groupBy("cid")
             .agg(
                 F.array_sort(
@@ -325,9 +340,10 @@ def ivf_topk(
                     F.col("cents"),
                     lambda c: F.struct(
                         c["cid"].alias("cid"),
-                        (
+                        F.round(
                             _dot(F.col("_qv"), c["cv"])
-                            / F.when(c["cn"] > 0, c["cn"]).otherwise(F.lit(1.0))
+                            / F.when(c["cn"] > 0, c["cn"]).otherwise(F.lit(1.0)),
+                            9,
                         ).alias("s"),
                     ),
                 )
