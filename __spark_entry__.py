@@ -1331,6 +1331,53 @@ def q_copurchase_s_metric(spark, sf_dir):
     )
 
 
+def q_copurchase_cut_measures(spark, sf_dir):
+    # Cut/expansion family over the copurchase graph with S = {id % 10 == 0}:
+    # one row of cut_size, volumes, conductance, normalized cut, edge/mixing/
+    # node/boundary expansion (networkx/algorithms/cuts.py semantics).
+    from linkgraph.algos import cuts as CUTS
+
+    g = DS.copurchase_graph(spark, sf_dir).persist()
+    S = g.vertices.filter(F.col("id") % 10 == 0).select("id")
+    cut = CUTS.cut_size(g, S)
+    vol_s = CUTS.volume(g, S)
+    cond = CUTS.conductance(g, S)
+    ncut = CUTS.normalized_cut_size(g, S)
+    eexp = CUTS.edge_expansion(g, S)
+    mexp = CUTS.mixing_expansion(g, S)
+    nexp = CUTS.node_expansion(g, S)
+    bexp = CUTS.boundary_expansion(g, S)
+    return spark.createDataFrame(
+        [
+            (
+                round(cut, 1),
+                round(vol_s, 1),
+                round(cond, 6),
+                round(ncut, 6),
+                round(eexp, 6),
+                round(mexp, 6),
+                round(nexp, 6),
+                round(bexp, 6),
+            )
+        ],
+        "cut double, vol_s double, conductance double, norm_cut double,"
+        " edge_exp double, mixing_exp double, node_exp double, boundary_exp double",
+    )
+
+
+def q_copurchase_partition_quality(spark, sf_dir):
+    # (coverage, performance) of the deterministic id%5 partition
+    # (community/quality.py:346 semantics).
+    from linkgraph.algos.community import partition_quality
+
+    g = DS.copurchase_graph(spark, sf_dir).persist()
+    com = g.vertices.select("id", (F.col("id") % 5).cast("int").alias("community"))
+    cov, perf = partition_quality(g, com)
+    return spark.createDataFrame(
+        [(round(cov, 6), round(perf, 6))], "coverage double, performance double"
+    )
+
+
 def q_supplier_part_moral_edges(spark, sf_dir):
     # Moralize the supplier->part digraph: undirected arcs plus marriages
     # between suppliers sharing a part (the co-parent join).
@@ -1508,12 +1555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring0_connectivity": q_ring0_connectivity,
         "copurchase_laplacian": q_copurchase_laplacian,
         "copurchase_attr_assortativity": q_copurchase_attr_assortativity,
-        "ring0_is_eulerian": q_ring0_is_eulerian,
         "copurchase_square_clustering": q_copurchase_square_clustering,
-        "copurchase_swap_degree_histogram": q_copurchase_swap_degree_histogram,
-        "copurchase_s_metric": q_copurchase_s_metric,
         "supplier_part_moral_edges": q_supplier_part_moral_edges,
-        "chain_bipartite_color": q_chain_bipartite_color,
         "hierarchy_ring_articulation": q_hierarchy_ring_articulation,
         "hierarchy_ring_block_count": q_hierarchy_ring_block_count,
         "hierarchy_ring_bridges": q_hierarchy_ring_bridges,
@@ -1523,14 +1566,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_mis_invariants": q_copurchase_mis_invariants,
         "copurchase_matching_invariants": q_copurchase_matching_invariants,
         "copurchase_avg_nbr_degree": q_copurchase_avg_nbr_degree,
-        "copurchase_degree_connectivity": q_copurchase_degree_connectivity,
         "copurchase_node_boundary": q_copurchase_node_boundary,
-        "copurchase_edge_boundary": q_copurchase_edge_boundary,
         "copurchase_local_bridges": q_copurchase_local_bridges,
         "copurchase_effective_size": q_copurchase_effective_size,
         "copurchase_constraint": q_copurchase_constraint,
         "ring0_wiener": q_ring0_wiener,
-        "ring0_global_efficiency": q_ring0_global_efficiency,
         "copurchase_eigenvector": q_copurchase_eigenvector,
         "copurchase_katz": q_copurchase_katz,
         "copurchase_adamic_adar_pairs50": q_adamic_adar_pairs50,
@@ -1552,6 +1592,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_top10": q_emb_ivf_top10,
         "doc_fingerprints": q_doc_fingerprints,
         "emb_cosine_top10": q_emb_cosine_top10,
+        # ---- 50-query driver cut line (first 50 above are the r03 set) -- #
+        # New operators added after the r03 window filled — first in line
+        # for the next round's window.
+        "copurchase_cut_measures": q_copurchase_cut_measures,
+        "copurchase_partition_quality": q_copurchase_partition_quality,
+        # Demoted sibling-family entries: each shares machinery with an
+        # in-window entry and carries pytest parity; they run if the cap
+        # allows more than 50.
+        "ring0_is_eulerian": q_ring0_is_eulerian,
+        "copurchase_swap_degree_histogram": q_copurchase_swap_degree_histogram,
+        "copurchase_s_metric": q_copurchase_s_metric,
+        "chain_bipartite_color": q_chain_bipartite_color,
+        "copurchase_degree_connectivity": q_copurchase_degree_connectivity,
+        "copurchase_edge_boundary": q_copurchase_edge_boundary,
+        "ring0_global_efficiency": q_ring0_global_efficiency,
         "emb_ann_top10": q_emb_ann_top10,
         # -- rows-only contracts (keep exercising them) ------------------ #
         "copurchase_louvain_sizes": q_copurchase_louvain_sizes,
@@ -2258,6 +2313,47 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_EDGES} "
         "SELECT ROUND(SUM(CAST(du.degree AS DOUBLE) * dv.degree), 1) AS s_metric "
         "FROM edges e JOIN deg du ON du.id = e.src JOIN deg dv ON dv.id = e.dst"
+    )
+    # Cut/expansion family, S = {id % 10 == 0}. The graph has no self-loops
+    # (src < dst strictly) so volume is a plain degree sum; undirected cut
+    # counts each crossing edge once.
+    sqls["copurchase_cut_measures"] = (
+        f"WITH {_EDGES}, "
+        "stats AS (SELECT "
+        "  SUM(CASE WHEN (src % 10 = 0) <> (dst % 10 = 0) THEN 1 ELSE 0 END) AS cut, "
+        "  COUNT(*) AS m FROM edges), "
+        "vols AS (SELECT "
+        "  SUM(CASE WHEN id % 10 = 0 THEN degree ELSE 0 END) AS vol_s, "
+        "  SUM(CASE WHEN id % 10 <> 0 THEN degree ELSE 0 END) AS vol_t, "
+        "  SUM(CASE WHEN id % 10 = 0 THEN 1 ELSE 0 END) AS n_s, "
+        "  SUM(CASE WHEN id % 10 <> 0 THEN 1 ELSE 0 END) AS n_t FROM deg), "
+        "nbrs AS (SELECT COUNT(DISTINCT nb) AS n_nb, "
+        "  COUNT(DISTINCT CASE WHEN nb % 10 <> 0 THEN nb END) AS n_bd FROM ("
+        "  SELECT dst AS nb FROM edges WHERE src % 10 = 0 "
+        "  UNION ALL SELECT src AS nb FROM edges WHERE dst % 10 = 0)) "
+        "SELECT ROUND(CAST(cut AS DOUBLE), 1) AS cut, "
+        "ROUND(CAST(vol_s AS DOUBLE), 1) AS vol_s, "
+        "ROUND(cut / LEAST(vol_s, vol_t), 6) AS conductance, "
+        "ROUND(cut * (1.0/vol_s + 1.0/vol_t), 6) AS norm_cut, "
+        "ROUND(cut / LEAST(n_s, n_t), 6) AS edge_exp, "
+        "ROUND(cut / (2.0 * m), 6) AS mixing_exp, "
+        "ROUND(CAST(n_nb AS DOUBLE) / n_s, 6) AS node_exp, "
+        "ROUND(CAST(n_bd AS DOUBLE) / n_s, 6) AS boundary_exp "
+        "FROM stats, vols, nbrs"
+    )
+    # partition_quality of the id%5 partition: coverage = intra/m,
+    # performance = (intra + inter non-edges) / C(n,2).
+    sqls["copurchase_partition_quality"] = (
+        f"WITH {_EDGES}, "
+        "st AS (SELECT SUM(CASE WHEN src % 5 = dst % 5 THEN 1 ELSE 0 END) AS intra, "
+        "  COUNT(*) AS m FROM edges), "
+        "sz AS (SELECT SUM(c * (c - 1) / 2) AS intra_pairs, "
+        "  SUM(c) * (SUM(c) - 1) / 2 AS total_pairs FROM ("
+        "  SELECT COUNT(*) AS c FROM deg GROUP BY id % 5)) "
+        "SELECT ROUND(CAST(intra AS DOUBLE) / m, 6) AS coverage, "
+        "ROUND((intra + (total_pairs - intra_pairs - (m - intra))) "
+        "  / CAST(total_pairs AS DOUBLE), 6) AS performance "
+        "FROM st, sz"
     )
     sqls["supplier_part_moral_edges"] = (
         "WITH sp AS (SELECT DISTINCT l_suppkey + 1000000 AS s, l_partkey AS p "

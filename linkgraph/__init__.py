@@ -39,7 +39,22 @@ from linkgraph.algos.triangles import (
     transitivity,
 )
 from linkgraph.algos.lpa import label_propagation_communities
-from linkgraph.algos.community import modularity, louvain_communities, leiden_communities
+from linkgraph.algos.community import (
+    modularity,
+    louvain_communities,
+    leiden_communities,
+    partition_quality,
+)
+from linkgraph.algos.cuts import (
+    cut_size,
+    volume,
+    normalized_cut_size,
+    conductance,
+    edge_expansion,
+    mixing_expansion,
+    node_expansion,
+    boundary_expansion,
+)
 from linkgraph.algos.mst import (
     minimum_spanning_edges,
     minimum_spanning_tree,
@@ -251,6 +266,15 @@ __version__ = "0.1.0"
 
 __all__ = [
     "SparkGraph",
+    "partition_quality",
+    "cut_size",
+    "volume",
+    "normalized_cut_size",
+    "conductance",
+    "edge_expansion",
+    "mixing_expansion",
+    "node_expansion",
+    "boundary_expansion",
     "bipartite_color",
     "is_bipartite",
     "bipartite_sets",

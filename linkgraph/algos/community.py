@@ -45,7 +45,12 @@ from pyspark.sql import DataFrame, functions as F
 from linkgraph.graph import SparkGraph
 from linkgraph.iterutils import SuperstepCache, loop_partitions
 
-__all__ = ["modularity", "louvain_communities", "leiden_communities"]
+__all__ = [
+    "modularity",
+    "louvain_communities",
+    "leiden_communities",
+    "partition_quality",
+]
 
 @contextmanager
 def _loop_conf(spark, extra=None):
@@ -390,6 +395,55 @@ def _refine_connectivity(
     )
     cc = connected_components(sub)
     return cache.truncate(cc.select("id", F.col("component").alias("community")))
+
+
+def partition_quality(
+    g: SparkGraph, communities: DataFrame
+) -> "tuple[float, float]":
+    """``(coverage, performance)`` of a partition —
+    ``networkx/algorithms/community/quality.py:346``.
+
+    Coverage is the intra-community edge fraction; performance is
+    ``(intra edges + inter-community non-edges) / total node pairs``
+    (``quality.py:166,259`` semantics, multigraph edges counted with
+    multiplicity). Plan: one edges⋈labels⋈labels tagging pass for the
+    intra count plus one community-size aggregation — the non-edge term is
+    closed-form (``Σ s_c·(s_c−1)`` pairs), never enumerated.
+    """
+    _require_partition(g, communities)
+    com = communities.select(
+        F.col(communities.columns[0]).cast("long").alias("id"),
+        F.col(communities.columns[1]).alias("community"),
+    )
+    m = g.number_of_edges()
+    n = g.number_of_nodes()
+    lab_s = com.select(F.col("id").alias("src"), F.col("community").alias("c_src"))
+    lab_d = com.select(F.col("id").alias("dst"), F.col("community").alias("c_dst"))
+    intra = (
+        g.edges.join(lab_s, "src")
+        .join(lab_d, "dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .count()
+    )
+    inter = m - intra
+    pair_row = (
+        com.groupBy("community")
+        .count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1)).alias("p"))
+        .first()
+    )
+    intra_pairs = int(pair_row["p"] or 0)
+    total_pairs = n * (n - 1)
+    if not g.directed:
+        intra_pairs //= 2
+        total_pairs //= 2
+    coverage = intra / m if m else 1.0
+    performance = (
+        (intra + (total_pairs - intra_pairs - inter)) / total_pairs
+        if total_pairs
+        else 1.0
+    )
+    return coverage, performance
 
 
 def louvain_communities(
