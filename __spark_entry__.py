@@ -1378,6 +1378,41 @@ def q_copurchase_partition_quality(spark, sf_dir):
     )
 
 
+def q_hierarchy_trophic_levels(spark, sf_dir):
+    # Trophic levels of the region→nation→customer DAG: Jacobi fixpoint of
+    # s = 1 + P s (trophic.py:12 semantics). Closed form: 1 / 2 / 3 by layer.
+    from linkgraph.algos.hierarchy import trophic_levels
+
+    g = DS.hierarchy_dag_graph(spark, sf_dir)
+    return trophic_levels(g).select(
+        F.col("id").cast("long"),
+        F.round("trophic_level", 6).alias("trophic_level"),
+    )
+
+
+def q_mixed_flow_hierarchy(spark, sf_dir):
+    # Flow hierarchy (fraction of arcs outside every cycle) of the mixed
+    # ring/chain fixture: even nations are rings (all cyclic), odd nations
+    # chains (all acyclic) — SCC labeling + one tagged aggregation.
+    from linkgraph.algos.hierarchy import flow_hierarchy
+
+    g = DS.mixed_ring_chain_graph(spark, sf_dir)
+    return spark.createDataFrame(
+        [(round(flow_hierarchy(g), 6),)], "flow_hierarchy double"
+    )
+
+
+def q_hierarchy_reaching(spark, sf_dir):
+    # Global reaching centrality of the hierarchy DAG (reaching.py:14,
+    # unweighted): lrc = reachable fraction, GRC = mean gap to the max.
+    from linkgraph.algos.hierarchy import global_reaching_centrality
+
+    g = DS.hierarchy_dag_graph(spark, sf_dir)
+    return spark.createDataFrame(
+        [(round(global_reaching_centrality(g), 6),)], "grc double"
+    )
+
+
 def q_supplier_part_moral_edges(spark, sf_dir):
     # Moralize the supplier->part digraph: undirected arcs plus marriages
     # between suppliers sharing a part (the co-parent join).
@@ -1597,6 +1632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the next round's window.
         "copurchase_cut_measures": q_copurchase_cut_measures,
         "copurchase_partition_quality": q_copurchase_partition_quality,
+        "hierarchy_trophic_levels": q_hierarchy_trophic_levels,
+        "mixed_flow_hierarchy": q_mixed_flow_hierarchy,
+        "hierarchy_reaching": q_hierarchy_reaching,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
         # allows more than 50.
@@ -2354,6 +2392,41 @@ def oracle_sql() -> dict[str, str]:
         "ROUND((intra + (total_pairs - intra_pairs - (m - intra))) "
         "  / CAST(total_pairs AS DOUBLE), 6) AS performance "
         "FROM st, sz"
+    )
+    # Trophic levels of the 3-layer hierarchy DAG: closed form 1/2/3
+    # (regions are basal; every nation's in-edges all come from level-1
+    # regions; every customer's from level-2 nations).
+    sqls["hierarchy_trophic_levels"] = (
+        "SELECT CAST(r_regionkey + 2000000 AS BIGINT) AS id, "
+        "CAST(1.0 AS DOUBLE) AS trophic_level FROM region "
+        "UNION ALL SELECT CAST(n_nationkey + 1000000 AS BIGINT), "
+        "CAST(2.0 AS DOUBLE) FROM nation "
+        "UNION ALL SELECT CAST(c_custkey AS BIGINT), CAST(3.0 AS DOUBLE) FROM customer"
+    )
+    # Mixed ring/chain flow hierarchy: even nations are k-arc rings (all
+    # cyclic), odd nations (k-1)-arc chains (all acyclic).
+    sqls["mixed_flow_hierarchy"] = (
+        "WITH k AS (SELECT c_nationkey AS n, COUNT(*) AS k FROM customer GROUP BY 1) "
+        "SELECT ROUND(CAST(SUM(CASE WHEN n % 2 = 1 THEN k - 1 ELSE 0 END) AS DOUBLE) "
+        "/ SUM(CASE WHEN n % 2 = 1 THEN k - 1 ELSE k END), 6) AS flow_hierarchy FROM k"
+    )
+    # Global reaching centrality of the hierarchy DAG. lrc = reach/(n-1):
+    # region -> its nations + their customers, nation -> its customers,
+    # customer -> 0. GRC = (n*max_reach - (sum of all reaches)) / (n-1)^2,
+    # where sum of reaches = n_nat + 2*n_cust (each nation counted once
+    # under its region; each customer under both its region and nation).
+    sqls["hierarchy_reaching"] = (
+        "WITH mx AS (SELECT MAX(reach) AS mx FROM ("
+        "  SELECT n.n_regionkey, COUNT(DISTINCT n.n_nationkey) + COUNT(c.c_custkey) AS reach "
+        "  FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey "
+        "  GROUP BY 1)), "
+        "sz AS (SELECT (SELECT COUNT(*) FROM region) AS n_reg, "
+        "  (SELECT COUNT(*) FROM nation) AS n_nat, "
+        "  (SELECT COUNT(*) FROM customer) AS n_cust) "
+        "SELECT ROUND(((n_reg + n_nat + n_cust) * CAST(mx AS DOUBLE) "
+        "  - (n_nat + 2 * n_cust)) "
+        "  / ((n_reg + n_nat + n_cust - 1.0) * (n_reg + n_nat + n_cust - 1.0)), 6) "
+        "AS grc FROM mx, sz"
     )
     sqls["supplier_part_moral_edges"] = (
         "WITH sp AS (SELECT DISTINCT l_suppkey + 1000000 AS s, l_partkey AS p "

@@ -45,6 +45,14 @@ from linkgraph.algos.community import (
     leiden_communities,
     partition_quality,
 )
+from linkgraph.algos.hierarchy import (
+    flow_hierarchy,
+    trophic_levels,
+    trophic_differences,
+    trophic_incoherence_parameter,
+    local_reaching_centrality,
+    global_reaching_centrality,
+)
 from linkgraph.algos.cuts import (
     cut_size,
     volume,
@@ -267,6 +275,12 @@ __version__ = "0.1.0"
 __all__ = [
     "SparkGraph",
     "partition_quality",
+    "flow_hierarchy",
+    "trophic_levels",
+    "trophic_differences",
+    "trophic_incoherence_parameter",
+    "local_reaching_centrality",
+    "global_reaching_centrality",
     "cut_size",
     "volume",
     "normalized_cut_size",

@@ -193,3 +193,28 @@ def customer_chain_digraph(spark: SparkSession, sf_dir: str) -> SparkGraph:
         directed=True,
         coalesce_edges=False,
     )
+
+
+def mixed_ring_chain_graph(spark: SparkSession, sf_dir: str) -> SparkGraph:
+    """Directed per-nation customer paths, CLOSED into rings only for
+    even-numbered nations: even nations contribute k cyclic arcs (one SCC
+    per nation), odd nations k−1 acyclic chain arcs. Flow hierarchy has
+    the closed form Σ_odd (k−1) / (Σ_odd (k−1) + Σ_even k) — the DuckDB
+    oracle for ``flow_hierarchy``."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    chain = (
+        c.withColumn("nxt", F.lead("c_custkey").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("c_custkey").alias("src"), F.col("nxt").alias("dst"))
+    )
+    closing = (
+        c.filter(F.col("c_nationkey") % 2 == 0)
+        .groupBy("c_nationkey")
+        .agg(F.max("c_custkey").alias("src"), F.min("c_custkey").alias("dst"))
+        .select("src", "dst")
+    )
+    v = c.select(F.col("c_custkey").alias("id"))
+    return SparkGraph(
+        chain.unionByName(closing), vertices=v, directed=True, coalesce_edges=False
+    )
