@@ -1378,6 +1378,21 @@ def q_copurchase_partition_quality(spark, sf_dir):
     )
 
 
+def q_chain_edge_betweenness(spark, sf_dir):
+    # Edge betweenness over the 25 disjoint directed customer chains:
+    # arc i (0-based) of a cnt-node path is crossed by (i+1)*(cnt-1-i)
+    # source/target pairs, normalized by n*(n-1) — the closed form the
+    # oracle replays with one window pass.
+    from linkgraph.algos.betweenness import edge_betweenness_centrality
+
+    g = DS.customer_chain_digraph(spark, sf_dir)
+    return edge_betweenness_centrality(g).select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.round("betweenness", 9).alias("betweenness"),
+    )
+
+
 def q_hierarchy_trophic_levels(spark, sf_dir):
     # Trophic levels of the region→nation→customer DAG: Jacobi fixpoint of
     # s = 1 + P s (trophic.py:12 semantics). Closed form: 1 / 2 / 3 by layer.
@@ -1635,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_trophic_levels": q_hierarchy_trophic_levels,
         "mixed_flow_hierarchy": q_mixed_flow_hierarchy,
         "hierarchy_reaching": q_hierarchy_reaching,
+        "chain_edge_betweenness": q_chain_edge_betweenness,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
         # allows more than 50.
@@ -2392,6 +2408,18 @@ def oracle_sql() -> dict[str, str]:
         "ROUND((intra + (total_pairs - intra_pairs - (m - intra))) "
         "  / CAST(total_pairs AS DOUBLE), 6) AS performance "
         "FROM st, sz"
+    )
+    # Edge betweenness of disjoint directed paths: closed form per arc.
+    sqls["chain_edge_betweenness"] = (
+        "WITH pos AS (SELECT c_custkey, "
+        "  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1 AS i, "
+        "  COUNT(*) OVER (PARTITION BY c_nationkey) AS cnt, "
+        "  LEAD(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS nxt "
+        "FROM customer), "
+        "n AS (SELECT COUNT(*) AS n FROM customer) "
+        "SELECT CAST(c_custkey AS BIGINT) AS src, CAST(nxt AS BIGINT) AS dst, "
+        "ROUND((i + 1) * (cnt - 1 - i) / (n.n * (n.n - 1.0)), 9) AS betweenness "
+        "FROM pos, n WHERE nxt IS NOT NULL"
     )
     # Trophic levels of the 3-layer hierarchy DAG: closed form 1/2/3
     # (regions are basal; every nation's in-edges all come from level-1

@@ -81,7 +81,10 @@ from linkgraph.algos.lpa_variants import (
 from linkgraph.algos.reciprocity import overall_reciprocity, node_reciprocity
 from linkgraph.algos.hits import hits
 from linkgraph.algos.centrality import eigenvector_centrality, katz_centrality
-from linkgraph.algos.betweenness import betweenness_centrality
+from linkgraph.algos.betweenness import (
+    betweenness_centrality,
+    edge_betweenness_centrality,
+)
 from linkgraph.algos.cores import (
     core_number,
     k_core,
@@ -358,6 +361,7 @@ __all__ = [
     "eigenvector_centrality",
     "katz_centrality",
     "betweenness_centrality",
+    "edge_betweenness_centrality",
     "core_number",
     "k_core",
     "k_shell",

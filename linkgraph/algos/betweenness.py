@@ -35,46 +35,10 @@ from linkgraph.graph import SparkGraph
 from linkgraph.iterutils import SuperstepCache
 
 
-def betweenness_centrality(
-    g: SparkGraph,
-    k: Optional[int] = None,
-    normalized: bool = True,
-    *,
-    seed: int = 0,
-    max_rounds: int = 10_000,
-) -> DataFrame:
-    """Return DataFrame ``(id BIGINT, betweenness DOUBLE)`` for every node
-    (shortest-path betweenness, unweighted; ``endpoints=False`` like the
-    reference default). ``k`` samples that many sources by seeded hash
-    order — deterministic, and rescaled by n/k like ``betweenness.py:75``.
-    """
-    spark = g.spark
-    cache = SuperstepCache(spark)
-    vertices = g.vertices.select("id").persist()
-    n = vertices.count()
-    if n == 0:
-        return spark.createDataFrame([], "id long, betweenness double")
-
-    arcs = (
-        (g.edges if g.directed else g.symmetric_edges())
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .persist()
-    )
-
-    if k is not None and k < n:
-        sources = (
-            vertices.orderBy(F.xxhash64(F.lit(int(seed)), "id"), "id")
-            .limit(int(k))
-            .select("id")
-        )
-        n_sources = int(k)
-    else:
-        sources = vertices
-        n_sources = n
-
-    # ---- forward: multi-source BFS with path counting ----------------- #
+def _forward_levels(sources, arcs, cache, max_rounds):
+    """Brandes forward pass for all sources at once: returns the list of
+    per-level state tables ``(s, v, dist, sigma)``
+    (``_single_source_shortest_path_basic``, ``betweenness.py:396``)."""
     frontier = cache.truncate(
         sources.select(
             F.col("id").alias("s"),
@@ -105,6 +69,50 @@ def betweenness_centrality(
         levels.append(new)
         seen = cache.truncate(seen.unionByName(new.select("s", "v")))
         frontier = new
+    return levels
+
+
+def _sampled_sources(vertices, n, k, seed):
+    if k is not None and k < n:
+        return (
+            vertices.orderBy(F.xxhash64(F.lit(int(seed)), "id"), "id")
+            .limit(int(k))
+            .select("id")
+        ), int(k)
+    return vertices, n
+
+
+def betweenness_centrality(
+    g: SparkGraph,
+    k: Optional[int] = None,
+    normalized: bool = True,
+    *,
+    seed: int = 0,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """Return DataFrame ``(id BIGINT, betweenness DOUBLE)`` for every node
+    (shortest-path betweenness, unweighted; ``endpoints=False`` like the
+    reference default). ``k`` samples that many sources by seeded hash
+    order — deterministic, and rescaled by n/k like ``betweenness.py:75``.
+    """
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    vertices = g.vertices.select("id").persist()
+    n = vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], "id long, betweenness double")
+
+    arcs = (
+        (g.edges if g.directed else g.symmetric_edges())
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+
+    sources, n_sources = _sampled_sources(vertices, n, k, seed)
+
+    levels = _forward_levels(sources, arcs, cache, max_rounds)
 
     # ---- backward: dependency accumulation level by level ------------- #
     # Pinned-state discipline: a BFS level's delta is FINAL once computed
@@ -191,5 +199,148 @@ def betweenness_centrality(
     out.count()
     arcs.unpersist()
     vertices.unpersist()
+    cache.close(keep_result=True)
+    return out
+
+
+def edge_betweenness_centrality(
+    g: SparkGraph,
+    k: Optional[int] = None,
+    normalized: bool = True,
+    *,
+    seed: int = 0,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """(src, dst, betweenness): shortest-path betweenness per edge
+    (``networkx/algorithms/centrality/betweenness.py:246``
+    `edge_betweenness_centrality`, accumulation ``_accumulate_edges:430``).
+
+    Same forward pass as :func:`betweenness_centrality`; in the backward
+    sweep the per-predecessor-arc contribution
+    ``c = σ(p)/σ(w)·(1 + δ(w))`` — the exact quantity the reference adds to
+    ``betweenness[(v, w)]`` — is aggregated per arc before it is folded
+    into the node deltas, so edges cost one extra groupBy per level, no
+    extra joins. Undirected arcs canonicalize to (min, max) like the
+    reference's single edge key. Rescale replicates ``_rescale`` with
+    ``endpoints=True``: normalized ``1/(K·(n−1))``; unnormalized ``n/(K·2)``
+    undirected, ``n/K`` directed (``K`` = sampled source count).
+    """
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    vertices = g.vertices.select("id").persist()
+    n = vertices.count()
+    edge_keys = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    if n == 0 or edge_keys.limit(1).count() == 0:
+        out = edge_keys.select("src", "dst", F.lit(0.0).alias("betweenness"))
+        vertices.unpersist()
+        return out
+
+    arcs = (
+        (g.edges if g.directed else g.symmetric_edges())
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    sources, n_sources = _sampled_sources(vertices, n, k, seed)
+    levels = _forward_levels(sources, arcs, cache, max_rounds)
+
+    # ---- backward: per-arc contributions, folded level by level ------- #
+    ebet_acc = None  # (u, v, b) running per-edge accumulator
+    delta_next = None
+    for d in range(len(levels) - 1, 0, -1):
+        lvl = levels[d]  # (s, w, sigma)
+        if delta_next is not None:
+            lvl = lvl.join(delta_next, ["s", "v"], "left").select(
+                "s", "v", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta")
+            )
+        else:
+            lvl = lvl.select("s", "v", "sigma", F.lit(0.0).alias("delta"))
+        prev = levels[d - 1].select("s", "v", F.col("sigma").alias("sigma_p"))
+        # arcs p -> w with w at level d and p at level d-1; keep BOTH ids
+        joined = (
+            lvl.withColumnRenamed("v", "w")
+            .join(arcs.withColumnRenamed("dst", "w"), "w")
+            .withColumnRenamed("src", "v")
+            .join(prev, ["s", "v"])
+            .select(
+                "s",
+                "v",
+                "w",
+                (
+                    F.col("sigma_p") / F.col("sigma") * (F.lit(1.0) + F.col("delta"))
+                ).alias("c"),
+            )
+        )
+        joined = cache.truncate(joined)
+        # per-edge fold (canonical key for undirected, the reference's
+        # single (v, w) edge entry)
+        if g.directed:
+            ukey, vkey = F.col("v"), F.col("w")
+        else:
+            ukey = F.least("v", "w")
+            vkey = F.greatest("v", "w")
+        lvl_ebet = joined.groupBy(
+            ukey.alias("u"), vkey.alias("vv")
+        ).agg(F.sum("c").alias("b"))
+        if ebet_acc is None:
+            ebet_acc = cache.truncate(lvl_ebet)
+        else:
+            folded = cache.truncate(
+                ebet_acc.unionByName(lvl_ebet)
+                .groupBy("u", "vv")
+                .agg(F.sum("b").alias("b"))
+            )
+            cache.release(ebet_acc)
+            ebet_acc = folded
+        # node deltas for the next level down
+        new_delta = cache.truncate(
+            joined.groupBy("s", "v").agg(F.sum("c").alias("delta"))
+        )
+        cache.release(joined)
+        if delta_next is not None:
+            cache.release(delta_next)
+        cache.release(levels[d])
+        levels[d] = None
+        delta_next = new_delta
+
+    # ---- rescale (_rescale endpoints=True, betweenness.py:455) -------- #
+    if normalized:
+        scale = 1.0 / (n_sources * (n - 1)) if n > 1 else None
+    else:
+        corr = 1.0 if g.directed else 2.0
+        scale = float(n) / (n_sources * corr)
+        if scale == 1.0:
+            scale = None
+    acc = (
+        ebet_acc
+        if ebet_acc is not None
+        else spark.createDataFrame([], "u long, vv long, b double")
+    )
+    out = (
+        edge_keys.join(
+            acc,
+            (F.col("src") == F.col("u")) & (F.col("dst") == F.col("vv")),
+            "left",
+        )
+        .select(
+            "src",
+            "dst",
+            (
+                F.coalesce("b", F.lit(0.0))
+                * F.lit(scale if scale is not None else 1.0)
+            ).alias("betweenness"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    arcs.unpersist()
+    vertices.unpersist()
+    edge_keys.unpersist()
     cache.close(keep_result=True)
     return out

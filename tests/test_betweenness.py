@@ -70,3 +70,61 @@ def test_sampled_deterministic(spark):
     exact = nx.betweenness_centrality(G)
     top_exact = max(exact, key=exact.get)
     assert a[top_exact] > 0
+
+
+# ------------------------- edge betweenness --------------------------- #
+
+from linkgraph.algos.betweenness import edge_betweenness_centrality
+
+
+def _ours_edges(spark, G, **kw):
+    df = edge_betweenness_centrality(from_nx(spark, G), **kw)
+    return {(r["src"], r["dst"]): r["betweenness"] for r in df.collect()}
+
+
+def _close_edges(got, want, directed):
+    # ours keys by stored canonical (src, dst); the reference by G.edges order
+    norm = (lambda e: e) if directed else (lambda e: (min(e), max(e)))
+    want = {norm(e): v for e, v in want.items()}
+    got = {norm(e): v for e, v in got.items()}
+    assert set(got) == set(want)
+    for e, v in want.items():
+        assert got[e] == pytest.approx(v, abs=1e-9), e
+
+
+def test_edge_path(spark):
+    G = nx.path_graph(5)
+    _close_edges(_ours_edges(spark, G), nx.edge_betweenness_centrality(G), False)
+
+
+def test_edge_gnp_undirected(spark):
+    G = nx.gnp_random_graph(22, 0.18, seed=7)
+    _close_edges(_ours_edges(spark, G), nx.edge_betweenness_centrality(G), False)
+    _close_edges(
+        _ours_edges(spark, G, normalized=False),
+        nx.edge_betweenness_centrality(G, normalized=False),
+        False,
+    )
+
+
+def test_edge_directed(spark):
+    G = nx.gnp_random_graph(20, 0.15, seed=11, directed=True)
+    _close_edges(_ours_edges(spark, G), nx.edge_betweenness_centrality(G), True)
+    _close_edges(
+        _ours_edges(spark, G, normalized=False),
+        nx.edge_betweenness_centrality(G, normalized=False),
+        True,
+    )
+
+
+def test_edge_disconnected(spark):
+    G = nx.disjoint_union(nx.path_graph(4), nx.cycle_graph(5))
+    _close_edges(_ours_edges(spark, G), nx.edge_betweenness_centrality(G), False)
+
+
+def test_edge_sampled_deterministic(spark):
+    G = nx.gnp_random_graph(24, 0.2, seed=9)
+    a = _ours_edges(spark, G, k=8, seed=3)
+    b = _ours_edges(spark, G, k=8, seed=3)
+    assert a == b
+    assert all(v >= 0 for v in a.values()) and any(v > 0 for v in a.values())
