@@ -1393,6 +1393,44 @@ def q_chain_edge_betweenness(spark, sf_dir):
     )
 
 
+def q_event_walks3(spark, sf_dir):
+    # number_of_walks(G, 3) on the event-type transition digraph: two
+    # semiring joins (A^3), keyed back to the type strings for the oracle.
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.walks import number_of_walks
+
+    te = DS.event_transition_edges(spark, sf_dir).persist()
+    ids = (
+        te.select(F.col("src_type").alias("t"))
+        .unionAll(te.select("dst_type"))
+        .distinct()
+        .select(F.xxhash64("t").alias("nid"), "t")
+    ).persist()
+    e = te.select(
+        F.xxhash64("src_type").alias("src"), F.xxhash64("dst_type").alias("dst")
+    )
+    g = SparkGraph(e, directed=True, coalesce_edges=False)
+    w = number_of_walks(g, 3)
+    return (
+        w.join(ids.withColumnRenamed("nid", "src"), "src")
+        .withColumnRenamed("t", "src_type")
+        .join(ids.withColumnRenamed("nid", "dst"), "dst")
+        .withColumnRenamed("t", "dst_type")
+        .select("src_type", "dst_type", F.col("walks").cast("long"))
+    )
+
+
+def q_copurchase_degree_mixing(spark, sf_dir):
+    # Degree mixing matrix (long form) of the copurchase graph
+    # (assortativity/mixing.py:147): one arc⋈degree join + aggregation.
+    from linkgraph.algos.assortativity import degree_mixing
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return degree_mixing(g).select(
+        F.col("x").cast("long"), F.col("y").cast("long"), F.col("n").cast("long")
+    )
+
+
 def q_hierarchy_trophic_levels(spark, sf_dir):
     # Trophic levels of the region→nation→customer DAG: Jacobi fixpoint of
     # s = 1 + P s (trophic.py:12 semantics). Closed form: 1 / 2 / 3 by layer.
@@ -1651,6 +1689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_flow_hierarchy": q_mixed_flow_hierarchy,
         "hierarchy_reaching": q_hierarchy_reaching,
         "chain_edge_betweenness": q_chain_edge_betweenness,
+        "event_walks3": q_event_walks3,
+        "copurchase_degree_mixing": q_copurchase_degree_mixing,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
         # allows more than 50.
@@ -2409,6 +2449,29 @@ def oracle_sql() -> dict[str, str]:
         "  / CAST(total_pairs AS DOUBLE), 6) AS performance "
         "FROM st, sz"
     )
+    _EV = (
+        "seq AS (SELECT event_type, LAG(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+        "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
+        "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # A^3 walk counts on the event-type digraph: two relational joins.
+    sqls["event_walks3"] = (
+        f"WITH {_EV} "
+        "SELECT e1.s AS src_type, e3.d AS dst_type, CAST(COUNT(*) AS BIGINT) AS walks "
+        "FROM e e1 JOIN e e2 ON e2.s = e1.d JOIN e e3 ON e3.s = e2.d "
+        "GROUP BY 1, 2"
+    )
+    # Degree mixing matrix over the copurchase graph: both arc orientations
+    # joined against the degree table.
+    sqls["copurchase_degree_mixing"] = (
+        f"WITH {_EDGES}, "
+        "sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) "
+        "SELECT CAST(du.degree AS BIGINT) AS x, CAST(dv.degree AS BIGINT) AS y, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM sym JOIN deg du ON du.id = sym.src JOIN deg dv ON dv.id = sym.dst "
+        "GROUP BY 1, 2"
+    )
     # Edge betweenness of disjoint directed paths: closed form per arc.
     sqls["chain_edge_betweenness"] = (
         "WITH pos AS (SELECT c_custkey, "
@@ -2741,12 +2804,6 @@ def oracle_sql() -> dict[str, str]:
         "LEFT JOIN (SELECT dst AS id, COUNT(*) AS c FROM sp GROUP BY dst) o ON o.id = n.id"
     )
 
-    _EV = (
-        "seq AS (SELECT event_type, LAG(event_type) OVER "
-        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
-        "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
-        "WHERE prev IS NOT NULL AND prev <> event_type)"
-    )
     from linkgraph.algos.triads import _code_to_name, _REPRESENTATIVES
 
     _lut = ", ".join(f"({c}, '{nm}')" for c, nm in sorted(_code_to_name().items()))

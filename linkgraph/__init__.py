@@ -271,7 +271,11 @@ from linkgraph.algos.degrees import (
     out_degrees,
     degree_histogram,
     degree_centrality,
+    is_regular,
+    is_k_regular,
 )
+from linkgraph.algos.walks import number_of_walks
+from linkgraph.algos.assortativity import attribute_mixing, degree_mixing
 
 __version__ = "0.1.0"
 
@@ -362,6 +366,11 @@ __all__ = [
     "katz_centrality",
     "betweenness_centrality",
     "edge_betweenness_centrality",
+    "is_regular",
+    "is_k_regular",
+    "number_of_walks",
+    "attribute_mixing",
+    "degree_mixing",
     "core_number",
     "k_core",
     "k_shell",

@@ -105,3 +105,66 @@ def numeric_assortativity_coefficient(g: SparkGraph, attribute: str) -> float:
     )
     r = pairs.agg(F.corr("xa", "xb")).first()[0]
     return float("nan") if r is None else float(r)
+
+
+def attribute_mixing(
+    g: SparkGraph, attribute: str, *, normalized: bool = False
+):
+    """(x, y, n|p): the attribute mixing matrix in long form —
+    ``networkx/algorithms/assortativity/mixing.py:63``
+    ``attribute_mixing_dict`` (counts; ``normalized=True`` → joint
+    probability). Like the reference's ``node_attribute_xy`` iteration,
+    undirected non-loop edges contribute in BOTH orientations and
+    self-loops once; directed arcs once. One arc⋈attr join + hash
+    aggregation; zero-count cells are absent (relational long form instead
+    of the dict-of-dicts)."""
+    pairs = _attr_arcs(g, attribute)
+    counts = pairs.groupBy(
+        F.col("xa").alias("x"), F.col("xb").alias("y")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    if not normalized:
+        return counts
+    from pyspark.sql import Window
+
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select("x", "y", (F.col("n") / total).alias("p"))
+
+
+def degree_mixing(
+    g: SparkGraph,
+    *,
+    x: str = "out",
+    y: str = "in",
+    weight: str | None = None,
+    normalized: bool = False,
+):
+    """(x, y, n|p): the degree mixing matrix in long form —
+    ``mixing.py:147`` ``degree_mixing_dict`` / ``pairs.py:69``
+    ``node_degree_xy``. For each arc, the (x-)degree of the source pairs
+    with the (y-)degree of the target (undirected graphs use total degree
+    on both ends and count each edge in both orientations, like the
+    reference's generator)."""
+    from linkgraph.algos.degrees import degrees, in_degrees, out_degrees
+
+    if g.directed:
+        table = {"out": out_degrees, "in": in_degrees}
+        dx = table[x](g, weight is not None, weight=weight)
+        dy = table[y](g, weight is not None, weight=weight)
+        arcs = g.edges.select("src", "dst")
+    else:
+        # symmetric arcs: non-loop edges in both orientations, self-loops
+        # once — exactly the reference generator's per-edge yields
+        dx = dy = degrees(g, weight is not None, weight=weight)
+        arcs = g.symmetric_edges().select("src", "dst")
+    pairs = arcs.join(
+        dx.select(F.col("id").alias("src"), F.col("degree").alias("dx")), "src"
+    ).join(dy.select(F.col("id").alias("dst"), F.col("degree").alias("dy")), "dst")
+    counts = pairs.groupBy(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    if not normalized:
+        return counts
+    from pyspark.sql import Window
+
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select("x", "y", (F.col("n") / total).alias("p"))

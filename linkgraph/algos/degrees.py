@@ -151,3 +151,31 @@ def laplacian_centrality(g: SparkGraph, normalized: bool = True) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     deg.unpersist()
     return out
+
+
+def is_regular(g: SparkGraph) -> bool:
+    """True when every node has the same degree (directed: same in-degree
+    AND same out-degree) — ``networkx/algorithms/regular.py:13``.
+    One distinct-count over the degree table(s)."""
+    if g.number_of_nodes() == 0:
+        raise ValueError("Graph has no nodes.")
+    if not g.directed:
+        return degrees(g).select("degree").distinct().limit(2).count() == 1
+    return (
+        in_degrees(g).select("degree").distinct().limit(2).count() == 1
+        and out_degrees(g).select("degree").distinct().limit(2).count() == 1
+    )
+
+
+def is_k_regular(g: SparkGraph, k: int) -> bool:
+    """True when every node of the undirected graph has degree ``k``
+    (``regular.py:45``; raises on directed like the decorator)."""
+    if g.directed:
+        from linkgraph.exceptions import NotImplementedForDirected
+
+        raise NotImplementedForDirected(
+            "is_k_regular: not implemented for directed type"
+        )
+    return (
+        degrees(g).filter(F.col("degree") != int(k)).limit(1).count() == 0
+    )
