@@ -1393,6 +1393,38 @@ def q_chain_edge_betweenness(spark, sf_dir):
     )
 
 
+def q_hierarchy_d_separation(spark, sf_dir):
+    # Bayes-ball d-separation probes on the region→nation→customer DAG:
+    # the nation is a fork between sibling customers and a chain link from
+    # its region — blocking it separates both. Closed-form truth table.
+    from pyspark.sql import Window
+    from linkgraph.algos.dseparation import is_d_separator
+
+    g = DS.hierarchy_dag_graph(spark, sf_dir)
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").cast("long").alias("id"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    )
+    c1 = cust.filter(F.col("rn") == 1).select("id")
+    c2 = cust.filter(F.col("rn") == 2).select("id")
+    nation0 = spark.createDataFrame([(1_000_000,)], "id bigint")
+    region0 = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter(F.col("n_nationkey") == 0)
+        .select((F.col("n_regionkey") + 2_000_000).cast("long").alias("id"))
+    )
+    empty = spark.createDataFrame([], "id bigint")
+    rows = [
+        ("fork_open", is_d_separator(g, c1, c2, empty)),
+        ("fork_blocked", is_d_separator(g, c1, c2, nation0)),
+        ("chain_open", is_d_separator(g, region0, c1, empty)),
+        ("chain_blocked", is_d_separator(g, region0, c1, nation0)),
+    ]
+    return spark.createDataFrame(rows, "test string, separated boolean")
+
+
 def q_event_walks3(spark, sf_dir):
     # number_of_walks(G, 3) on the event-type transition digraph: two
     # semiring joins (A^3), keyed back to the type strings for the oracle.
@@ -1691,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_edge_betweenness": q_chain_edge_betweenness,
         "event_walks3": q_event_walks3,
         "copurchase_degree_mixing": q_copurchase_degree_mixing,
+        "hierarchy_d_separation": q_hierarchy_d_separation,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
         # allows more than 50.
@@ -2454,6 +2487,15 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # d-separation truth table on the hierarchy DAG: sibling customers are
+    # d-connected through their nation fork (blocked by conditioning on
+    # it); region→nation→customer is a chain (likewise).
+    sqls["hierarchy_d_separation"] = (
+        "SELECT 'fork_open' AS test, FALSE AS separated "
+        "UNION ALL SELECT 'fork_blocked', TRUE "
+        "UNION ALL SELECT 'chain_open', FALSE "
+        "UNION ALL SELECT 'chain_blocked', TRUE"
     )
     # A^3 walk counts on the event-type digraph: two relational joins.
     sqls["event_walks3"] = (

@@ -275,6 +275,7 @@ from linkgraph.algos.degrees import (
     is_k_regular,
 )
 from linkgraph.algos.walks import number_of_walks
+from linkgraph.algos.dseparation import is_d_separator
 from linkgraph.algos.assortativity import attribute_mixing, degree_mixing
 
 __version__ = "0.1.0"
@@ -369,6 +370,7 @@ __all__ = [
     "is_regular",
     "is_k_regular",
     "number_of_walks",
+    "is_d_separator",
     "attribute_mixing",
     "degree_mixing",
     "core_number",
