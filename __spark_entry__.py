@@ -1425,6 +1425,23 @@ def q_hierarchy_d_separation(spark, sf_dir):
     return spark.createDataFrame(rows, "test string, separated boolean")
 
 
+def q_chain_percolation(spark, sf_dir):
+    # Percolation centrality on the undirected per-nation customer chains
+    # with deterministic states x = 0.05 + (custkey % 10)/10. On a path,
+    # delta_s(w) is a prefix/suffix count, so the oracle is two window
+    # prefix sums: p(w) = (sum_before*(cnt-1-i) + sum_after*i) / (X - x_w)
+    # / (n-2).
+    from linkgraph.algos.betweenness import percolation_centrality
+
+    g = DS.customer_chain_graph(spark, sf_dir)
+    states = g.vertices.select(
+        "id", (F.lit(0.05) + (F.col("id") % 10) / 10.0).alias("state")
+    )
+    return percolation_centrality(g, states=states).select(
+        F.col("id").cast("long"), F.round("percolation", 9).alias("percolation")
+    )
+
+
 def q_event_walks3(spark, sf_dir):
     # number_of_walks(G, 3) on the event-type transition digraph: two
     # semiring joins (A^3), keyed back to the type strings for the oracle.
@@ -1724,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_walks3": q_event_walks3,
         "copurchase_degree_mixing": q_copurchase_degree_mixing,
         "hierarchy_d_separation": q_hierarchy_d_separation,
+        "chain_percolation": q_chain_percolation,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
         # allows more than 50.
@@ -2487,6 +2505,24 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # Percolation centrality on disjoint paths: closed form via prefix sums.
+    sqls["chain_percolation"] = (
+        "WITH st AS (SELECT c_custkey, c_nationkey, "
+        "  0.05 + (c_custkey % 10) / 10.0 AS x, "
+        "  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1 AS i, "
+        "  COUNT(*) OVER (PARTITION BY c_nationkey) AS cnt, "
+        "  COALESCE(SUM(0.05 + (c_custkey % 10) / 10.0) OVER ("
+        "    PARTITION BY c_nationkey ORDER BY c_custkey "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sum_before, "
+        "  SUM(0.05 + (c_custkey % 10) / 10.0) OVER (PARTITION BY c_nationkey) "
+        "    AS nation_sum "
+        "FROM customer), "
+        "tot AS (SELECT SUM(x) AS xt, COUNT(*) AS n FROM st) "
+        "SELECT CAST(c_custkey AS BIGINT) AS id, "
+        "ROUND((sum_before * (cnt - 1 - i) "
+        "  + (nation_sum - sum_before - x) * i) / (xt - x) / (n - 2), 9) + 0 "
+        "AS percolation FROM st, tot"
     )
     # d-separation truth table on the hierarchy DAG: sibling customers are
     # d-connected through their nation fork (blocked by conditioning on

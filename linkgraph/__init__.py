@@ -84,6 +84,7 @@ from linkgraph.algos.centrality import eigenvector_centrality, katz_centrality
 from linkgraph.algos.betweenness import (
     betweenness_centrality,
     edge_betweenness_centrality,
+    percolation_centrality,
 )
 from linkgraph.algos.cores import (
     core_number,
@@ -367,6 +368,7 @@ __all__ = [
     "katz_centrality",
     "betweenness_centrality",
     "edge_betweenness_centrality",
+    "percolation_centrality",
     "is_regular",
     "is_k_regular",
     "number_of_walks",

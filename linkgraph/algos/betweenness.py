@@ -344,3 +344,133 @@ def edge_betweenness_centrality(
     edge_keys.unpersist()
     cache.close(keep_result=True)
     return out
+
+
+def percolation_centrality(
+    g: SparkGraph,
+    *,
+    attribute: str = "percolation",
+    states: Optional[DataFrame] = None,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """(id, percolation): percolation centrality —
+    ``networkx/algorithms/centrality/percolation.py:16`` (unweighted
+    paths, like our betweenness). Brandes deltas with each (source s,
+    node w) dependency weighted by ``x(s) / (Σx − x(w))`` before the
+    per-node fold (``_accumulate_percolation``), then scaled ``1/(n−2)``.
+
+    ``states`` is an (id, state) DataFrame; when omitted the node
+    attribute column ``attribute`` supplies it (missing → 1, the
+    reference default, which reduces to betweenness). Same forward pass
+    and pinned-state discipline as :func:`betweenness_centrality`.
+    """
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    vertices = g.vertices.select("id").persist()
+    n = vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], "id long, percolation double")
+
+    if states is not None:
+        st = states.select(
+            F.col(states.columns[0]).cast("long").alias("id"),
+            F.col(states.columns[1]).cast("double").alias("x"),
+        )
+    elif attribute in g.vertices.columns:
+        st = g.vertices.select(
+            "id", F.coalesce(F.col(attribute).cast("double"), F.lit(1.0)).alias("x")
+        )
+    else:
+        st = vertices.select("id", F.lit(1.0).alias("x"))
+    st = vertices.join(st, "id", "left").select(
+        "id", F.coalesce("x", F.lit(1.0)).alias("x")
+    ).persist()
+    x_total = float(st.agg(F.sum("x")).first()[0] or 0.0)
+
+    arcs = (
+        (g.edges if g.directed else g.symmetric_edges())
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    levels = _forward_levels(vertices, arcs, cache, max_rounds)
+
+    st_s = F.broadcast(st.select(F.col("id").alias("s"), F.col("x").alias("x_s")))
+    st_v = F.broadcast(st.select(F.col("id").alias("v"), F.col("x").alias("x_v")))
+
+    perc_acc = None
+    delta_next = None
+    for d in range(len(levels) - 1, 0, -1):
+        lvl = levels[d]
+        if delta_next is not None:
+            lvl = lvl.join(delta_next, ["s", "v"], "left").select(
+                "s", "v", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta")
+            )
+        else:
+            lvl = lvl.select("s", "v", "sigma", F.lit(0.0).alias("delta"))
+        pred = (
+            lvl.withColumnRenamed("v", "w")
+            .join(arcs.withColumnRenamed("dst", "w"), "w")
+            .select("s", F.col("src").alias("v"), "sigma", "delta")
+        )
+        prev = levels[d - 1].select("s", "v", F.col("sigma").alias("sigma_p"))
+        contrib = (
+            pred.join(prev, ["s", "v"])
+            .select(
+                "s",
+                "v",
+                (
+                    F.col("sigma_p") / F.col("sigma") * (F.lit(1.0) + F.col("delta"))
+                ).alias("c"),
+            )
+            .groupBy("s", "v")
+            .agg(F.sum("c").alias("delta"))
+        )
+        new_delta = cache.truncate(contrib)
+        if delta_next is not None:
+            cache.release(delta_next)
+        cache.release(levels[d])
+        levels[d] = None
+        delta_next = new_delta
+        # weighted fold: delta(s, w) * x(s) / (x_total - x(w))
+        lvl_perc = (
+            new_delta.filter(F.col("s") != F.col("v"))
+            .join(st_s, "s")
+            .join(st_v, "v")
+            .select(
+                F.col("v").alias("id"),
+                (
+                    F.col("delta")
+                    * F.col("x_s")
+                    / (F.lit(x_total) - F.col("x_v"))
+                ).alias("b"),
+            )
+            .groupBy("id")
+            .agg(F.sum("b").alias("b"))
+        )
+        if perc_acc is None:
+            perc_acc = cache.truncate(lvl_perc)
+        else:
+            folded = cache.truncate(
+                perc_acc.unionByName(lvl_perc).groupBy("id").agg(F.sum("b").alias("b"))
+            )
+            cache.release(perc_acc)
+            perc_acc = folded
+
+    scale = 1.0 / (n - 2) if n > 2 else 1.0
+    base = (
+        perc_acc
+        if perc_acc is not None
+        else spark.createDataFrame([], "id long, b double")
+    )
+    out = vertices.join(base, "id", "left").select(
+        "id", (F.coalesce("b", F.lit(0.0)) * F.lit(scale)).alias("percolation")
+    )
+    out = out.persist()
+    out.count()
+    arcs.unpersist()
+    vertices.unpersist()
+    st.unpersist()
+    cache.close(keep_result=True)
+    return out

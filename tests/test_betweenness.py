@@ -128,3 +128,65 @@ def test_edge_sampled_deterministic(spark):
     b = _ours_edges(spark, G, k=8, seed=3)
     assert a == b
     assert all(v >= 0 for v in a.values()) and any(v > 0 for v in a.values())
+
+
+# ------------------------ percolation centrality ----------------------- #
+
+from linkgraph.algos.betweenness import percolation_centrality
+
+
+def _nx_percolation(G, states):
+    """Replica of percolation.py:16 (the installed reference needs node
+    attrs; this lets us drive explicit state dicts identically)."""
+    return nx.percolation_centrality(G, states=states)
+
+
+def _ours_perc(spark, G, states):
+    g = from_nx(spark, G)
+    sdf = g.spark.createDataFrame(
+        [(int(v), float(x)) for v, x in states.items()], "id bigint, state double"
+    )
+    df = percolation_centrality(g, states=sdf)
+    return {r["id"]: r["percolation"] for r in df.collect()}
+
+
+def test_percolation_uniform_states_matches_reference(spark):
+    G = nx.gnp_random_graph(18, 0.2, seed=19)
+    states = {v: 0.4 for v in G.nodes}
+    got = _ours_perc(spark, G, states)
+    want = _nx_percolation(G, states)
+    for v in G.nodes:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_percolation_varied_states(spark):
+    G = nx.gnp_random_graph(16, 0.22, seed=23)
+    states = {v: 0.1 + (v % 5) * 0.2 for v in G.nodes}
+    got = _ours_perc(spark, G, states)
+    want = _nx_percolation(G, states)
+    for v in G.nodes:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_percolation_directed(spark):
+    G = nx.gnp_random_graph(14, 0.18, seed=29, directed=True)
+    states = {v: 0.05 * (v + 1) for v in G.nodes}
+    got = _ours_perc(spark, G, states)
+    want = _nx_percolation(G, states)
+    for v in G.nodes:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_percolation_default_states_from_attr(spark):
+    G = nx.path_graph(6)
+    g = from_nx(spark, G)
+    attrs = spark.createDataFrame(
+        [(int(v), 0.5) for v in G.nodes], "id bigint, percolation double"
+    )
+    g = g.with_node_attrs(attrs)
+    got = {
+        r["id"]: r["percolation"] for r in percolation_centrality(g).collect()
+    }
+    want = nx.percolation_centrality(G, states={v: 0.5 for v in G.nodes})
+    for v in G.nodes:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
