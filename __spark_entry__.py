@@ -1425,6 +1425,17 @@ def q_hierarchy_d_separation(spark, sf_dir):
     return spark.createDataFrame(rows, "test string, separated boolean")
 
 
+def q_copurchase_densest_rounds(spark, sf_dir):
+    # Parallel-peel densest-subgraph trajectory (Bahmani et al. 2012,
+    # eps=0.1): each round drops every node with deg <= 2.2*m/n, evaluated
+    # in integer arithmetic (5*deg*n <= 11*m) so the peel sequence is
+    # bit-identical across engines; the oracle unrolls the rounds.
+    from linkgraph.algos.density import densest_subgraph_rounds
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return densest_subgraph_rounds(g, eps=0.1)
+
+
 def q_chain_percolation(spark, sf_dir):
     # Percolation centrality on the undirected per-nation customer chains
     # with deterministic states x = 0.05 + (custkey % 10)/10. On a path,
@@ -1742,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_degree_mixing": q_copurchase_degree_mixing,
         "hierarchy_d_separation": q_hierarchy_d_separation,
         "chain_percolation": q_chain_percolation,
+        "copurchase_densest_rounds": q_copurchase_densest_rounds,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
         # allows more than 50.
@@ -2505,6 +2517,37 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # Densest-subgraph parallel peel, 12 unrolled rounds (7 suffice at
+    # sf0.01; extra rounds run on empty sets and emit nothing). The drop
+    # test 5*deg*n <= 11*m is integer-exact — identical peel in both
+    # engines.
+    _peel = [
+        """
+a0 AS MATERIALIZED (SELECT id FROM deg),
+e0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges)"""
+    ]
+    for k in range(12):
+        _peel.append(
+            f"""
+s{k} AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM a{k}) AS n,
+  (SELECT COUNT(*) FROM e{k}) AS m),
+dg{k} AS MATERIALIZED (SELECT id, COUNT(*) AS dg FROM (
+  SELECT u AS id FROM e{k} UNION ALL SELECT v FROM e{k}) GROUP BY 1),
+d{k} AS MATERIALIZED (SELECT a.id FROM a{k} a LEFT JOIN dg{k} g ON g.id = a.id
+  WHERE COALESCE(g.dg, 0) * 5 * (SELECT n FROM s{k}) <= 11 * (SELECT m FROM s{k})),
+a{k + 1} AS MATERIALIZED (SELECT id FROM a{k}
+  WHERE id NOT IN (SELECT id FROM d{k})),
+e{k + 1} AS MATERIALIZED (SELECT u, v FROM e{k}
+  WHERE u NOT IN (SELECT id FROM d{k}) AND v NOT IN (SELECT id FROM d{k}))"""
+        )
+    _traj = " UNION ALL ".join(
+        f"SELECT {k} AS round, n AS n_nodes, m AS m_edges FROM s{k} WHERE n > 0"
+        for k in range(12)
+    )
+    sqls["copurchase_densest_rounds"] = (
+        f"WITH {_EDGES}, " + ",".join(_peel) + f" SELECT CAST(round AS INT) AS round, "
+        f"n_nodes, m_edges FROM ({_traj}) ORDER BY round"
     )
     # Percolation centrality on disjoint paths: closed form via prefix sums.
     sqls["chain_percolation"] = (

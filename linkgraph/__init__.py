@@ -277,6 +277,7 @@ from linkgraph.algos.degrees import (
 )
 from linkgraph.algos.walks import number_of_walks
 from linkgraph.algos.dseparation import is_d_separator
+from linkgraph.algos.density import densest_subgraph, densest_subgraph_rounds
 from linkgraph.algos.assortativity import attribute_mixing, degree_mixing
 
 __version__ = "0.1.0"
@@ -373,6 +374,8 @@ __all__ = [
     "is_k_regular",
     "number_of_walks",
     "is_d_separator",
+    "densest_subgraph",
+    "densest_subgraph_rounds",
     "attribute_mixing",
     "degree_mixing",
     "core_number",
