@@ -1425,6 +1425,34 @@ def q_hierarchy_d_separation(spark, sf_dir):
     return spark.createDataFrame(rows, "test string, separated boolean")
 
 
+def q_chain_steiner_tree(spark, sf_dir):
+    # Mehlhorn steiner tree on the weighted nation-0 customer chain with
+    # terminals = the 2nd and (cnt-1)th customers plus one in between: on a
+    # path the answer is exactly the subpath between the extreme terminals
+    # (edge weight = custkey gap) — the closed form the oracle replays.
+    from pyspark.sql import Window
+    from linkgraph.algos.steiner import steiner_tree
+
+    g = DS.customer_chain_weighted_graph(spark, sf_dir)
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").cast("long").alias("id"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    terms = cust.filter(
+        (F.col("rn") == 2)
+        | (F.col("rn") == F.ceil(F.col("cnt") / 2))
+        | (F.col("rn") == F.col("cnt") - 1)
+    ).select("id")
+    return steiner_tree(g, terms).select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
 def q_copurchase_densest_rounds(spark, sf_dir):
     # Parallel-peel densest-subgraph trajectory (Bahmani et al. 2012,
     # eps=0.1): each round drops every node with deg <= 2.2*m/n, evaluated
@@ -1754,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_d_separation": q_hierarchy_d_separation,
         "chain_percolation": q_chain_percolation,
         "copurchase_densest_rounds": q_copurchase_densest_rounds,
+        "chain_steiner_tree": q_chain_steiner_tree,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
         # allows more than 50.
@@ -2517,6 +2546,18 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # Steiner tree on a weighted path: the subpath between the extreme
+    # terminals (positions 2 .. cnt-1 of nation 0), weight = custkey gap.
+    sqls["chain_steiner_tree"] = (
+        "WITH pos AS (SELECT c_custkey AS id, "
+        "  ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn, "
+        "  COUNT(*) OVER () AS cnt, "
+        "  LEAD(c_custkey) OVER (ORDER BY c_custkey) AS nxt "
+        "FROM customer WHERE c_nationkey = 0) "
+        "SELECT CAST(id AS BIGINT) AS src, CAST(nxt AS BIGINT) AS dst, "
+        "ROUND(CAST(nxt - id AS DOUBLE), 6) AS weight "
+        "FROM pos WHERE rn >= 2 AND rn <= cnt - 2"
     )
     # Densest-subgraph parallel peel, 12 unrolled rounds (7 suffice at
     # sf0.01; extra rounds run on empty sets and emit nothing). The drop

@@ -278,6 +278,7 @@ from linkgraph.algos.degrees import (
 from linkgraph.algos.walks import number_of_walks
 from linkgraph.algos.dseparation import is_d_separator
 from linkgraph.algos.density import densest_subgraph, densest_subgraph_rounds
+from linkgraph.algos.steiner import steiner_tree
 from linkgraph.algos.assortativity import attribute_mixing, degree_mixing
 
 __version__ = "0.1.0"
@@ -376,6 +377,7 @@ __all__ = [
     "is_d_separator",
     "densest_subgraph",
     "densest_subgraph_rounds",
+    "steiner_tree",
     "attribute_mixing",
     "degree_mixing",
     "core_number",
