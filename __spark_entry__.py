@@ -1425,6 +1425,54 @@ def q_hierarchy_d_separation(spark, sf_dir):
     return spark.createDataFrame(rows, "test string, separated boolean")
 
 
+def q_nation0_tournament_scores(spark, sf_dir):
+    # Orient the complete graph on nation-0 customers by parity
+    # ((u+v) even → u→v, else v→u): a deterministic tournament. Returns
+    # its score sequence; the oracle replays the orientation as one pair
+    # join. is_tournament(g) must hold (asserted in-query).
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.tournament import is_tournament, score_sequence
+
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").cast("long").alias("id"))
+    )
+    pairs = c.alias("a").join(
+        c.withColumnRenamed("id", "id_b").alias("b"),
+        F.col("a.id") < F.col("id_b"),
+    )
+    even = (F.col("a.id") + F.col("id_b")) % 2 == 0
+    arcs = pairs.select(
+        F.when(even, F.col("a.id")).otherwise(F.col("id_b")).alias("src"),
+        F.when(even, F.col("id_b")).otherwise(F.col("a.id")).alias("dst"),
+    )
+    g = SparkGraph(arcs, vertices=c, directed=True, coalesce_edges=False)
+    assert is_tournament(g)
+    return score_sequence(g).select(F.col("score").cast("long"))
+
+
+def q_copurchase_vertex_cover_invariants(spark, sf_dir):
+    # Matching-endpoint vertex cover: every edge covered, and the cover is
+    # exactly twice the matching (endpoints are pairwise distinct).
+    from linkgraph.algos.selection import maximal_matching, min_vertex_cover_approx
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    cover = min_vertex_cover_approx(g).persist()
+    uncovered = (
+        g.edges.join(cover.withColumnRenamed("id", "src"), "src", "left_anti")
+        .join(cover.withColumnRenamed("id", "dst"), "dst", "left_anti")
+        .count()
+    )
+    n_cover = cover.count()
+    n_match = maximal_matching(g).count()
+    cover.unpersist()
+    return spark.createDataFrame(
+        [(uncovered, n_cover == 2 * n_match)],
+        "uncovered_edges long, cover_is_twice_matching boolean",
+    )
+
+
 def q_chain_steiner_tree(spark, sf_dir):
     # Mehlhorn steiner tree on the weighted nation-0 customer chain with
     # terminals = the 2nd and (cnt-1)th customers plus one in between: on a
@@ -1783,6 +1831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_percolation": q_chain_percolation,
         "copurchase_densest_rounds": q_copurchase_densest_rounds,
         "chain_steiner_tree": q_chain_steiner_tree,
+        "nation0_tournament_scores": q_nation0_tournament_scores,
+        "copurchase_vertex_cover_invariants": q_copurchase_vertex_cover_invariants,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
         # allows more than 50.
@@ -2546,6 +2596,20 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # Parity-oriented tournament score sequence: one pair join.
+    sqls["nation0_tournament_scores"] = (
+        "WITH c AS (SELECT c_custkey AS id FROM customer WHERE c_nationkey = 0), "
+        "arcs AS (SELECT CASE WHEN (a.id + b.id) % 2 = 0 THEN a.id ELSE b.id END AS src "
+        "FROM c a JOIN c b ON a.id < b.id), "
+        "o AS (SELECT src, COUNT(*) AS cnt FROM arcs GROUP BY 1) "
+        "SELECT CAST(COALESCE(o.cnt, 0) AS BIGINT) AS score "
+        "FROM c LEFT JOIN o ON o.src = c.id"
+    )
+    # Vertex-cover invariants: closed-form constants.
+    sqls["copurchase_vertex_cover_invariants"] = (
+        "SELECT CAST(0 AS BIGINT) AS uncovered_edges, "
+        "TRUE AS cover_is_twice_matching"
     )
     # Steiner tree on a weighted path: the subpath between the extreme
     # terminals (positions 2 .. cnt-1 of nation 0), weight = custkey gap.

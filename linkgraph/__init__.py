@@ -205,7 +205,9 @@ from linkgraph.algos.selection import (
     maximal_matching,
     voterank,
     dominating_set,
+    min_vertex_cover_approx,
 )
+from linkgraph.algos.tournament import is_tournament, score_sequence
 from linkgraph.algos.degrees import s_metric, laplacian_centrality
 from linkgraph.algos.assortativity import (
     attribute_assortativity_coefficient,
@@ -378,6 +380,9 @@ __all__ = [
     "densest_subgraph",
     "densest_subgraph_rounds",
     "steiner_tree",
+    "min_vertex_cover_approx",
+    "is_tournament",
+    "score_sequence",
     "attribute_mixing",
     "degree_mixing",
     "core_number",

@@ -39,7 +39,13 @@ from linkgraph.graph import SparkGraph
 from linkgraph.exceptions import NotImplementedForDirected
 from linkgraph.iterutils import SuperstepCache
 
-__all__ = ["maximal_independent_set", "maximal_matching", "voterank", "dominating_set"]
+__all__ = [
+    "maximal_independent_set",
+    "maximal_matching",
+    "voterank",
+    "dominating_set",
+    "min_vertex_cover_approx",
+]
 
 
 class NetworkXUnfeasible(Exception):
@@ -297,3 +303,20 @@ def dominating_set(g: SparkGraph, seed: int = 42) -> DataFrame:
     independence); Luby's rounds make it distributed and deterministic
     per ``seed``."""
     return maximal_independent_set(g, seed=seed)
+
+
+def min_vertex_cover_approx(g: SparkGraph, seed: int = 42) -> DataFrame:
+    """(id): a vertex cover at most twice the minimum size — both endpoints
+    of a maximal matching (the classical 2-approximation; reference surface
+    ``networkx/algorithms/approximation/vertex_cover.py:17`` with unit
+    weights). The reference's weighted local-ratio walk processes edges one
+    at a time and does not shard; the matching route reuses the O(log n)
+    distributed rounds of :func:`maximal_matching` and carries the same
+    factor-2 guarantee for the unit-weight case.
+    """
+    m = maximal_matching(g, seed=seed)
+    return (
+        m.select(F.col("u").alias("id"))
+        .unionAll(m.select(F.col("v").alias("id")))
+        .distinct()
+    )
