@@ -217,3 +217,55 @@ def barabasi_albert_graph(
     return SparkGraph(
         e, vertices=_vertices(spark, n), directed=False, coalesce_edges=False
     )
+
+
+def watts_strogatz_graph(
+    spark: SparkSession, n: int, k: int, p: float, seed: int = 0
+) -> SparkGraph:
+    """Small-world ring lattice with hash-driven rewiring
+    (``networkx/generators/random_graphs.py:312`` semantics). Each node
+    joins its ``k // 2`` nearest neighbors on each side; every lattice edge
+    ``(u, u+j)`` rewires independently with probability ``p`` to a
+    hash-uniform target (self-loops re-target to the ring neighbor;
+    duplicate (u, w) draws collapse — the reference resamples sequentially,
+    which cannot be replayed across partitions; the collapse loses O(p²·k)
+    edges, the standard parallel trade also made by
+    :func:`barabasi_albert_graph`). Deterministic per (seed, u, j):
+    ``p = 0`` reproduces the reference's lattice exactly.
+    """
+    n, k = int(n), int(k)
+    if k >= n:
+        raise ValueError("k must be < n for a Watts–Strogatz graph")
+    draws = (
+        spark.range(n)
+        .select(F.col("id").alias("u"))
+        .crossJoin(
+            spark.range(1, k // 2 + 1).select(F.col("id").alias("j"))
+        )
+    )
+    h1 = F.pmod(F.xxhash64(F.lit(int(seed)), "u", "j"), F.lit(2**32)) / F.lit(
+        float(2**32)
+    )
+    h2 = F.pmod(
+        F.xxhash64(F.lit(int(seed) + 1), "u", "j"), F.lit(2**32)
+    ) % F.lit(n)
+    lattice_dst = (F.col("u") + F.col("j")) % F.lit(n)
+    rewired = F.when(h1 < F.lit(float(p)), h2.cast("long")).otherwise(
+        lattice_dst.cast("long")
+    )
+    e = (
+        draws.select(
+            F.col("u").alias("src"),
+            F.when(rewired == F.col("u"), lattice_dst.cast("long"))
+            .otherwise(rewired)
+            .alias("dst"),
+        )
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return SparkGraph(
+        e, vertices=_vertices(spark, n), directed=False, coalesce_edges=False
+    )

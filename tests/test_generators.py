@@ -168,3 +168,28 @@ def test_barabasi_albert_validation(spark):
         barabasi_albert_graph(spark, 5, 0)
     with _pytest.raises(ValueError):
         barabasi_albert_graph(spark, 5, 5)
+
+
+def test_watts_strogatz_p0_exact_lattice(spark):
+    from linkgraph.generators import watts_strogatz_graph
+
+    g = watts_strogatz_graph(spark, 20, 4, 0.0)
+    want = {(min(u, v), max(u, v)) for u, v in nx.watts_strogatz_graph(20, 4, 0.0).edges()}
+    got = {(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()}
+    assert got == want
+
+
+def test_watts_strogatz_rewired(spark):
+    from linkgraph.generators import watts_strogatz_graph
+
+    g = watts_strogatz_graph(spark, 100, 6, 0.3, seed=7)
+    m = g.number_of_edges()
+    assert 0.9 * 300 <= m <= 300  # collapse loses only a few duplicates
+    lattice = {(min(u, v), max(u, v)) for u, v in nx.watts_strogatz_graph(100, 6, 0.0).edges()}
+    got = {(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()}
+    moved = len(got - lattice)
+    assert 0.15 * 300 <= moved <= 0.45 * 300  # ~p of edges rewired
+    # determinism
+    g2 = watts_strogatz_graph(spark, 100, 6, 0.3, seed=7)
+    got2 = {(r["src"], r["dst"]) for r in g2.edges.select("src", "dst").collect()}
+    assert got == got2
