@@ -281,6 +281,7 @@ from linkgraph.algos.walks import number_of_walks
 from linkgraph.algos.dseparation import is_d_separator
 from linkgraph.algos.density import densest_subgraph, densest_subgraph_rounds
 from linkgraph.algos.steiner import steiner_tree
+from linkgraph.algos.smallworld import sigma, random_reference
 from linkgraph.algos.assortativity import attribute_mixing, degree_mixing
 
 __version__ = "0.1.0"
@@ -380,6 +381,8 @@ __all__ = [
     "densest_subgraph",
     "densest_subgraph_rounds",
     "steiner_tree",
+    "sigma",
+    "random_reference",
     "min_vertex_cover_approx",
     "is_tournament",
     "score_sequence",
