@@ -1425,6 +1425,13 @@ def q_hierarchy_d_separation(spark, sf_dir):
     return spark.createDataFrame(rows, "test string, separated boolean")
 
 
+def q_doc_curation_summary(spark, sf_dir):
+    # End-to-end curation composition: quality gate -> language gate ->
+    # LSH near-dup removal on the survivors -> one summary row. The oracle
+    # replays every stage (the dedup via the 16-round min-label unroll).
+    return TX.curate_corpus(_docs(spark, sf_dir))
+
+
 def q_nation0_tournament_scores(spark, sf_dir):
     # Orient the complete graph on nation-0 customers by parity
     # ((u+v) even → u→v, else v→u): a deterministic tournament. Returns
@@ -1832,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_densest_rounds": q_copurchase_densest_rounds,
         "chain_steiner_tree": q_chain_steiner_tree,
         "nation0_tournament_scores": q_nation0_tournament_scores,
+        "doc_curation_summary": q_doc_curation_summary,
         "copurchase_vertex_cover_invariants": q_copurchase_vertex_cover_invariants,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
@@ -2196,11 +2204,19 @@ FROM final ORDER BY score DESC, id LIMIT 50"""
     return head + "".join(its) + tail
 
 
-def _neardup_sql(rounds: int = 16, num_hashes: int = 8, band_size: int = 2) -> str:
+def _neardup_sql(
+    rounds: int = 16,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    base: str = "documents",
+    fragment: bool = False,
+) -> str:
     """Composed dedup oracle: MinHash-LSH candidates -> exact Jaccard on
     candidates only -> min-label propagation over the dup graph (unrolled;
     duplicate clusters are tiny so `rounds` >> their diameter) -> canonical
-    survivor = min doc_id per cluster."""
+    survivor = min doc_id per cluster. ``base`` selects the corpus CTE;
+    ``fragment=True`` returns only the CTE list (no WITH, no final SELECT)
+    for composition into a larger query."""
     sig_cols = ", ".join(
         f"MIN(md5('{i}#' || shingle)) AS h{i}" for i in range(num_hashes)
     )
@@ -2210,7 +2226,8 @@ def _neardup_sql(rounds: int = 16, num_hashes: int = 8, band_size: int = 2) -> s
         )
         for b in range(num_hashes // band_size)
     )
-    head = f"""WITH {_SHINGLES},
+    shingles = _SHINGLES.replace("FROM documents", f"FROM {base}")
+    head = f"""WITH {shingles},
 sig AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
 bands AS MATERIALIZED ({band_selects}),
 cand AS MATERIALIZED (
@@ -2234,7 +2251,7 @@ symd AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM dup
   UNION ALL SELECT doc_b AS u, doc_a AS v FROM dup
 ),
-l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lab FROM documents)"""
+l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lab FROM {base})"""
     its = []
     for k in range(1, rounds + 1):
         its.append(
@@ -2250,6 +2267,8 @@ l{k} AS MATERIALIZED (
     tail = f"""
 SELECT CAST(id AS BIGINT) AS doc_id, CAST(lab AS BIGINT) AS canonical_doc_id
 FROM l{rounds}"""
+    if fragment:
+        return head[len("WITH ") :] + "".join(its)
     return head + "".join(its) + tail
 
 
@@ -2596,6 +2615,43 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # Curation pipeline summary: quality gate -> language gate -> near-dup
+    # removal over the survivors (the dedup fragment is re-based onto the
+    # filtered corpus), then stage counts + kept-token sum.
+    _cur_gates = r"""toksq AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+         array_to_string(regexp_split_to_array(trim(text), '\s+'), '') AS joined
+  FROM documents
+),
+qpass AS MATERIALIZED (
+  SELECT doc_id FROM toksq
+  WHERE len(t) >= 30
+    AND ROUND(CAST(len(regexp_replace(joined, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+              / GREATEST(len(joined), 1), 6) >= 0.5
+),
+lpass AS MATERIALIZED (
+  SELECT doc_id FROM toksq
+  WHERE doc_id IN (SELECT doc_id FROM qpass)
+    AND NOT (len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x)))
+             > len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))))
+),
+kept AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc_id FROM lpass)
+)"""
+    sqls["doc_curation_summary"] = (
+        "WITH "
+        + _cur_gates
+        + ",\n"
+        + _neardup_sql(16, 8, 2, base="kept", fragment=True)
+        + """,
+surv AS MATERIALIZED (SELECT id FROM l16 WHERE id = lab)
+SELECT (SELECT COUNT(*) FROM documents) AS n_input,
+  (SELECT COUNT(*) FROM qpass) AS n_after_quality,
+  (SELECT COUNT(*) FROM lpass) AS n_after_lang,
+  (SELECT COUNT(*) FROM surv) AS n_survivors,
+  (SELECT COALESCE(SUM(len(t)), 0) FROM toksq
+   WHERE doc_id IN (SELECT id FROM surv)) AS tokens_kept"""
     )
     # Parity-oriented tournament score sequence: one pair join.
     sqls["nation0_tournament_scores"] = (

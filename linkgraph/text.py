@@ -387,3 +387,63 @@ def simhash_near_dups(
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    min_tokens: int = 30,
+    min_alpha: float = 0.5,
+    lang: str = "en",
+    k: int = 2,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The end-to-end training-data curation pipeline as ONE composition:
+    quality gate (token count + alpha ratio) → language gate → MinHash-LSH
+    near-duplicate removal on the survivors → corpus summary. Returns one
+    row ``(n_input, n_after_quality, n_after_lang, n_survivors,
+    tokens_kept)``.
+
+    Every stage is a scan-shaped DataFrame op over the previous stage's
+    survivors — quality and language are codegen'd projections, dedup is
+    the candidate-driven LSH pipeline of :func:`near_duplicates` run on
+    the FILTERED corpus (never on the raw input), which is the order a
+    100 TB curation run wants: the cheap gates shrink the corpus before
+    the only stage with a shuffle.
+    """
+    q = quality_features(docs).filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("alpha_ratio") >= min_alpha)
+    )
+    kept_q = docs.join(q.select("doc_id"), "doc_id", "left_semi")
+    lid = language_id(kept_q).filter(F.col("predicted_lang") == lang)
+    kept_l = kept_q.join(lid.select("doc_id"), "doc_id", "left_semi")
+    nd = near_duplicates(
+        kept_l, k=k, num_hashes=num_hashes, band_size=band_size, threshold=threshold
+    )
+    survivors = nd.filter(F.col("doc_id") == F.col("canonical_doc_id")).select(
+        "doc_id"
+    )
+    tok = token_counts(kept_l).join(survivors, "doc_id", "left_semi")
+    spark = docs.sparkSession
+    row = (
+        docs.agg(F.count(F.lit(1)).alias("n_input")).first(),
+        kept_q.agg(F.count(F.lit(1))).first()[0],
+        kept_l.agg(F.count(F.lit(1))).first()[0],
+        survivors.count(),
+        tok.agg(F.coalesce(F.sum("n_tokens"), F.lit(0))).first()[0],
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(row[0]["n_input"]),
+                int(row[1]),
+                int(row[2]),
+                int(row[3]),
+                int(row[4]),
+            )
+        ],
+        "n_input bigint, n_after_quality bigint, n_after_lang bigint,"
+        " n_survivors bigint, tokens_kept bigint",
+    )
