@@ -1425,6 +1425,21 @@ def q_hierarchy_d_separation(spark, sf_dir):
     return spark.createDataFrame(rows, "test string, separated boolean")
 
 
+def q_chain_spanner(spark, sf_dir):
+    # Baswana-Sen 3-spanner of the weighted customer chains: a spanner of
+    # a forest must keep every edge (dropping any disconnects a pair), so
+    # the closed form is the chain edge set itself — validating the
+    # clustering rounds never over-prune.
+    from linkgraph.algos.sparsifiers import spanner
+
+    g = DS.customer_chain_weighted_graph(spark, sf_dir)
+    return spanner(g, 3, weight="weight", seed=7).select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
 def q_doc_curation_summary(spark, sf_dir):
     # End-to-end curation composition: quality gate -> language gate ->
     # LSH near-dup removal on the survivors -> one summary row. The oracle
@@ -1840,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_steiner_tree": q_chain_steiner_tree,
         "nation0_tournament_scores": q_nation0_tournament_scores,
         "doc_curation_summary": q_doc_curation_summary,
+        "chain_spanner": q_chain_spanner,
         "copurchase_vertex_cover_invariants": q_copurchase_vertex_cover_invariants,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
@@ -2615,6 +2631,15 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # Spanner of a forest = the forest itself (chain edges, gap weights).
+    sqls["chain_spanner"] = (
+        "WITH pos AS (SELECT c_custkey, "
+        "  LEAD(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS nxt "
+        "FROM customer) "
+        "SELECT CAST(c_custkey AS BIGINT) AS src, CAST(nxt AS BIGINT) AS dst, "
+        "ROUND(CAST(nxt - c_custkey AS DOUBLE), 6) AS weight "
+        "FROM pos WHERE nxt IS NOT NULL"
     )
     # Curation pipeline summary: quality gate -> language gate -> near-dup
     # removal over the survivors (the dedup fragment is re-based onto the

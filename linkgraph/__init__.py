@@ -282,6 +282,7 @@ from linkgraph.algos.dseparation import is_d_separator
 from linkgraph.algos.density import densest_subgraph, densest_subgraph_rounds
 from linkgraph.algos.steiner import steiner_tree
 from linkgraph.algos.smallworld import sigma, random_reference
+from linkgraph.algos.sparsifiers import spanner
 from linkgraph.algos.assortativity import attribute_mixing, degree_mixing
 
 __version__ = "0.1.0"
@@ -383,6 +384,7 @@ __all__ = [
     "steiner_tree",
     "sigma",
     "random_reference",
+    "spanner",
     "min_vertex_cover_approx",
     "is_tournament",
     "score_sequence",
