@@ -1425,6 +1425,26 @@ def q_hierarchy_d_separation(spark, sf_dir):
     return spark.createDataFrame(rows, "test string, separated boolean")
 
 
+def q_hierarchy_quotient(spark, sf_dir):
+    # Quotient of the hierarchy DAG by layer: block edges (region→nation,
+    # nation→customer) with weight = arc counts — closed form.
+    from linkgraph.algos.setops import quotient_graph
+
+    g = DS.hierarchy_dag_graph(spark, sf_dir)
+    part = g.vertices.select(
+        "id",
+        F.when(F.col("id") >= 2_000_000, 0)
+        .when(F.col("id") >= 1_000_000, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("block"),
+    )
+    q = quotient_graph(g, part)
+    return q.edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"), F.col("weight")
+    )
+
+
 def q_chain_spanner(spark, sf_dir):
     # Baswana-Sen 3-spanner of the weighted customer chains: a spanner of
     # a forest must keep every edge (dropping any disconnects a pair), so
@@ -1856,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation0_tournament_scores": q_nation0_tournament_scores,
         "doc_curation_summary": q_doc_curation_summary,
         "chain_spanner": q_chain_spanner,
+        "hierarchy_quotient": q_hierarchy_quotient,
         "copurchase_vertex_cover_invariants": q_copurchase_vertex_cover_invariants,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
@@ -2631,6 +2652,12 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # Layer quotient of the hierarchy DAG: two block arcs, weight = counts.
+    sqls["hierarchy_quotient"] = (
+        "SELECT CAST(0 AS BIGINT) AS src, CAST(1 AS BIGINT) AS dst, "
+        "CAST((SELECT COUNT(*) FROM nation) AS DOUBLE) AS weight "
+        "UNION ALL SELECT 1, 2, CAST((SELECT COUNT(*) FROM customer) AS DOUBLE)"
     )
     # Spanner of a forest = the forest itself (chain edges, gap weights).
     sqls["chain_spanner"] = (

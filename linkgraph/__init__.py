@@ -30,6 +30,8 @@ from linkgraph.algos.components import (
     connected_components,
     weakly_connected_components,
     number_connected_components,
+    is_connected,
+    is_weakly_connected,
 )
 from linkgraph.algos.triangles import (
     triangles,
@@ -95,7 +97,10 @@ from linkgraph.algos.cores import (
     k_truss,
     onion_layers,
 )
-from linkgraph.algos.assortativity import degree_assortativity_coefficient
+from linkgraph.algos.assortativity import (
+    degree_assortativity_coefficient,
+    degree_pearson_correlation_coefficient,
+)
 from linkgraph.algos.setops import (
     intersection,
     difference,
@@ -116,6 +121,7 @@ from linkgraph.algos.setops import (
     compose_all,
     intersection_all,
     disjoint_union_all,
+    quotient_graph,
 )
 from linkgraph import generators
 from linkgraph import multimodal
@@ -149,6 +155,8 @@ from linkgraph.algos.distance import (
     periphery,
     closeness_centrality,
     harmonic_centrality,
+    average_shortest_path_length,
+    barycenter,
 )
 from linkgraph.io.graphml import read_graphml, write_graphml
 from linkgraph.io.gml import read_gml, write_gml
@@ -385,6 +393,12 @@ __all__ = [
     "sigma",
     "random_reference",
     "spanner",
+    "barycenter",
+    "is_connected",
+    "is_weakly_connected",
+    "average_shortest_path_length",
+    "degree_pearson_correlation_coefficient",
+    "quotient_graph",
     "min_vertex_cover_approx",
     "is_tournament",
     "score_sequence",

@@ -168,3 +168,9 @@ def degree_mixing(
 
     total = F.sum("n").over(Window.partitionBy())
     return counts.select("x", "y", (F.col("n") / total).alias("p"))
+
+
+def degree_pearson_correlation_coefficient(g: SparkGraph) -> float:
+    """Alias of :func:`degree_assortativity_coefficient` — the reference
+    computes the identical Pearson r via scipy (``correlation.py:211``)."""
+    return degree_assortativity_coefficient(g)

@@ -217,3 +217,42 @@ def component_sizes(g: SparkGraph, **kwargs) -> DataFrame:
         .groupBy("component")
         .agg(F.count(F.lit(1)).alias("size"))
     )
+
+
+def is_connected(g: SparkGraph) -> bool:
+    """True iff the undirected graph has exactly one component
+    (``components/connected.py``; raises on directed like the decorator,
+    and on the null graph like the reference)."""
+    if g.directed:
+        from linkgraph.exceptions import NotImplementedForDirected
+
+        raise NotImplementedForDirected(
+            "is_connected: not implemented for directed type"
+        )
+    if g.number_of_nodes() == 0:
+        raise ValueError(
+            "Connectivity is undefined for the null graph."
+        )
+    return number_connected_components(g) == 1
+
+
+def is_weakly_connected(g: SparkGraph) -> bool:
+    """True iff the digraph's underlying undirected graph is connected
+    (``components/weakly_connected.py``; raises on undirected input and
+    the null graph like the reference)."""
+    if not g.directed:
+        raise ValueError(
+            "is_weakly_connected: not implemented for undirected type"
+        )
+    if g.number_of_nodes() == 0:
+        raise ValueError(
+            "Connectivity is undefined for the null graph."
+        )
+    return (
+        weakly_connected_components(g)
+        .select("component")
+        .distinct()
+        .limit(2)
+        .count()
+        == 1
+    )

@@ -334,3 +334,29 @@ def average_shortest_path_length(g: SparkGraph) -> float:
         return float(row["total"]) / (n * (n - 1))
     finally:
         sp.unpersist()
+
+
+def barycenter(g: SparkGraph) -> DataFrame:
+    """(id): the node(s) minimizing total shortest-path distance to every
+    other node (``networkx/algorithms/distance_measures.py`` sibling
+    ``barycenter``; unweighted). Raises when any node misses part of the
+    graph, like the reference's NetworkXNoPath. One aggregation over the
+    batched all-pairs BFS plus a global-min semi-filter."""
+    n = g.number_of_nodes()
+    sums = (
+        all_pairs_shortest_path_lengths(g)
+        .groupBy(F.col("source").alias("id"))
+        .agg(F.sum("distance").alias("s"), F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    try:
+        bad = sums.filter(F.col("c") < n).limit(1).count()
+        if bad or sums.count() < n:
+            raise ValueError(
+                "Input graph is disconnected, so every induced subgraph has "
+                "infinite barycentricity."
+            )
+        best = sums.agg(F.min("s")).first()[0]
+        return sums.filter(F.col("s") == best).select("id")
+    finally:
+        sums.unpersist()

@@ -330,3 +330,54 @@ def ancestors(g: SparkGraph, source) -> DataFrame:
     (``networkx/algorithms/dag.py:76``) — BFS on the reversed graph."""
     d = shortest_path_lengths(g.reverse(), [source])
     return d.filter(F.col("distance") > 0).select("id")
+
+
+def quotient_graph(g: SparkGraph, partition: DataFrame) -> SparkGraph:
+    """Block quotient of a node partition —
+    ``networkx/algorithms/minors/contraction.py:60`` ``quotient_graph``
+    with the default relation (blocks adjacent iff some edge joins them)
+    and default edge data (weight = sum of the joining edges' weights,
+    i.e. their count when unweighted). ``partition`` is an (id, block)
+    DataFrame covering every node exactly once (raises otherwise, like
+    the reference's NetworkXException).
+
+    One edges⋈labels⋈labels tagging pass + a hash aggregation — the same
+    coarsening join the Louvain level loop uses internally, exposed as the
+    public operator.
+    """
+    from linkgraph.algos.community import _require_partition
+
+    _require_partition(g, partition)
+    part = partition.select(
+        F.col(partition.columns[0]).cast("long").alias("id"),
+        F.col(partition.columns[1]).cast("long").alias("block"),
+    )
+    lab_s = part.select(F.col("id").alias("src"), F.col("block").alias("bu"))
+    lab_d = part.select(F.col("id").alias("dst"), F.col("block").alias("bv"))
+    tagged = (
+        g.edges.join(lab_s, "src")
+        .join(lab_d, "dst")
+        .filter(F.col("bu") != F.col("bv"))
+    )
+    if g.directed:
+        # the reference's default edge_data sums BOTH directions between
+        # two blocks into every directed block edge (contraction.py:
+        # ``(u in b and v in c) or (u in c and v in b)``)
+        per_dir = tagged.groupBy(
+            F.col("bu").alias("src"), F.col("bv").alias("dst")
+        ).agg(F.sum("weight").alias("w_fwd"))
+        rev = per_dir.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            F.col("w_fwd").alias("w_rev"),
+        )
+        e = per_dir.join(rev, ["src", "dst"], "left").select(
+            "src",
+            "dst",
+            (F.col("w_fwd") + F.coalesce("w_rev", F.lit(0.0))).alias("weight"),
+        )
+    else:
+        e = tagged.groupBy(
+            F.least("bu", "bv").alias("src"), F.greatest("bu", "bv").alias("dst")
+        ).agg(F.sum("weight").alias("weight"))
+    v = part.select(F.col("block").alias("id")).distinct()
+    return SparkGraph(e, vertices=v, directed=g.directed, coalesce_edges=False)
