@@ -1425,6 +1425,18 @@ def q_hierarchy_d_separation(spark, sf_dir):
     return spark.createDataFrame(rows, "test string, separated boolean")
 
 
+def q_mixed_attracting_components(spark, sf_dir):
+    # Attracting SCCs of the mixed fixture: an even nation's whole ring
+    # (one sink SCC labeled by its min custkey); an odd nation's chain
+    # attracts only at its last customer (singleton sink).
+    from linkgraph.algos.strongly_connected import attracting_components
+
+    g = DS.mixed_ring_chain_graph(spark, sf_dir)
+    return attracting_components(g).select(
+        F.col("id").cast("long"), F.col("component").cast("long")
+    )
+
+
 def q_hierarchy_quotient(spark, sf_dir):
     # Quotient of the hierarchy DAG by layer: block edges (region→nation,
     # nation→customer) with weight = arc counts — closed form.
@@ -1877,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation_summary": q_doc_curation_summary,
         "chain_spanner": q_chain_spanner,
         "hierarchy_quotient": q_hierarchy_quotient,
+        "mixed_attracting_components": q_mixed_attracting_components,
         "copurchase_vertex_cover_invariants": q_copurchase_vertex_cover_invariants,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
@@ -2652,6 +2665,17 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # Attracting SCCs of the mixed fixture: closed form per nation parity.
+    sqls["mixed_attracting_components"] = (
+        "WITH k AS (SELECT c_custkey, c_nationkey, "
+        "  MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS mn, "
+        "  MAX(c_custkey) OVER (PARTITION BY c_nationkey) AS mx "
+        "FROM customer) "
+        "SELECT CAST(c_custkey AS BIGINT) AS id, CAST(mn AS BIGINT) AS component "
+        "FROM k WHERE c_nationkey % 2 = 0 "
+        "UNION ALL SELECT CAST(mx AS BIGINT), CAST(mx AS BIGINT) "
+        "FROM k WHERE c_nationkey % 2 = 1 AND c_custkey = mx"
     )
     # Layer quotient of the hierarchy DAG: two block arcs, weight = counts.
     sqls["hierarchy_quotient"] = (

@@ -184,6 +184,10 @@ from linkgraph.algos.strongly_connected import (
     number_strongly_connected_components,
     is_strongly_connected,
     condensation,
+    attracting_components,
+    number_attracting_components,
+    is_semiconnected,
+    is_aperiodic,
 )
 from linkgraph.algos.dag import (
     topological_generations,
@@ -399,6 +403,10 @@ __all__ = [
     "average_shortest_path_length",
     "degree_pearson_correlation_coefficient",
     "quotient_graph",
+    "attracting_components",
+    "number_attracting_components",
+    "is_semiconnected",
+    "is_aperiodic",
     "min_vertex_cover_approx",
     "is_tournament",
     "score_sequence",

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from linkgraph.exceptions import NetworkXError, NotImplementedForDirected
 from linkgraph.graph import SparkGraph
 from linkgraph.iterutils import SuperstepCache
 
@@ -198,3 +199,108 @@ def condensation(g: SparkGraph, scc: DataFrame | None = None) -> SparkGraph:
     )
     v = scc.select(F.col("component").alias("id")).distinct()
     return SparkGraph(e, v, directed=True, coalesce_edges=False)
+
+
+def attracting_components(g: SparkGraph) -> DataFrame:
+    """(id, component): nodes of the attracting SCCs — components with
+    out-degree 0 in the condensation (``components/attracting.py:10``).
+    One SCC labeling + one anti-join against the condensation arcs."""
+    if not g.directed:
+        raise NotImplementedForDirected(
+            "attracting_components: not implemented for undirected type"
+        )
+    scc = strongly_connected_components(g).persist()
+    cond = condensation(g, scc)
+    sinks = cond.vertices.select("id").join(
+        cond.edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    )
+    out = scc.join(
+        sinks.withColumnRenamed("id", "component"), "component", "left_semi"
+    ).select("id", "component")
+    out = out.persist()
+    out.count()
+    scc.unpersist()
+    return out
+
+
+def number_attracting_components(g: SparkGraph) -> int:
+    """Count of attracting SCCs (``attracting.py:59``)."""
+    return (
+        attracting_components(g).select("component").distinct().count()
+    )
+
+
+def is_semiconnected(g: SparkGraph) -> bool:
+    """True iff every node pair is joined by a path in at least one
+    direction (``components/semiconnected.py:10``): weakly connected AND
+    the condensation's topological order is a chain — every Kahn
+    generation is a single component with an arc to the next one."""
+    if not g.directed:
+        raise NotImplementedForDirected(
+            "is_semiconnected: not implemented for undirected type"
+        )
+    if g.number_of_nodes() == 0:
+        raise ValueError("Connectivity is undefined for the null graph.")
+    from linkgraph.algos.components import is_weakly_connected
+    from linkgraph.algos.dag import topological_generations
+
+    if not is_weakly_connected(g):
+        return False
+    cond = condensation(g)
+    gen = topological_generations(cond).persist()
+    try:
+        # unique topological order: one component per generation
+        if gen.groupBy("generation").count().filter(F.col("count") > 1).limit(
+            1
+        ).count():
+            return False
+        # consecutive singletons must be linked
+        chain = gen.select(F.col("id").alias("src"), F.col("generation").alias("gs"))
+        nxt = gen.select(F.col("id").alias("dst"), F.col("generation").alias("gd"))
+        need = (
+            chain.join(nxt, F.col("gd") == F.col("gs") + 1)
+            .join(cond.edges.select("src", "dst"), ["src", "dst"], "left_anti")
+            .limit(1)
+            .count()
+        )
+        return need == 0
+    finally:
+        gen.unpersist()
+
+
+def is_aperiodic(g: SparkGraph) -> bool:
+    """True iff the gcd of the strongly connected digraph's cycle lengths
+    is 1 (``networkx/algorithms/dag.py:575`` ``is_aperiodic``, restricted
+    like the reference to strongly connected input): BFS levels from one
+    root, then
+    ``gcd over edges of (level(u) − level(v) + 1)`` — tree arcs contribute
+    0 (the gcd identity), so the aggregate runs over ALL arcs in one join.
+    The distinct residual values are bounded by the diameter, so the final
+    gcd folds a tiny collected set. Raises on undirected input, the null
+    graph, and non-strongly-connected graphs, like the reference.
+    """
+    if not g.directed:
+        raise NetworkXError("is_aperiodic not defined for undirected graphs")
+    n = g.number_of_nodes()
+    if n == 0:
+        raise ValueError("Graph has no nodes.")
+    if not is_strongly_connected(g):
+        raise NetworkXError("Graph is not strongly connected.")
+    from math import gcd
+
+    from linkgraph.algos.setops import shortest_path_lengths
+
+    root = g.vertices.agg(F.min("id")).first()[0]
+    lev = shortest_path_lengths(g, [root])
+    vals = (
+        g.edges.select("src", "dst")
+        .join(lev.select(F.col("id").alias("src"), F.col("distance").alias("du")), "src")
+        .join(lev.select(F.col("id").alias("dst"), F.col("distance").alias("dv")), "dst")
+        .select((F.col("du") - F.col("dv") + 1).alias("r"))
+        .distinct()
+        .collect()
+    )
+    out = 0
+    for row in vals:
+        out = gcd(out, int(row["r"]))
+    return out == 1
