@@ -1425,6 +1425,33 @@ def q_hierarchy_d_separation(spark, sf_dir):
     return spark.createDataFrame(rows, "test string, separated boolean")
 
 
+def q_copurchase_community_linkpred(spark, sf_dir):
+    # Community-aware link prediction (Soundarajan-Hopcroft CN + the
+    # within-inter-cluster ratio) over the fixed evaluation pairs, with
+    # the deterministic decade community floor(id/10) % 3.
+    from linkgraph.algos.linkpred import (
+        cn_soundarajan_hopcroft,
+        within_inter_cluster,
+    )
+
+    g = DS.copurchase_graph(spark, sf_dir).undirected_view()
+    com = g.vertices.select(
+        "id", (((F.col("id") - F.col("id") % 10) / 10) % 3).cast("int").alias("community")
+    )
+    pairs = _linkpred_pairs(spark)
+    sh = cn_soundarajan_hopcroft(g, com, pairs).withColumnRenamed("score", "cn_sh")
+    wic = within_inter_cluster(g, com, pairs).withColumnRenamed("score", "wic")
+    return (
+        sh.join(wic, ["u", "v"])
+        .select(
+            F.col("u").cast("long"),
+            F.col("v").cast("long"),
+            F.col("cn_sh").cast("long"),
+            F.round("wic", 6).alias("wic"),
+        )
+    )
+
+
 def q_mixed_attracting_components(spark, sf_dir):
     # Attracting SCCs of the mixed fixture: an even nation's whole ring
     # (one sink SCC labeled by its min custkey); an odd nation's chain
@@ -1890,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_spanner": q_chain_spanner,
         "hierarchy_quotient": q_hierarchy_quotient,
         "mixed_attracting_components": q_mixed_attracting_components,
+        "copurchase_community_linkpred": q_copurchase_community_linkpred,
         "copurchase_vertex_cover_invariants": q_copurchase_vertex_cover_invariants,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
@@ -2666,6 +2694,28 @@ def oracle_sql() -> dict[str, str]:
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
     )
+    _SYM = (
+        "sym AS (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges)"
+    )
+    # Community-aware link prediction over the fixed pairs; community =
+    # decade bucket floor(id/10) % 3 (integer-exact in both engines).
+    sqls["copurchase_community_linkpred"] = (
+        f"WITH {_EDGES}, {_SYM}, {_LINKPRED_PAIRS}, "
+        "cshared AS (SELECT p.u, p.v, COUNT(*) AS cn, "
+        "  SUM(CASE WHEN ((a.dst - a.dst % 10) / 10) % 3 "
+        "           = ((p.u - p.u % 10) / 10) % 3 THEN 1 ELSE 0 END) AS within "
+        "  FROM p JOIN sym a ON a.src = p.u "
+        "  JOIN sym b ON b.src = p.v AND b.dst = a.dst GROUP BY 1, 2) "
+        "SELECT p.u, p.v, "
+        "CAST(COALESCE(cn, 0) + CASE WHEN ((p.u - p.u % 10) / 10) % 3 "
+        "  = ((p.v - p.v % 10) / 10) % 3 THEN COALESCE(within, 0) ELSE 0 END "
+        "  AS BIGINT) AS cn_sh, "
+        "ROUND(CASE WHEN ((p.u - p.u % 10) / 10) % 3 "
+        "  = ((p.v - p.v % 10) / 10) % 3 THEN COALESCE(within, 0) "
+        "  / (COALESCE(cn, 0) - COALESCE(within, 0) + 0.001) ELSE 0 END, 6) AS wic "
+        "FROM p LEFT JOIN cshared ON cshared.u = p.u AND cshared.v = p.v"
+    )
     # Attracting SCCs of the mixed fixture: closed form per nation parity.
     sqls["mixed_attracting_components"] = (
         "WITH k AS (SELECT c_custkey, c_nationkey, "
@@ -3009,10 +3059,6 @@ e{k + 1} AS MATERIALIZED (SELECT u, v FROM e{k}
     sqls["copurchase_eigenvector"] = _eigen_sql(12)
     sqls["copurchase_katz"] = _katz_sql(10, 0.005)
 
-    _SYM = (
-        "sym AS (SELECT src, dst FROM edges "
-        "UNION ALL SELECT dst AS src, src AS dst FROM edges)"
-    )
     sqls["copurchase_adamic_adar_pairs50"] = (
         f"WITH {_EDGES}, {_SYM}, {_LINKPRED_PAIRS}, {_LINKPRED_SHARED} "
         "SELECT p.u, p.v, ROUND(COALESCE(shared.aa, 0.0), 6) AS aa_index "

@@ -279,6 +279,10 @@ from linkgraph.algos.linkpred import (
     resource_allocation_index,
     preferential_attachment,
     dispersion,
+    cn_soundarajan_hopcroft,
+    ra_index_soundarajan_hopcroft,
+    within_inter_cluster,
+    common_neighbor_centrality,
 )
 from linkgraph.algos.degrees import (
     degrees,
@@ -407,6 +411,10 @@ __all__ = [
     "number_attracting_components",
     "is_semiconnected",
     "is_aperiodic",
+    "cn_soundarajan_hopcroft",
+    "ra_index_soundarajan_hopcroft",
+    "within_inter_cluster",
+    "common_neighbor_centrality",
     "min_vertex_cover_approx",
     "is_tournament",
     "score_sequence",

@@ -225,3 +225,156 @@ def dispersion(
     cn.unpersist()
     cand.unpersist()
     return res
+
+
+def _community_df(g: SparkGraph, community) -> DataFrame:
+    """(id, com): community labels from an (id, community) DataFrame or a
+    node-attribute column name (the reference's ``community=`` node attr,
+    ``link_prediction.py:434`` ``_community``)."""
+    if isinstance(community, str):
+        df = g.node_data(community)
+        return df.select("id", F.col(community).alias("com"))
+    return community.select(
+        F.col(community.columns[0]).cast("long").alias("id"),
+        F.col(community.columns[1]).alias("com"),
+    )
+
+
+def _community_pair_stats(g: SparkGraph, community, pairs: Optional[DataFrame]):
+    """(u, v, cn, within, ra_within, same): the community-aware wedge
+    aggregation shared by the Soundarajan–Hopcroft family — the
+    :func:`_pair_stats` join with community labels carried on u, v, and
+    each shared neighbor w."""
+    sym = _sym(g).persist()
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    com = _community_df(g, community)
+    if pairs is None:
+        p = _candidate_pairs(sym)
+    else:
+        p = pairs.select(
+            F.col(pairs.columns[0]).cast("long").alias("u"),
+            F.col(pairs.columns[1]).cast("long").alias("v"),
+        )
+    p = (
+        p.join(com.select(F.col("id").alias("u"), F.col("com").alias("cu")), "u")
+        .join(com.select(F.col("id").alias("v"), F.col("com").alias("cv")), "v")
+    )
+    a = sym.select(F.col("id").alias("u"), F.col("nbr").alias("w"))
+    b = sym.select(F.col("id").alias("v"), F.col("nbr").alias("w"))
+    shared = (
+        p.join(a, "u")
+        .join(b, ["v", "w"])
+        .join(deg.select(F.col("id").alias("w"), F.col("deg").alias("dw")), "w")
+        .join(com.select(F.col("id").alias("w"), F.col("com").alias("cw")), "w")
+        .groupBy("u", "v", "cu", "cv")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(
+                F.when(F.col("cw") == F.col("cu"), 1).otherwise(0)
+            ).alias("within"),
+            F.sum(
+                F.when(F.col("cw") == F.col("cu"), 1.0 / F.col("dw")).otherwise(0.0)
+            ).alias("ra_within"),
+        )
+    )
+    out = p.join(shared, ["u", "v", "cu", "cv"], "left").select(
+        "u",
+        "v",
+        F.coalesce("cn", F.lit(0)).alias("cn"),
+        F.coalesce("within", F.lit(0)).alias("within"),
+        F.coalesce("ra_within", F.lit(0.0)).alias("ra_within"),
+        (F.col("cu") == F.col("cv")).alias("same"),
+    )
+    return out
+
+
+def cn_soundarajan_hopcroft(
+    g: SparkGraph, community, pairs: Optional[DataFrame] = None
+) -> DataFrame:
+    """(u, v, score): common neighbors plus the same-community bonus —
+    ``networkx/algorithms/link_prediction.py:462``. ``community`` is an
+    (id, community) DataFrame or a node-attr column name."""
+    _require_undirected(g, "cn_soundarajan_hopcroft")
+    s = _community_pair_stats(g, community, pairs)
+    return s.select(
+        "u",
+        "v",
+        (
+            F.col("cn")
+            + F.when(F.col("same"), F.col("within")).otherwise(F.lit(0))
+        ).cast("long").alias("score"),
+    )
+
+
+def ra_index_soundarajan_hopcroft(
+    g: SparkGraph, community, pairs: Optional[DataFrame] = None
+) -> DataFrame:
+    """(u, v, score): resource allocation restricted to same-community
+    shared neighbors, 0 across communities (``link_prediction.py:524``)."""
+    _require_undirected(g, "ra_index_soundarajan_hopcroft")
+    s = _community_pair_stats(g, community, pairs)
+    return s.select(
+        "u",
+        "v",
+        F.when(F.col("same"), F.col("ra_within")).otherwise(F.lit(0.0)).alias("score"),
+    )
+
+
+def within_inter_cluster(
+    g: SparkGraph,
+    community,
+    pairs: Optional[DataFrame] = None,
+    *,
+    delta: float = 0.001,
+) -> DataFrame:
+    """(u, v, score): within-community shared neighbors over
+    cross-community ones plus ``delta`` (``link_prediction.py:589``);
+    0 when the endpoints' communities differ."""
+    _require_undirected(g, "within_inter_cluster")
+    if delta <= 0:
+        raise ValueError("Delta must be greater than zero")
+    s = _community_pair_stats(g, community, pairs)
+    return s.select(
+        "u",
+        "v",
+        F.when(
+            F.col("same"),
+            F.col("within") / ((F.col("cn") - F.col("within")) + F.lit(float(delta))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+
+
+def common_neighbor_centrality(
+    g: SparkGraph, pairs: Optional[DataFrame] = None, *, alpha: float = 0.8
+) -> DataFrame:
+    """(u, v, score): the CCPA score ``α·|CN| + (1−α)·n/d(u, v)``
+    (``link_prediction.py:229``). With the default candidate set — the
+    non-adjacent pairs sharing ≥1 neighbor — ``d(u, v) = 2`` exactly, so
+    the distance term is closed-form and the whole score is one wedge
+    aggregation (the reference materializes all-pairs shortest paths).
+    Explicit ``pairs`` are supported only for ``alpha=1`` (pure CN), where
+    no distance is needed; the reference's arbitrary-ebunch distance walk
+    is a per-pair BFS that has no place at scale."""
+    _require_undirected(g, "common_neighbor_centrality")
+    if alpha == 1:
+        st = _pair_stats(g, pairs)
+        return st.select(
+            "u", "v", F.col("cn").cast("double").alias("score")
+        )
+    if pairs is not None:
+        raise NotImplementedError(
+            "common_neighbor_centrality with alpha < 1 supports only the "
+            "default candidate set (where d(u, v) = 2 in closed form)"
+        )
+    n = g.number_of_nodes()
+    st = _pair_stats(g, None)
+    return st.select(
+        "u",
+        "v",
+        (
+            F.lit(float(alpha)) * F.col("cn")
+            + F.lit((1.0 - alpha) * n / 2.0)
+        ).alias("score"),
+    )
