@@ -1425,6 +1425,26 @@ def q_hierarchy_d_separation(spark, sf_dir):
     return spark.createDataFrame(rows, "test string, separated boolean")
 
 
+def q_chain_apsp_weighted(spark, sf_dir):
+    # Per-source weighted APSP from one landmark per nation (the min
+    # custkey) over the gap-weighted chains: distance telescopes to
+    # custkey - min(custkey) — the closed form the oracle replays.
+    from linkgraph.algos.sssp import all_pairs_bellman_ford_path_lengths
+
+    g = DS.customer_chain_weighted_graph(spark, sf_dir)
+    landmarks = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .groupBy("c_nationkey")
+        .agg(F.min("c_custkey").alias("id"))
+        .select("id")
+    )
+    return all_pairs_bellman_ford_path_lengths(g, landmarks).select(
+        F.col("source").cast("long"),
+        F.col("id").cast("long"),
+        F.round("distance", 6).alias("distance"),
+    )
+
+
 def q_copurchase_community_linkpred(spark, sf_dir):
     # Community-aware link prediction (Soundarajan-Hopcroft CN + the
     # within-inter-cluster ratio) over the fixed evaluation pairs, with
@@ -1918,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_quotient": q_hierarchy_quotient,
         "mixed_attracting_components": q_mixed_attracting_components,
         "copurchase_community_linkpred": q_copurchase_community_linkpred,
+        "chain_apsp_weighted": q_chain_apsp_weighted,
         "copurchase_vertex_cover_invariants": q_copurchase_vertex_cover_invariants,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
@@ -2693,6 +2714,14 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # Landmark weighted APSP on gap-weighted chains: telescoping closed
+    # form distance(source=nation-min, c) = c - min.
+    sqls["chain_apsp_weighted"] = (
+        "WITH mn AS (SELECT c_nationkey, MIN(c_custkey) AS m FROM customer GROUP BY 1) "
+        "SELECT CAST(mn.m AS BIGINT) AS source, CAST(c.c_custkey AS BIGINT) AS id, "
+        "ROUND(CAST(c.c_custkey - mn.m AS DOUBLE), 6) AS distance "
+        "FROM customer c JOIN mn ON mn.c_nationkey = c.c_nationkey"
     )
     _SYM = (
         "sym AS (SELECT src, dst FROM edges "

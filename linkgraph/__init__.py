@@ -176,6 +176,7 @@ from linkgraph.algos.sssp import (
     weighted_shortest_path_lengths,
     single_source_weighted_path_length,
     bellman_ford_path_lengths,
+    all_pairs_bellman_ford_path_lengths,
     has_path,
     NegativeCycleError,
 )
@@ -415,6 +416,7 @@ __all__ = [
     "ra_index_soundarajan_hopcroft",
     "within_inter_cluster",
     "common_neighbor_centrality",
+    "all_pairs_bellman_ford_path_lengths",
     "min_vertex_cover_approx",
     "is_tournament",
     "score_sequence",

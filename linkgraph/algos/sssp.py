@@ -280,3 +280,88 @@ def voronoi_cells(
     adj.unpersist()
     cache.close(keep_result=True)
     return out
+
+
+def all_pairs_bellman_ford_path_lengths(
+    g: SparkGraph,
+    sources=None,
+    *,
+    max_rounds: Optional[int] = None,
+) -> DataFrame:
+    """Per-source weighted shortest-path lengths: ``(source BIGINT,
+    id BIGINT, distance DOUBLE)`` — the reference's
+    ``all_pairs_bellman_ford_path_length`` (``weighted.py:2061``) /
+    Johnson-style APSP, with every source relaxing SIMULTANEOUSLY by
+    carrying the source id in the state key (the weighted twin of the
+    batched BFS in :mod:`linkgraph.algos.distance`). ``sources=None`` uses
+    every vertex; pass a one-column DataFrame of landmarks at scale —
+    exact weighted APSP is O(n·m) state by definition, exactly the
+    reference's per-source loop cost, sharded.
+
+    Unreachable pairs are absent; raises :class:`NegativeCycleError` after
+    n rounds of continued improvement, like the single-source form.
+    """
+    spark = g.spark
+    adj = (
+        g.symmetric_edges().select("src", "dst", "weight")
+        if not g.directed
+        else g.edges.select("src", "dst", "weight")
+    ).persist()
+    if sources is None:
+        src_df = g.vertices.select(F.col("id").alias("source"))
+    else:
+        src_df = _source_df(g, sources).select(F.col("id").alias("source"))
+
+    cache = SuperstepCache(spark)
+    dist = cache.truncate(
+        src_df.select(
+            "source", F.col("source").alias("id"), F.lit(0.0).alias("distance")
+        )
+    )
+    frontier = dist
+    last_trunc = dist
+    n_limit = None
+    rounds = 0
+    while True:
+        rounds += 1
+        if max_rounds is not None and rounds > max_rounds:
+            break
+        if max_rounds is None:
+            if n_limit is None and rounds > 64:
+                n_limit = g.number_of_nodes()
+            if n_limit is not None and rounds > n_limit:
+                adj.unpersist()
+                cache.close()
+                raise NegativeCycleError(
+                    "Negative cost cycle detected: relaxation still "
+                    f"improving after {n_limit} rounds"
+                )
+        cand = (
+            adj.join(frontier.withColumnRenamed("id", "src"), "src")
+            .groupBy("source", F.col("dst").alias("id"))
+            .agg(F.min(F.col("distance") + F.col("weight")).alias("cand"))
+        )
+        merged = (
+            dist.join(cand, ["source", "id"], "full")
+            .select(
+                "source",
+                "id",
+                F.least(
+                    F.coalesce("distance", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("distance"),
+                (
+                    F.col("distance").isNull()
+                    | (F.col("cand") < F.col("distance"))
+                ).alias("_improved"),
+            )
+        )
+        merged = cache.truncate(merged, retire=last_trunc)
+        last_trunc = merged
+        frontier = merged.filter("_improved").select("source", "id", "distance")
+        dist = merged.select("source", "id", "distance")
+        if frontier.limit(1).count() == 0:
+            break
+    adj.unpersist()
+    cache.close(keep_result=True)
+    return dist

@@ -183,3 +183,51 @@ def test_condensation_structure(spark):
     assert nx.is_directed_acyclic_graph(nxC)
     assert len(nodes) == nxC.number_of_nodes()
     assert len(edges) == nxC.number_of_edges()
+
+
+# -------------------- per-source weighted APSP ------------------------- #
+
+from linkgraph.algos.sssp import all_pairs_bellman_ford_path_lengths
+
+
+def test_all_pairs_bellman_ford(spark):
+    import random
+
+    rng = random.Random(7)
+    G = nx.gnp_random_graph(18, 0.2, seed=7, directed=True)
+    for u, v in G.edges():
+        G[u][v]["weight"] = round(rng.uniform(0.5, 3.0), 3)
+    got = {
+        (r["source"], r["id"]): r["distance"]
+        for r in all_pairs_bellman_ford_path_lengths(from_nx(spark, G)).collect()
+    }
+    want = {
+        (s, t): d
+        for s, dd in nx.all_pairs_bellman_ford_path_length(G, weight="weight")
+        for t, d in dd.items()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_all_pairs_bellman_ford_landmarks_and_negative(spark):
+    G = nx.DiGraph()
+    G.add_weighted_edges_from([(0, 1, 2.0), (1, 2, -1.0), (2, 3, 4.0), (0, 3, 6.0)])
+    lm = spark.createDataFrame([(0,), (1,)], "id bigint")
+    got = {
+        (r["source"], r["id"]): r["distance"]
+        for r in all_pairs_bellman_ford_path_lengths(
+            from_nx(spark, G), lm
+        ).collect()
+    }
+    assert got[(0, 3)] == pytest.approx(5.0)
+    assert got[(1, 3)] == pytest.approx(3.0)
+    assert set(s for s, _ in got) == {0, 1}
+    # negative cycle raises
+    C = nx.DiGraph()
+    C.add_weighted_edges_from([(0, 1, 1.0), (1, 0, -2.0)])
+    from linkgraph.algos.sssp import NegativeCycleError
+
+    with pytest.raises(NegativeCycleError):
+        all_pairs_bellman_ford_path_lengths(from_nx(spark, C)).count()
