@@ -24,7 +24,10 @@ from linkgraph.exceptions import (
     PowerIterationFailedConvergence,
     NotImplementedForDirected,
 )
-from linkgraph.algos.wlhash import weisfeiler_lehman_graph_hash
+from linkgraph.algos.wlhash import (
+    weisfeiler_lehman_graph_hash,
+    weisfeiler_lehman_subgraph_hashes,
+)
 from linkgraph.algos.pagerank import pagerank, PowerIterationFailedConvergence
 from linkgraph.algos.components import (
     connected_components,
@@ -417,6 +420,7 @@ __all__ = [
     "within_inter_cluster",
     "common_neighbor_centrality",
     "all_pairs_bellman_ford_path_lengths",
+    "weisfeiler_lehman_subgraph_hashes",
     "min_vertex_cover_approx",
     "is_tournament",
     "score_sequence",

@@ -147,3 +147,107 @@ def weisfeiler_lehman_graph_hash(
     return blake2b(
         str(tuple(hash_counts)).encode("ascii"), digest_size=digest_size
     ).hexdigest()
+
+
+def weisfeiler_lehman_subgraph_hashes(
+    g: SparkGraph, iterations: int = 3, digest_size: int = 16
+) -> DataFrame:
+    """(id, iteration, subgraph_hash): per-node WL hashes after each
+    iteration — ``networkx/algorithms/graph_hashing.py:231``
+    ``weisfeiler_lehman_subgraph_hashes`` (attribute-free graphs,
+    ``include_initial_labels=False``), in relational long form instead of
+    the dict-of-lists. Iteration 1's hash is the hashed degree label (the
+    reference's degree-init-equals-first-iteration rule); each later
+    iteration hashes ``label + sorted (prefixed) neighbor labels`` exactly
+    like the graph hash's rounds, so every value is bit-for-bit the
+    reference's."""
+    if iterations <= 0:
+        raise ValueError("The WL algorithm requires that `iterations` be positive")
+    spark = g.spark
+    vertices = g.vertices.select("id").persist()
+    h = _blake_udf(digest_size)
+    cache = SuperstepCache(spark)
+
+    if g.directed:
+        arcs = g.edges.select("src", "dst").persist()
+        ind = arcs.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("i"))
+        outd = arcs.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("o"))
+        labels = (
+            vertices.join(ind, "id", "left")
+            .join(outd, "id", "left")
+            .select(
+                "id",
+                F.concat(
+                    F.coalesce("i", F.lit(0)).cast("string"),
+                    F.lit("_"),
+                    F.coalesce("o", F.lit(0)).cast("string"),
+                ).alias("label"),
+            )
+        )
+        sym = None
+    else:
+        sym = g.symmetric_edges().select("src", "dst").persist()
+        deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+        labels = vertices.join(deg, "id", "left").select(
+            "id", F.coalesce("d", F.lit(0)).cast("string").alias("label")
+        )
+    labels = cache.truncate(labels)
+
+    def nbr_concat(arcs_df, key, nbr, prefix=""):
+        return (
+            arcs_df.join(
+                labels.select(
+                    F.col("id").alias(nbr),
+                    F.concat(F.lit(prefix), F.col("label")).alias("_nl"),
+                ),
+                nbr,
+            )
+            .groupBy(F.col(key).alias("id"))
+            .agg(F.concat_ws("", F.sort_array(F.collect_list("_nl"))).alias("agg"))
+        )
+
+    # iteration 1: the hashed degree label (graph_hashing.py:293-296)
+    per_iter = [
+        labels.select(
+            "id", F.lit(1).alias("iteration"), h(F.col("label")).alias("subgraph_hash")
+        )
+    ]
+    for it in range(2, iterations + 1):
+        if g.directed:
+            succ = nbr_concat(g.edges.select("src", "dst"), "src", "dst", "s_")
+            pred = nbr_concat(g.edges.select("src", "dst"), "dst", "src", "p_")
+            raw = (
+                labels.join(succ.withColumnRenamed("agg", "s"), "id", "left")
+                .join(pred.withColumnRenamed("agg", "p"), "id", "left")
+                .select(
+                    "id",
+                    F.concat(
+                        "label",
+                        F.coalesce("s", F.lit("")),
+                        F.coalesce("p", F.lit("")),
+                    ).alias("raw"),
+                )
+            )
+        else:
+            nb = nbr_concat(sym, "src", "dst")
+            raw = labels.join(nb, "id", "left").select(
+                "id", F.concat("label", F.coalesce("agg", F.lit(""))).alias("raw")
+            )
+        labels = cache.truncate(raw.select("id", h(F.col("raw")).alias("label")))
+        per_iter.append(
+            labels.select(
+                "id",
+                F.lit(it).alias("iteration"),
+                F.col("label").alias("subgraph_hash"),
+            )
+        )
+    out = per_iter[0]
+    for df in per_iter[1:]:
+        out = out.unionByName(df)
+    out = out.persist()
+    out.count()
+    vertices.unpersist()
+    if sym is not None:
+        sym.unpersist()
+    cache.close(keep_result=True)
+    return out

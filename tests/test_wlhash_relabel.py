@@ -56,3 +56,28 @@ def test_descendants_ancestors(spark):
     g = from_nx(spark, G)
     assert {r["id"] for r in descendants(g, 0).collect()} == nx.descendants(G, 0)
     assert {r["id"] for r in ancestors(g, 4).collect()} == nx.ancestors(G, 4)
+
+
+# ---------------------- WL subgraph hashes ----------------------------- #
+
+from linkgraph.algos.wlhash import weisfeiler_lehman_subgraph_hashes
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_wl_subgraph_hashes(spark, directed):
+    G = nx.gnp_random_graph(18, 0.2, seed=11, directed=directed)
+    want = nx.weisfeiler_lehman_subgraph_hashes(G, iterations=3)
+    rows = weisfeiler_lehman_subgraph_hashes(
+        from_nx(spark, G), iterations=3
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["id"], {})[r["iteration"]] = r["subgraph_hash"]
+    assert set(got) == set(want)
+    for v, hashes in want.items():
+        assert [got[v][i] for i in sorted(got[v])] == hashes
+
+
+def test_wl_subgraph_hashes_rejects_nonpositive(spark):
+    with pytest.raises(ValueError):
+        weisfeiler_lehman_subgraph_hashes(from_nx(spark, nx.path_graph(3)), 0)
