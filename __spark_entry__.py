@@ -1425,6 +1425,25 @@ def q_hierarchy_d_separation(spark, sf_dir):
     return spark.createDataFrame(rows, "test string, separated boolean")
 
 
+def q_hierarchy_minimal_separator(spark, sf_dir):
+    # Minimal d-separator of two sibling customers in the hierarchy DAG:
+    # exactly their common nation (the only confounder) — closed form.
+    from pyspark.sql import Window
+    from linkgraph.algos.dseparation import find_minimal_d_separator
+
+    g = DS.hierarchy_dag_graph(spark, sf_dir)
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").cast("long").alias("id"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    )
+    c1 = cust.filter(F.col("rn") == 1).select("id")
+    c2 = cust.filter(F.col("rn") == 2).select("id")
+    out = find_minimal_d_separator(g, c1, c2)
+    return out.select(F.col("id").cast("long"))
+
+
 def q_chain_apsp_weighted(spark, sf_dir):
     # Per-source weighted APSP from one landmark per nation (the min
     # custkey) over the gap-weighted chains: distance telescopes to
@@ -1939,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_attracting_components": q_mixed_attracting_components,
         "copurchase_community_linkpred": q_copurchase_community_linkpred,
         "chain_apsp_weighted": q_chain_apsp_weighted,
+        "hierarchy_minimal_separator": q_hierarchy_minimal_separator,
         "copurchase_vertex_cover_invariants": q_copurchase_vertex_cover_invariants,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
@@ -2714,6 +2734,10 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # Minimal d-separator of nation-0 siblings: their nation (id 1000000).
+    sqls["hierarchy_minimal_separator"] = (
+        "SELECT CAST(1000000 AS BIGINT) AS id"
     )
     # Landmark weighted APSP on gap-weighted chains: telescoping closed
     # form distance(source=nation-min, c) = c - min.

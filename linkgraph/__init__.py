@@ -298,7 +298,7 @@ from linkgraph.algos.degrees import (
     is_k_regular,
 )
 from linkgraph.algos.walks import number_of_walks
-from linkgraph.algos.dseparation import is_d_separator
+from linkgraph.algos.dseparation import is_d_separator, find_minimal_d_separator
 from linkgraph.algos.density import densest_subgraph, densest_subgraph_rounds
 from linkgraph.algos.steiner import steiner_tree
 from linkgraph.algos.smallworld import sigma, random_reference
@@ -399,6 +399,7 @@ __all__ = [
     "is_k_regular",
     "number_of_walks",
     "is_d_separator",
+    "find_minimal_d_separator",
     "densest_subgraph",
     "densest_subgraph_rounds",
     "steiner_tree",

@@ -25,7 +25,7 @@ from linkgraph.exceptions import NetworkXError, NotImplementedForDirected
 from linkgraph.graph import SparkGraph
 from linkgraph.iterutils import SuperstepCache
 
-__all__ = ["is_d_separator"]
+__all__ = ["is_d_separator", "find_minimal_d_separator"]
 
 
 def _ids(df: DataFrame) -> DataFrame:
@@ -150,3 +150,143 @@ def is_d_separator(
         z.unpersist()
         y.unpersist()
         anc_or_z.unpersist()
+
+
+def _reachable(g: SparkGraph, x: DataFrame, a: DataFrame, z: DataFrame) -> DataFrame:
+    """(id): closure of ``x`` under d-connected walks restricted to ``a``
+    given conditioning set ``z`` — the ``REACHABLE`` procedure of van der
+    Zander & Liśkiewicz 2020 (``d_separation.py:589``). State = (node,
+    arrived-along-incoming-arc?); transitions per superstep:
+
+    - to a predecessor n (leaving along an arc INTO v, f=False): allowed
+      when v ∉ Z or the ball arrived along an incoming arc (the collider
+      ``→ v ←`` opens for v ∈ Z);
+    - to a successor n (f=True): allowed only when v ∉ Z;
+    - always restricted to n ∈ A.
+    """
+    spark = g.spark
+    arcs = g.edges.select("src", "dst").distinct().persist()
+    a = a.select(F.col(a.columns[0]).cast("long").alias("id")).distinct().persist()
+    z = z.select(F.col(z.columns[0]).cast("long").alias("id")).distinct().persist()
+    xx = _ids(x)
+
+    # start states: (v, e=True) if v has predecessors, (v, e=False) if v
+    # has successors
+    has_pred = xx.join(arcs.select(F.col("dst").alias("id")).distinct(), "id", "left_semi")
+    has_succ = xx.join(arcs.select(F.col("src").alias("id")).distinct(), "id", "left_semi")
+    frontier = (
+        has_pred.select("id", F.lit(True).alias("e"))
+        .unionAll(has_succ.select("id", F.lit(False).alias("e")))
+        .distinct()
+    )
+    cache = SuperstepCache(spark)
+    frontier = cache.truncate(frontier)
+    seen = frontier
+    reached = xx.unionAll(frontier.select("id")).distinct()
+    while True:
+        fz = frontier.join(
+            z.withColumn("_z", F.lit(True)), "id", "left"
+        ).select("id", "e", F.col("_z").isNotNull().alias("in_z"))
+        # backward moves (to predecessors, f=False): v not in Z or e
+        back = (
+            fz.filter(~F.col("in_z") | F.col("e"))
+            .withColumnRenamed("id", "dst")
+            .join(arcs, "dst")
+            .select(F.col("src").alias("id"), F.lit(False).alias("e"))
+        )
+        # forward moves (to successors, f=True): v not in Z
+        fwd = (
+            fz.filter(~F.col("in_z"))
+            .withColumnRenamed("id", "src")
+            .join(arcs, "src")
+            .select(F.col("dst").alias("id"), F.lit(True).alias("e"))
+        )
+        new = (
+            back.unionAll(fwd)
+            .distinct()
+            .join(a, "id", "left_semi")
+            .join(seen, ["id", "e"], "left_anti")
+        )
+        new = cache.truncate(new)
+        if new.limit(1).count() == 0:
+            break
+        seen = cache.truncate(seen.unionAll(new).distinct(), retire=None)
+        reached = reached.unionAll(new.select("id")).distinct()
+        frontier = new
+    out = cache.truncate(reached)
+    arcs.unpersist()
+    a.unpersist()
+    z.unpersist()
+    return out
+
+
+def find_minimal_d_separator(
+    g: SparkGraph,
+    x: DataFrame,
+    y: DataFrame,
+    *,
+    included: DataFrame = None,
+    restricted: DataFrame = None,
+):
+    """A minimal d-separating set of ``x`` and ``y`` as an (id) DataFrame,
+    or ``None`` when none exists (``d_separation.py:339``; van der Zander &
+    Liśkiewicz 2020): two REACHABLE closures over the ancestor set of
+    x ∪ y ∪ included. Deterministic — matches the reference set-for-set.
+    """
+    if not g.directed:
+        raise NotImplementedForDirected(
+            "find_minimal_d_separator: not implemented for directed type"
+        )
+    from linkgraph.algos.dag import is_directed_acyclic_graph
+    from linkgraph.algos.setops import shortest_path_lengths
+
+    if not is_directed_acyclic_graph(g):
+        raise NetworkXError("graph should be directed acyclic")
+    spark = g.spark
+    x, y = _ids(x), _ids(y)
+    inc = (
+        _ids(included)
+        if included is not None
+        else spark.createDataFrame([], "id bigint")
+    )
+    rest = _ids(restricted) if restricted is not None else g.vertices.select("id")
+    if inc.join(rest, "id", "left_anti").limit(1).count():
+        raise NetworkXError("Included nodes must be in restricted nodes")
+    for a_, b_ in ((x, y), (x, inc), (y, inc)):
+        if a_.join(b_, "id", "left_semi").limit(1).count():
+            raise NetworkXError("The sets x, y, included are not disjoint.")
+    allv = x.unionAll(y).unionAll(inc).unionAll(rest).distinct()
+    if allv.join(g.vertices.select("id"), "id", "left_anti").limit(1).count():
+        raise ValueError("The node(s) are not found in G")
+
+    nodeset = x.unionAll(y).unionAll(inc).distinct()
+    anc = (
+        shortest_path_lengths(g.reverse(), nodeset)
+        .select("id")
+        .distinct()
+        .persist()
+    )  # ancestors of the nodeset, nodeset included (distance 0 rows)
+    z_init = (
+        rest.join(anc, "id", "left_semi")
+        .join(x, "id", "left_anti")
+        .join(y, "id", "left_anti")
+        .persist()
+    )
+    x_closure = _reachable(g, x, anc, z_init)
+    if x_closure.join(y, "id", "left_semi").limit(1).count():
+        anc.unpersist()
+        z_init.unpersist()
+        return None
+    z_updated = z_init.join(
+        x_closure.unionAll(inc).distinct(), "id", "left_semi"
+    ).persist()
+    y_closure = _reachable(g, y, anc, z_updated)
+    out = z_updated.join(
+        y_closure.unionAll(inc).distinct(), "id", "left_semi"
+    )
+    out = out.persist()
+    out.count()
+    anc.unpersist()
+    z_init.unpersist()
+    z_updated.unpersist()
+    return out

@@ -77,3 +77,50 @@ def test_set_arguments_and_errors(spark):
             _df(spark, [2]),
             _df(spark, [1]),
         )
+
+
+# ---------------------- minimal d-separators --------------------------- #
+
+from linkgraph.algos.dseparation import find_minimal_d_separator
+
+
+def _minimal(spark, G, x, y, **kw):
+    out = find_minimal_d_separator(from_nx(spark, G), _df(spark, x), _df(spark, y), **kw)
+    return None if out is None else {r["id"] for r in out.collect()}
+
+
+@pytest.mark.parametrize("seed", [3, 7, 11])
+def test_find_minimal_matches_reference(spark, seed):
+    import random
+
+    G = _random_dag(14, 0.22, seed)
+    G.add_nodes_from(range(14))
+    rng = random.Random(seed)
+    nodes = list(G.nodes)
+    for _ in range(4):
+        pool = nodes[:]
+        rng.shuffle(pool)
+        x, y = pool[:2], pool[2:4]
+        want = nx.find_minimal_d_separator(G, set(x), set(y))
+        got = _minimal(spark, G, x, y)
+        assert got == want, (x, y)
+        if got is not None:
+            # and it separates (cross-checked through the other machinery)
+            assert is_d_separator(
+                from_nx(spark, G), _df(spark, x), _df(spark, y), _df(spark, got)
+            )
+
+
+def test_find_minimal_with_included(spark):
+    G = nx.DiGraph([(0, 1), (1, 2), (3, 1), (3, 4), (4, 2)])
+    want = nx.find_minimal_d_separator(G, {0}, {2}, included={3})
+    got = _minimal(
+        spark, G, [0], [2], included=_df(spark, [3])
+    )
+    assert got == want
+
+
+def test_find_minimal_none_when_adjacent(spark):
+    G = nx.DiGraph([(0, 1), (0, 2), (2, 1)])
+    assert nx.find_minimal_d_separator(G, {0}, {1}) is None
+    assert _minimal(spark, G, [0], [1]) is None
