@@ -1425,6 +1425,25 @@ def q_hierarchy_d_separation(spark, sf_dir):
     return spark.createDataFrame(rows, "test string, separated boolean")
 
 
+def q_ring0_resistance(spark, sf_dir):
+    # Effective resistance across the undirected nation-0 customer ring:
+    # closed form k(n-k)/n between nodes k hops apart, solved here by the
+    # distributed-CG Laplacian solve (no dense pseudo-inverse anywhere).
+    from pyspark.sql import Window
+    from linkgraph.algos.resistance import resistance_distance
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n0 = c.agg(F.min("c_nationkey")).first()[0]
+    ids = c.filter(F.col("c_nationkey") == n0).select(F.col("c_custkey").alias("id"))
+    g = DS.customer_ring_graph(spark, sf_dir).subgraph(ids).undirected_view()
+    ranked = ids.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    n = ranked.count()
+    a = ranked.filter(F.col("rn") == 1).first()["id"]
+    b = ranked.filter(F.col("rn") == n // 2 + 1).first()["id"]
+    r = resistance_distance(g, a, b)
+    return spark.createDataFrame([(round(r, 6),)], "resistance double")
+
+
 def q_hierarchy_minimal_separator(spark, sf_dir):
     # Minimal d-separator of two sibling customers in the hierarchy DAG:
     # exactly their common nation (the only confounder) — closed form.
@@ -1959,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_community_linkpred": q_copurchase_community_linkpred,
         "chain_apsp_weighted": q_chain_apsp_weighted,
         "hierarchy_minimal_separator": q_hierarchy_minimal_separator,
+        "ring0_resistance": q_ring0_resistance,
         "copurchase_vertex_cover_invariants": q_copurchase_vertex_cover_invariants,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
@@ -2734,6 +2754,13 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # Ring resistance: k(n-k)/n with k = n//2 hops on the min-nation ring.
+    sqls["ring0_resistance"] = (
+        "WITH n AS (SELECT COUNT(*) AS n FROM customer WHERE c_nationkey = "
+        "(SELECT MIN(c_nationkey) FROM customer)) "
+        "SELECT ROUND((n // 2) * (n - n // 2) / CAST(n AS DOUBLE), 6) "
+        "AS resistance FROM n"
     )
     # Minimal d-separator of nation-0 siblings: their nation (id 1000000).
     sqls["hierarchy_minimal_separator"] = (

@@ -303,6 +303,7 @@ from linkgraph.algos.density import densest_subgraph, densest_subgraph_rounds
 from linkgraph.algos.steiner import steiner_tree
 from linkgraph.algos.smallworld import sigma, random_reference
 from linkgraph.algos.sparsifiers import spanner
+from linkgraph.algos.resistance import resistance_distance
 from linkgraph.algos.assortativity import attribute_mixing, degree_mixing
 
 __version__ = "0.1.0"
@@ -412,6 +413,7 @@ __all__ = [
     "average_shortest_path_length",
     "degree_pearson_correlation_coefficient",
     "quotient_graph",
+    "resistance_distance",
     "attracting_components",
     "number_attracting_components",
     "is_semiconnected",

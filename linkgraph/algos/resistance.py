@@ -1,0 +1,161 @@
+"""Resistance distance via a distributed conjugate-gradient solve.
+
+Reference: ``networkx/algorithms/distance_measures.py`` sibling
+``resistance_distance`` — ``r(u, v) = (e_u − e_v)ᵀ L⁺ (e_u − e_v)``, the
+effective resistance of the graph seen as a resistor network (edge weight
+= resistance; the reference inverts weights to conductances by default).
+The reference materializes the dense Laplacian pseudo-inverse — O(n³) and
+n×n memory, unusable beyond toy graphs. The same quantity is the solution
+gap ``x(u) − x(v)`` of the singular-consistent system ``L x = e_u − e_v``,
+which conjugate gradient solves with NOTHING but Laplacian matvecs — and a
+Laplacian matvec is one arc⋈vector join plus a groupBy. Per iteration:
+one matvec, one fused column update over a single (id, x, r, p) state
+table, two scalar aggregates; state is lineage-truncated. That is the
+textbook distributed CG (cf. GraphX/Pregel linear solvers), and the only
+shape that survives 100 TB.
+
+Convergence: O(√κ(L)) iterations; κ grows with diameter² so long paths
+are the slow case (like every iterative Laplacian method) — each
+iteration stays edge-linear.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import functions as F
+
+from linkgraph.exceptions import NetworkXError, NotImplementedForDirected
+from linkgraph.graph import SparkGraph
+from linkgraph.iterutils import SuperstepCache
+
+__all__ = ["resistance_distance"]
+
+
+def resistance_distance(
+    g: SparkGraph,
+    node_a: int,
+    node_b: int,
+    *,
+    weight: Optional[str] = None,
+    invert_weight: bool = True,
+    tol: float = 1e-10,
+    max_iter: Optional[int] = None,
+) -> float:
+    """Effective resistance between two nodes (reference semantics:
+    ``weight`` is a resistance and is inverted to a conductance unless
+    ``invert_weight=False``; unweighted edges are unit resistors). Raises
+    on directed input, unknown nodes, and disconnected graphs like the
+    reference."""
+    if g.directed:
+        raise NotImplementedForDirected(
+            "resistance_distance: not implemented for directed type"
+        )
+    node_a, node_b = int(node_a), int(node_b)
+    present = {
+        r["id"]
+        for r in g.vertices.filter(F.col("id").isin([node_a, node_b])).collect()
+    }
+    if node_a not in present:
+        raise NetworkXError("Node A is not in graph G.")
+    if node_b not in present:
+        raise NetworkXError("Node B is not in graph G.")
+    if node_a == node_b:
+        return 0.0
+    from linkgraph.algos.components import is_connected
+
+    if not is_connected(g):
+        raise NetworkXError("Graph G must be strongly connected.")
+
+    spark = g.spark
+    w = (
+        F.coalesce(F.col(weight).cast("double"), F.lit(1.0))
+        if weight is not None and weight in g.edges.columns
+        else F.lit(1.0)
+    )
+    if weight is not None and invert_weight:
+        w = 1.0 / w
+    # conductance-weighted symmetric arcs, self-loops ignored (reference)
+    arcs = (
+        g.symmetric_edges()
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", w.alias("c"))
+        .persist()
+    )
+    deg = arcs.groupBy(F.col("src").alias("id")).agg(F.sum("c").alias("d")).persist()
+    n = g.number_of_nodes()
+    if max_iter is None:
+        max_iter = max(200, 20 * n)
+
+    cache = SuperstepCache(spark)
+    # state: (id, x, r, p); x0 = 0, r0 = b = e_a - e_b, p0 = r0
+    b = F.when(F.col("id") == node_a, 1.0).when(F.col("id") == node_b, -1.0).otherwise(
+        0.0
+    )
+    state = cache.truncate(
+        g.vertices.select(
+            "id", F.lit(0.0).alias("x"), b.alias("r"), b.alias("p")
+        )
+    )
+    rr = 2.0  # b·b for e_a - e_b
+
+    for _ in range(max_iter):
+        # Lp = d*p - sum_nbr c * p_nbr  (one join + one groupBy)
+        nbr = (
+            arcs.join(
+                state.select(F.col("id").alias("dst"), F.col("p").alias("pn")), "dst"
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(F.col("c") * F.col("pn")).alias("s"))
+        )
+        st = (
+            state.join(deg, "id", "left")
+            .join(nbr, "id", "left")
+            .select(
+                "id",
+                "x",
+                "r",
+                "p",
+                (
+                    F.coalesce("d", F.lit(0.0)) * F.col("p")
+                    - F.coalesce("s", F.lit(0.0))
+                ).alias("lp"),
+            )
+        )
+        st = cache.truncate(st, retire=state)
+        pap = st.agg(F.sum(F.col("p") * F.col("lp"))).first()[0] or 0.0
+        if pap <= 0:
+            state = st  # numerical floor: p in the null space direction
+            break
+        alpha = rr / pap
+        nxt = st.select(
+            "id",
+            (F.col("x") + F.lit(alpha) * F.col("p")).alias("x"),
+            (F.col("r") - F.lit(alpha) * F.col("lp")).alias("r"),
+            "p",
+        )
+        nxt = cache.truncate(nxt, retire=st)
+        rr_new = nxt.agg(F.sum(F.col("r") * F.col("r"))).first()[0] or 0.0
+        if rr_new < tol * tol:
+            state = nxt
+            break
+        beta = rr_new / rr
+        rr = rr_new
+        state = cache.truncate(
+            nxt.select(
+                "id", "x", "r", (F.col("r") + F.lit(beta) * F.col("p")).alias("p")
+            ),
+            retire=nxt,
+        )
+    else:
+        raise NetworkXError(
+            f"resistance_distance CG did not converge in {max_iter} iterations"
+        )
+    vals = {
+        r["id"]: r["x"]
+        for r in state.filter(F.col("id").isin([node_a, node_b])).collect()
+    }
+    arcs.unpersist()
+    deg.unpersist()
+    cache.close()
+    return float(vals[node_a] - vals[node_b])
