@@ -1425,6 +1425,33 @@ def q_hierarchy_d_separation(spark, sf_dir):
     return spark.createDataFrame(rows, "test string, separated boolean")
 
 
+def q_ring0_distance_indices(spark, sf_dir):
+    # Wiener-family indices on the undirected nation-0 ring: every degree
+    # is 2, so schultz = gutman = 4*W(C_n) with the classic cycle Wiener
+    # closed form; harmonic diameter = (n-1) / (per-node inverse-distance
+    # sum), a generate_series expression in the oracle.
+    from linkgraph.algos.neighborhood import (
+        schultz_index,
+        gutman_index,
+        harmonic_diameter,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n0 = c.agg(F.min("c_nationkey")).first()[0]
+    ids = c.filter(F.col("c_nationkey") == n0).select(F.col("c_custkey").alias("id"))
+    g = DS.customer_ring_graph(spark, sf_dir).subgraph(ids).undirected_view()
+    return spark.createDataFrame(
+        [
+            (
+                round(schultz_index(g), 4),
+                round(gutman_index(g), 4),
+                round(harmonic_diameter(g), 6),
+            )
+        ],
+        "schultz double, gutman double, harmonic_diameter double",
+    )
+
+
 def q_ring0_resistance(spark, sf_dir):
     # Effective resistance across the undirected nation-0 customer ring:
     # closed form k(n-k)/n between nodes k hops apart, solved here by the
@@ -1979,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_apsp_weighted": q_chain_apsp_weighted,
         "hierarchy_minimal_separator": q_hierarchy_minimal_separator,
         "ring0_resistance": q_ring0_resistance,
+        "ring0_distance_indices": q_ring0_distance_indices,
         "copurchase_vertex_cover_invariants": q_copurchase_vertex_cover_invariants,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
@@ -2754,6 +2782,19 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # Wiener-family indices on the min-nation ring (cycle closed forms).
+    sqls["ring0_distance_indices"] = (
+        "WITH nn AS (SELECT COUNT(*) AS n FROM customer WHERE c_nationkey = "
+        "(SELECT MIN(c_nationkey) FROM customer)), "
+        "w AS (SELECT n, CASE WHEN n % 2 = 0 THEN n*n*n / 8.0 "
+        "ELSE n*(n*n - 1) / 8.0 END AS w FROM nn), "
+        "h AS (SELECT nn.n AS n, SUM(CASE WHEN nn.n % 2 = 0 AND k = nn.n // 2 "
+        "THEN 1.0 / k ELSE 2.0 / k END) AS s "
+        "FROM nn, generate_series(1, 100000) t(k) WHERE k <= nn.n // 2 "
+        "GROUP BY nn.n) "
+        "SELECT ROUND(4 * w.w, 4) AS schultz, ROUND(4 * w.w, 4) AS gutman, "
+        "ROUND((h.n - 1) / h.s, 6) AS harmonic_diameter FROM w, h"
     )
     # Ring resistance: k(n-k)/n with k = n//2 hops on the min-nation ring.
     sqls["ring0_resistance"] = (

@@ -265,6 +265,9 @@ from linkgraph.algos.neighborhood import (
     wiener_index,
     global_efficiency,
     local_efficiency,
+    schultz_index,
+    gutman_index,
+    harmonic_diameter,
 )
 from linkgraph.algos.products import (
     rooted_product,
@@ -414,6 +417,9 @@ __all__ = [
     "degree_pearson_correlation_coefficient",
     "quotient_graph",
     "resistance_distance",
+    "schultz_index",
+    "gutman_index",
+    "harmonic_diameter",
     "attracting_components",
     "number_attracting_components",
     "is_semiconnected",

@@ -57,6 +57,9 @@ __all__ = [
     "wiener_index",
     "global_efficiency",
     "local_efficiency",
+    "schultz_index",
+    "gutman_index",
+    "harmonic_diameter",
 ]
 
 
@@ -455,3 +458,56 @@ def local_efficiency(g: SparkGraph) -> float:
     finally:
         cache.close()
         ego_arcs.unpersist()
+
+
+def schultz_index(g: SparkGraph) -> float:
+    """Σ over unordered pairs of d(u,v)·(deg u + deg v)
+    (``networkx/algorithms/wiener.py`` ``schultz_index``; unweighted, inf
+    when disconnected like the reference). One APSP⋈degree join."""
+    return _degree_distance_index(g, product=False)
+
+
+def gutman_index(g: SparkGraph) -> float:
+    """Σ over unordered pairs of d(u,v)·deg(u)·deg(v)
+    (``wiener.py`` ``gutman_index``)."""
+    return _degree_distance_index(g, product=True)
+
+
+def _degree_distance_index(g: SparkGraph, product: bool) -> float:
+    from linkgraph.algos.degrees import degrees as _degrees
+
+    n = g.number_of_nodes()
+    sp = all_pairs_shortest_path_lengths(g).persist()
+    try:
+        if sp.count() < n * n:
+            return float("inf")
+        deg = _degrees(g)
+        du = deg.select(F.col("id").alias("source"), F.col("degree").alias("du"))
+        dv = deg.select(F.col("id").alias("id"), F.col("degree").alias("dv"))
+        term = (
+            F.col("distance") * (F.col("du") * F.col("dv"))
+            if product
+            else F.col("distance") * (F.col("du") + F.col("dv"))
+        )
+        total = (
+            sp.join(du, "source").join(dv, "id").agg(F.sum(term)).first()[0] or 0.0
+        )
+        return float(total) / 2.0
+    finally:
+        sp.unpersist()
+
+
+def harmonic_diameter(g: SparkGraph) -> float:
+    """n(n−1) / Σ over ordered pairs of 1/d(u,v) — the harmonic mean
+    distance (``networkx/algorithms/distance_measures.py``
+    ``harmonic_diameter``; unreachable pairs contribute 0, so it is finite
+    on disconnected graphs unless NO pair is reachable)."""
+    n = g.number_of_nodes()
+    row = (
+        all_pairs_shortest_path_lengths(g)
+        .filter(F.col("distance") > 0)
+        .agg(F.sum(1.0 / F.col("distance")))
+        .first()
+    )
+    s = float(row[0] or 0.0)
+    return float("inf") if s == 0.0 else n * (n - 1) / s

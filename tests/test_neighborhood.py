@@ -257,3 +257,30 @@ def test_local_efficiency(spark):
     assert NB.local_efficiency(from_nx(spark, G)) == pytest.approx(
         nx.local_efficiency(G), abs=1e-9
     )
+
+
+# ------------------- wiener-family distance indices -------------------- #
+
+from linkgraph.algos.neighborhood import schultz_index, gutman_index, harmonic_diameter
+
+
+def test_schultz_gutman(spark):
+    G = nx.gnp_random_graph(20, 0.2, seed=9)
+    G = G.subgraph(max(nx.connected_components(G), key=len)).copy()
+    g = from_nx(spark, G)
+    assert schultz_index(g) == pytest.approx(nx.schultz_index(G))
+    assert gutman_index(g) == pytest.approx(nx.gutman_index(G))
+    disc = from_nx(spark, nx.disjoint_union(nx.path_graph(2), nx.path_graph(2)))
+    assert schultz_index(disc) == float("inf")
+    assert gutman_index(disc) == float("inf")
+
+
+def test_harmonic_diameter(spark):
+    G = nx.gnp_random_graph(18, 0.2, seed=5)
+    assert harmonic_diameter(from_nx(spark, G)) == pytest.approx(
+        nx.harmonic_diameter(G)
+    )
+    D = nx.gnp_random_graph(15, 0.12, seed=7, directed=True)
+    assert harmonic_diameter(from_nx(spark, D)) == pytest.approx(
+        nx.harmonic_diameter(D)
+    )
