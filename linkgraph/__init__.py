@@ -210,6 +210,7 @@ from linkgraph.algos.bipartite import (
 from linkgraph.algos.biconnected import (
     biconnected_components,
     articulation_points,
+    is_biconnected,
 )
 from linkgraph.algos.bridges import (
     bridges,
@@ -268,6 +269,7 @@ from linkgraph.algos.neighborhood import (
     schultz_index,
     gutman_index,
     harmonic_diameter,
+    closeness_vitality,
 )
 from linkgraph.algos.products import (
     rooted_product,
@@ -420,6 +422,8 @@ __all__ = [
     "schultz_index",
     "gutman_index",
     "harmonic_diameter",
+    "closeness_vitality",
+    "is_biconnected",
     "attracting_components",
     "number_attracting_components",
     "is_semiconnected",

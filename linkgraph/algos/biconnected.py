@@ -290,3 +290,33 @@ def articulation_points(g: SparkGraph) -> DataFrame:
         .filter(F.col("nb") > 1)
         .select("id")
     )
+
+
+def is_biconnected(g: SparkGraph) -> bool:
+    """True iff the undirected graph is connected, has ≥ 2 nodes, and its
+    edges form exactly one biconnected block covering every node
+    (``networkx/algorithms/components/biconnected.py:13``). One block
+    labeling + two aggregates."""
+    if g.directed:
+        raise NotImplementedForDirected(
+            "is_biconnected: not implemented for undirected type"
+        )
+    n = g.number_of_nodes()
+    if n < 2:
+        return False
+    if n == 2:
+        # the reference: a single edge on two nodes IS biconnected
+        return g.edges.filter(F.col("src") != F.col("dst")).limit(1).count() == 1
+    blocks = biconnected_components(g).persist()
+    try:
+        if blocks.select("block").distinct().limit(2).count() != 1:
+            return False
+        covered = (
+            blocks.select(F.col("u").alias("id"))
+            .unionAll(blocks.select(F.col("v").alias("id")))
+            .distinct()
+            .count()
+        )
+        return covered == n
+    finally:
+        blocks.unpersist()

@@ -60,6 +60,7 @@ __all__ = [
     "schultz_index",
     "gutman_index",
     "harmonic_diameter",
+    "closeness_vitality",
 ]
 
 
@@ -511,3 +512,15 @@ def harmonic_diameter(g: SparkGraph) -> float:
     )
     s = float(row[0] or 0.0)
     return float("inf") if s == 0.0 else n * (n - 1) / s
+
+
+def closeness_vitality(g: SparkGraph, node: int) -> float:
+    """Wiener-index drop when ``node`` is removed —
+    ``networkx/algorithms/vitality.py:11`` (single-node form; the
+    reference's all-nodes dict runs n+1 all-pairs sweeps, which is the
+    definition's cost — call per node of interest). Two APSP aggregates."""
+    before = wiener_index(g)
+    after = wiener_index(
+        g.remove_nodes(g.spark.createDataFrame([(int(node),)], "id bigint"))
+    )
+    return before - after

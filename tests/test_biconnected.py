@@ -73,3 +73,21 @@ def test_disconnected_mixed(spark):
 def test_directed_raises(spark):
     with pytest.raises(NotImplementedForDirected):
         BC.biconnected_components(from_nx(spark, nx.DiGraph([(1, 2)])))
+
+
+# --------------------------- is_biconnected ---------------------------- #
+
+from linkgraph.algos.biconnected import is_biconnected
+
+
+def test_is_biconnected(spark):
+    for G in [
+        nx.cycle_graph(6),
+        nx.path_graph(5),
+        nx.complete_graph(4),
+        nx.barbell_graph(3, 1),
+        nx.Graph([(0, 1)]),
+        nx.empty_graph(1),
+        nx.disjoint_union(nx.cycle_graph(3), nx.cycle_graph(3)),
+    ]:
+        assert is_biconnected(from_nx(spark, G)) == nx.is_biconnected(G), G.edges

@@ -284,3 +284,14 @@ def test_harmonic_diameter(spark):
     assert harmonic_diameter(from_nx(spark, D)) == pytest.approx(
         nx.harmonic_diameter(D)
     )
+
+
+def test_closeness_vitality(spark):
+    from linkgraph.algos.neighborhood import closeness_vitality
+
+    G = nx.gnp_random_graph(16, 0.3, seed=3)
+    G = G.subgraph(max(nx.connected_components(G), key=len)).copy()
+    g = from_nx(spark, G)
+    want = nx.closeness_vitality(G)
+    for v in list(G.nodes)[:3]:
+        assert closeness_vitality(g, v) == pytest.approx(want[v])
