@@ -82,20 +82,20 @@ def _community_fixture(spark, seed=5):
     return G, g, com, cand
 
 
-def _got(df, col="score"):
+def _scores(df, col="score"):
     return {(r["u"], r["v"]): r[col] for r in df.collect()}
 
 
 def test_cn_soundarajan_hopcroft(spark):
     G, g, com, cand = _community_fixture(spark)
-    got = _got(cn_soundarajan_hopcroft(g, com))
+    got = _scores(cn_soundarajan_hopcroft(g, com))
     want = {(u, v): s for u, v, s in nx.cn_soundarajan_hopcroft(G, cand)}
     assert got == want
 
 
 def test_ra_index_soundarajan_hopcroft(spark):
     G, g, com, cand = _community_fixture(spark, seed=9)
-    got = _got(ra_index_soundarajan_hopcroft(g, com))
+    got = _scores(ra_index_soundarajan_hopcroft(g, com))
     want = {(u, v): s for u, v, s in nx.ra_index_soundarajan_hopcroft(G, cand)}
     assert set(got) == set(want)
     for k, v in want.items():
@@ -104,7 +104,7 @@ def test_ra_index_soundarajan_hopcroft(spark):
 
 def test_within_inter_cluster(spark):
     G, g, com, cand = _community_fixture(spark, seed=13)
-    got = _got(within_inter_cluster(g, com))
+    got = _scores(within_inter_cluster(g, com))
     want = {(u, v): s for u, v, s in nx.within_inter_cluster(G, cand)}
     for k, v in want.items():
         assert got[k] == pytest.approx(v)
@@ -114,11 +114,11 @@ def test_within_inter_cluster(spark):
 
 def test_common_neighbor_centrality(spark):
     G, g, com, cand = _community_fixture(spark, seed=17)
-    got = _got(common_neighbor_centrality(g))
+    got = _scores(common_neighbor_centrality(g))
     want = {(u, v): s for u, v, s in nx.common_neighbor_centrality(G, cand)}
     for k, v in want.items():
         assert got[k] == pytest.approx(v)
-    got1 = _got(common_neighbor_centrality(g, alpha=1))
+    got1 = _scores(common_neighbor_centrality(g, alpha=1))
     want1 = {(u, v): s for u, v, s in nx.common_neighbor_centrality(G, cand, alpha=1)}
     for k, v in want1.items():
         assert got1[k] == pytest.approx(v)
