@@ -1425,6 +1425,16 @@ def q_hierarchy_d_separation(spark, sf_dir):
     return spark.createDataFrame(rows, "test string, separated boolean")
 
 
+def q_mixed_girth(spark, sf_dir):
+    # Girth of the mixed fixture viewed undirected: only even nations
+    # carry a cycle (their ring), so girth = the smallest even-nation
+    # customer count.
+    from linkgraph.algos.girth import girth
+
+    g = DS.mixed_ring_chain_graph(spark, sf_dir).undirected_view()
+    return spark.createDataFrame([(float(girth(g)),)], "girth double")
+
+
 def q_ring0_distance_indices(spark, sf_dir):
     # Wiener-family indices on the undirected nation-0 ring: every degree
     # is 2, so schultz = gutman = 4*W(C_n) with the classic cycle Wiener
@@ -2007,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_minimal_separator": q_hierarchy_minimal_separator,
         "ring0_resistance": q_ring0_resistance,
         "ring0_distance_indices": q_ring0_distance_indices,
+        "mixed_girth": q_mixed_girth,
         "copurchase_vertex_cover_invariants": q_copurchase_vertex_cover_invariants,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
@@ -2782,6 +2793,12 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # Girth of the mixed fixture: the smallest even-nation ring length.
+    sqls["mixed_girth"] = (
+        "SELECT CAST(MIN(cnt) AS DOUBLE) AS girth FROM ("
+        "SELECT COUNT(*) AS cnt FROM customer WHERE c_nationkey % 2 = 0 "
+        "GROUP BY c_nationkey)"
     )
     # Wiener-family indices on the min-nation ring (cycle closed forms).
     sqls["ring0_distance_indices"] = (

@@ -309,6 +309,7 @@ from linkgraph.algos.steiner import steiner_tree
 from linkgraph.algos.smallworld import sigma, random_reference
 from linkgraph.algos.sparsifiers import spanner
 from linkgraph.algos.resistance import resistance_distance
+from linkgraph.algos.girth import girth
 from linkgraph.algos.assortativity import attribute_mixing, degree_mixing
 
 __version__ = "0.1.0"
@@ -424,6 +425,7 @@ __all__ = [
     "harmonic_diameter",
     "closeness_vitality",
     "is_biconnected",
+    "girth",
     "attracting_components",
     "number_attracting_components",
     "is_semiconnected",
