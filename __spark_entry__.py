@@ -1425,6 +1425,16 @@ def q_hierarchy_d_separation(spark, sf_dir):
     return spark.createDataFrame(rows, "test string, separated boolean")
 
 
+def q_copurchase_simple_paths(spark, sf_dir):
+    # All simple paths of <= 3 edges between parts 1 and 2 on the
+    # copurchase graph: the array-state frontier expansion; the oracle is
+    # the same enumeration as two/three-hop joins with distinctness.
+    from linkgraph.algos.simplepaths import all_simple_paths
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    return all_simple_paths(g, 1, 2, 3)
+
+
 def q_mixed_girth(spark, sf_dir):
     # Girth of the mixed fixture viewed undirected: only even nations
     # carry a cycle (their ring), so girth = the smallest even-nation
@@ -2018,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring0_resistance": q_ring0_resistance,
         "ring0_distance_indices": q_ring0_distance_indices,
         "mixed_girth": q_mixed_girth,
+        "copurchase_simple_paths": q_copurchase_simple_paths,
         "copurchase_vertex_cover_invariants": q_copurchase_vertex_cover_invariants,
         # Demoted sibling-family entries: each shares machinery with an
         # in-window entry and carries pytest parity; they run if the cap
@@ -2793,6 +2804,24 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
         "e AS (SELECT DISTINCT prev AS s, event_type AS d FROM seq "
         "WHERE prev IS NOT NULL AND prev <> event_type)"
+    )
+    # Simple paths (<= 3 edges) between parts 1 and 2: hop-join unrolls.
+    sqls["copurchase_simple_paths"] = (
+        f"WITH {_EDGES}, "
+        "sym2 AS (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst, src FROM edges) "
+        "SELECT [CAST(1 AS BIGINT), CAST(2 AS BIGINT)] AS path "
+        "FROM sym2 WHERE src = 1 AND dst = 2 "
+        "UNION ALL "
+        "SELECT [CAST(1 AS BIGINT), CAST(a.dst AS BIGINT), CAST(2 AS BIGINT)] "
+        "FROM sym2 a JOIN sym2 b ON b.src = a.dst "
+        "WHERE a.src = 1 AND b.dst = 2 AND a.dst NOT IN (1, 2) "
+        "UNION ALL "
+        "SELECT [CAST(1 AS BIGINT), CAST(a.dst AS BIGINT), CAST(b.dst AS BIGINT), "
+        "CAST(2 AS BIGINT)] "
+        "FROM sym2 a JOIN sym2 b ON b.src = a.dst JOIN sym2 c ON c.src = b.dst "
+        "WHERE a.src = 1 AND c.dst = 2 AND a.dst NOT IN (1, 2) "
+        "AND b.dst NOT IN (1, 2) AND b.dst <> a.dst"
     )
     # Girth of the mixed fixture: the smallest even-nation ring length.
     sqls["mixed_girth"] = (

@@ -310,6 +310,7 @@ from linkgraph.algos.smallworld import sigma, random_reference
 from linkgraph.algos.sparsifiers import spanner
 from linkgraph.algos.resistance import resistance_distance
 from linkgraph.algos.girth import girth
+from linkgraph.algos.simplepaths import all_simple_paths
 from linkgraph.algos.assortativity import attribute_mixing, degree_mixing
 
 __version__ = "0.1.0"
@@ -426,6 +427,7 @@ __all__ = [
     "closeness_vitality",
     "is_biconnected",
     "girth",
+    "all_simple_paths",
     "attracting_components",
     "number_attracting_components",
     "is_semiconnected",
