@@ -270,6 +270,8 @@ from linkgraph.algos.neighborhood import (
     gutman_index,
     harmonic_diameter,
     closeness_vitality,
+    group_degree_centrality,
+    group_closeness_centrality,
 )
 from linkgraph.algos.products import (
     rooted_product,
@@ -425,6 +427,8 @@ __all__ = [
     "gutman_index",
     "harmonic_diameter",
     "closeness_vitality",
+    "group_degree_centrality",
+    "group_closeness_centrality",
     "is_biconnected",
     "girth",
     "all_simple_paths",

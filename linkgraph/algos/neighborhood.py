@@ -61,6 +61,8 @@ __all__ = [
     "gutman_index",
     "harmonic_diameter",
     "closeness_vitality",
+    "group_degree_centrality",
+    "group_closeness_centrality",
 ]
 
 
@@ -524,3 +526,39 @@ def closeness_vitality(g: SparkGraph, node: int) -> float:
         g.remove_nodes(g.spark.createDataFrame([(int(node),)], "id bigint"))
     )
     return before - after
+
+
+def group_degree_centrality(g: SparkGraph, S: DataFrame) -> float:
+    """|N(S) − S| / (n − |S|) —
+    ``networkx/algorithms/centrality/group.py`` ``group_degree_centrality``.
+    One boundary semi/anti-join pair."""
+    s = _ids(S)
+    n_s = s.count()
+    return node_boundary(g, s).count() / (g.number_of_nodes() - n_s)
+
+
+def group_closeness_centrality(
+    g: SparkGraph, S: DataFrame, *, weight: Optional[str] = None
+) -> float:
+    """|V∖S| / Σ_{v∉S} d(S, v) — ``group.py`` ``group_closeness_centrality``
+    (directed graphs measure INCOMING distance, like the reference's
+    reverse view; unreachable nodes contribute 0). One multi-source
+    sweep + one aggregate."""
+    s = _ids(S).persist()
+    base = g.reverse() if g.directed else g
+    if weight is None:
+        from linkgraph.algos.setops import shortest_path_lengths
+
+        d = shortest_path_lengths(base, s)
+    else:
+        from linkgraph.algos.sssp import weighted_shortest_path_lengths
+
+        d = weighted_shortest_path_lengths(base, s)
+    tot = (
+        d.join(s, "id", "left_anti").agg(F.sum("distance")).first()[0] or 0.0
+    )
+    n_vs = g.number_of_nodes() - s.count()
+    s.unpersist()
+    return 0.0 if tot == 0 else n_vs / float(tot)
+
+

@@ -295,3 +295,27 @@ def test_closeness_vitality(spark):
     want = nx.closeness_vitality(G)
     for v in list(G.nodes)[:3]:
         assert closeness_vitality(g, v) == pytest.approx(want[v])
+
+
+def test_group_centralities(spark):
+    from linkgraph.algos.neighborhood import (
+        group_degree_centrality,
+        group_closeness_centrality,
+    )
+
+    G = nx.gnp_random_graph(22, 0.15, seed=11)
+    g = from_nx(spark, G)
+    S = [0, 3, 7]
+    sdf = spark.createDataFrame([(int(v),) for v in S], "id bigint")
+    assert group_degree_centrality(g, sdf) == pytest.approx(
+        nx.group_degree_centrality(G, S)
+    )
+    assert group_closeness_centrality(g, sdf) == pytest.approx(
+        nx.group_closeness_centrality(G, S)
+    )
+    D = nx.gnp_random_graph(18, 0.15, seed=13, directed=True)
+    gd = from_nx(spark, D)
+    sdf2 = spark.createDataFrame([(1,), (4,)], "id bigint")
+    assert group_closeness_centrality(gd, sdf2) == pytest.approx(
+        nx.group_closeness_centrality(D, [1, 4])
+    )
