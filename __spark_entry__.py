@@ -1950,7 +1950,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02 are listed last (their record stands even if a run cap
     # drops them). Do not alphabetize.
     return {
-        # -- round-3 additions (never driver-checked) ------------------- #
+        # -- never driver-checked (judge-oracle-green r03; promote per
+        #    VERDICT r03 next-round #1 so CORRECTNESS_r04 records them) --- #
+        "copurchase_cut_measures": q_copurchase_cut_measures,
+        "copurchase_partition_quality": q_copurchase_partition_quality,
+        "hierarchy_trophic_levels": q_hierarchy_trophic_levels,
+        "mixed_flow_hierarchy": q_mixed_flow_hierarchy,
+        "hierarchy_reaching": q_hierarchy_reaching,
+        "chain_edge_betweenness": q_chain_edge_betweenness,
+        "event_walks3": q_event_walks3,
+        "copurchase_degree_mixing": q_copurchase_degree_mixing,
+        "hierarchy_d_separation": q_hierarchy_d_separation,
+        "chain_percolation": q_chain_percolation,
+        "copurchase_densest_rounds": q_copurchase_densest_rounds,
+        "chain_steiner_tree": q_chain_steiner_tree,
+        "nation0_tournament_scores": q_nation0_tournament_scores,
+        "doc_curation_summary": q_doc_curation_summary,
+        "chain_spanner": q_chain_spanner,
+        "hierarchy_quotient": q_hierarchy_quotient,
+        "mixed_attracting_components": q_mixed_attracting_components,
+        "copurchase_community_linkpred": q_copurchase_community_linkpred,
+        "chain_apsp_weighted": q_chain_apsp_weighted,
+        "hierarchy_minimal_separator": q_hierarchy_minimal_separator,
+        "ring0_resistance": q_ring0_resistance,
+        "ring0_distance_indices": q_ring0_distance_indices,
+        "mixed_girth": q_mixed_girth,
+        "copurchase_simple_paths": q_copurchase_simple_paths,
+        "copurchase_vertex_cover_invariants": q_copurchase_vertex_cover_invariants,
+        "ring0_is_eulerian": q_ring0_is_eulerian,
+        "copurchase_swap_degree_histogram": q_copurchase_swap_degree_histogram,
+        "copurchase_s_metric": q_copurchase_s_metric,
+        "chain_bipartite_color": q_chain_bipartite_color,
+        "copurchase_degree_connectivity": q_copurchase_degree_connectivity,
+        "copurchase_edge_boundary": q_copurchase_edge_boundary,
+        "ring0_global_efficiency": q_ring0_global_efficiency,
+        "emb_ann_top10": q_emb_ann_top10,
+        # -- rows-only contracts never driver-recorded ------------------- #
+        "copurchase_louvain_sizes": q_copurchase_louvain_sizes,
+        "copurchase_onion_layers": q_copurchase_onion,
+        "chain_asyn_lpa_sizes": q_chain_asyn_lpa_sizes,
+        "chain_lpa_sizes": q_chain_lpa_sizes,
+        "pages_pagerank_top20": q_pages_pagerank_top20,
+        "copurchase_leiden_sizes": q_copurchase_leiden_sizes,
+        # -- round-4 additions (new operators; fill the window to 50) ---- #
+        # ---- 50-query driver cut line ----------------------------------- #
+        # -- green in CORRECTNESS_r03 (heavier / flagship first) --------- #
         "supplier_part_idom": q_supplier_part_idom,
         "supplier_part_dom_frontiers": q_supplier_part_dom_frontiers,
         "copurchase_maximal_2cliques": q_copurchase_maximal_2cliques,
@@ -1998,57 +2042,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring0_maxflow": q_ring0_maxflow,
         "copurchase_4clique_count": q_copurchase_4clique_count,
         "event_cycles_le3": q_event_cycles_le3,
-        # -- implemented earlier but missing from CORRECTNESS_r02 -------- #
         "emb_ivf_top10": q_emb_ivf_top10,
         "doc_fingerprints": q_doc_fingerprints,
         "emb_cosine_top10": q_emb_cosine_top10,
-        # ---- 50-query driver cut line (first 50 above are the r03 set) -- #
-        # New operators added after the r03 window filled — first in line
-        # for the next round's window.
-        "copurchase_cut_measures": q_copurchase_cut_measures,
-        "copurchase_partition_quality": q_copurchase_partition_quality,
-        "hierarchy_trophic_levels": q_hierarchy_trophic_levels,
-        "mixed_flow_hierarchy": q_mixed_flow_hierarchy,
-        "hierarchy_reaching": q_hierarchy_reaching,
-        "chain_edge_betweenness": q_chain_edge_betweenness,
-        "event_walks3": q_event_walks3,
-        "copurchase_degree_mixing": q_copurchase_degree_mixing,
-        "hierarchy_d_separation": q_hierarchy_d_separation,
-        "chain_percolation": q_chain_percolation,
-        "copurchase_densest_rounds": q_copurchase_densest_rounds,
-        "chain_steiner_tree": q_chain_steiner_tree,
-        "nation0_tournament_scores": q_nation0_tournament_scores,
-        "doc_curation_summary": q_doc_curation_summary,
-        "chain_spanner": q_chain_spanner,
-        "hierarchy_quotient": q_hierarchy_quotient,
-        "mixed_attracting_components": q_mixed_attracting_components,
-        "copurchase_community_linkpred": q_copurchase_community_linkpred,
-        "chain_apsp_weighted": q_chain_apsp_weighted,
-        "hierarchy_minimal_separator": q_hierarchy_minimal_separator,
-        "ring0_resistance": q_ring0_resistance,
-        "ring0_distance_indices": q_ring0_distance_indices,
-        "mixed_girth": q_mixed_girth,
-        "copurchase_simple_paths": q_copurchase_simple_paths,
-        "copurchase_vertex_cover_invariants": q_copurchase_vertex_cover_invariants,
-        # Demoted sibling-family entries: each shares machinery with an
-        # in-window entry and carries pytest parity; they run if the cap
-        # allows more than 50.
-        "ring0_is_eulerian": q_ring0_is_eulerian,
-        "copurchase_swap_degree_histogram": q_copurchase_swap_degree_histogram,
-        "copurchase_s_metric": q_copurchase_s_metric,
-        "chain_bipartite_color": q_chain_bipartite_color,
-        "copurchase_degree_connectivity": q_copurchase_degree_connectivity,
-        "copurchase_edge_boundary": q_copurchase_edge_boundary,
-        "ring0_global_efficiency": q_ring0_global_efficiency,
-        "emb_ann_top10": q_emb_ann_top10,
-        # -- rows-only contracts (keep exercising them) ------------------ #
-        "copurchase_louvain_sizes": q_copurchase_louvain_sizes,
-        "copurchase_onion_layers": q_copurchase_onion,
-        "chain_asyn_lpa_sizes": q_chain_asyn_lpa_sizes,
-        "chain_lpa_sizes": q_chain_lpa_sizes,
-        "pages_pagerank_top20": q_pages_pagerank_top20,
-        "copurchase_leiden_sizes": q_copurchase_leiden_sizes,
-        # -- green in CORRECTNESS_r02 (heavier / flagship first) --------- #
+        # -- green in CORRECTNESS_r02 ------------------------------------- #
         "copurchase_pagerank_fixed20": q_pagerank_fixed20,
         "customer_components": q_components,
         "copurchase_sssp": q_copurchase_sssp,
