@@ -623,9 +623,12 @@ def q_emb_cosine_top10(spark, sf_dir):
 
 
 def q_emb_ann_top10(spark, sf_dir):
-    # Approximate (SimHash-bucketed) path: deterministic but the hyperplane
-    # constants are not SQL-portable; rows-only check, recall measured in
-    # tests/test_embeddings.py against the brute-force baseline.
+    # Approximate (SimHash-bucketed) path. Fully oracled: the hyperplane
+    # coefficients are md5-derived (embeddings.py:_hyperplane), so the
+    # oracle recomputes them in SQL (('0x'||hex)::BIGINT / 2^31 - 1 is
+    # bit-identical to Python's int(md5[:8],16)) and replays bucket
+    # assignment + exact candidate re-rank. Recall vs brute force is
+    # additionally pinned in tests/test_embeddings.py.
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     return EMB.ann_topk(emb, queries, k=10, dim=64).select(
@@ -3815,5 +3818,58 @@ rk AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine
 FROM rk WHERE r <= 10"""
     )
+
+    # SimHash-LSH ANN replay: hyperplane coefficient c(t,h,d) =
+    # int(md5(f"{t}:{h}:{d}")[:8], 16) / 2^31 - 1 exactly as
+    # linkgraph/embeddings.py:_hyperplane computes it (both are exact
+    # double ops on a < 2^32 integer). Bucket = table# + 8 projection
+    # sign bits; candidates = same-bucket pairs; exact cosine re-rank of
+    # candidates only (never all-pairs). The sign test SUM(val*c) >= 0
+    # is order-robust: engines disagree only if the projection lands
+    # within float-error of exactly 0.
+    sqls["emb_ann_top10"] = """WITH
+vx AS MATERIALIZED (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS ord,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+nrm AS MATERIALIZED (SELECT id, SQRT(SUM(val*val)) AS nrm FROM vx GROUP BY 1),
+planes AS MATERIALIZED (
+  SELECT t, h, d,
+         ('0x' || substring(md5(t || ':' || h || ':' || d), 1, 8))::BIGINT
+           / 2147483648.0 - 1.0 AS c
+  FROM range(4) tt(t), range(8) hh(h), range(64) dd(d)
+),
+proj AS MATERIALIZED (
+  SELECT v.id, p.t, p.h,
+         CASE WHEN SUM(v.val * p.c) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM vx v JOIN planes p ON p.d = v.ord - 1
+  GROUP BY v.id, p.t, p.h
+),
+buckets AS MATERIALIZED (
+  SELECT id, t || '#' || string_agg(bit, '' ORDER BY h) AS bucket
+  FROM proj GROUP BY id, t
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+  FROM buckets q JOIN buckets c ON c.bucket = q.bucket
+  WHERE q.id < 20 AND c.id <> q.id
+),
+dots AS MATERIALIZED (
+  SELECT c.query_id, c.neighbor_id, SUM(q.val * n.val) AS dot
+  FROM cand c JOIN vx q ON q.id = c.query_id
+  JOIN vx n ON n.id = c.neighbor_id AND n.ord = q.ord
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id, ROUND(d.dot / (nq.nrm * nn.nrm), 4) AS cosine
+  FROM dots d JOIN nrm nq ON nq.id = d.query_id JOIN nrm nn ON nn.id = d.neighbor_id
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS r
+  FROM sims
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine
+FROM rk WHERE r <= 10"""
 
     return sqls
