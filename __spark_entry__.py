@@ -1947,6 +1947,32 @@ def q_supplier_part_dom_frontiers(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------- #
+# round-4 additions
+# --------------------------------------------------------------------- #
+
+
+def q_hierarchy_dfs_order(spark, sf_dir):
+    # DFS from the minimum region root over the region->nation->customer
+    # tree with ascending-id neighbor order (the engine's determinism
+    # contract, = reference sort_neighbors=sorted). On a tree, min-id-first
+    # DFS preorder is exactly lexicographic order of the ancestor-id path,
+    # and postorder is the same order with a +inf sentinel appended (a
+    # parent sorts after its children) — the closed forms the oracle
+    # replays with DuckDB list comparisons.
+    from linkgraph.algos.dfs import dfs_preorder_nodes, dfs_postorder_nodes
+
+    g = DS.hierarchy_dag_graph(spark, sf_dir)
+    root = 2_000_000  # REGION_OFFSET + r_regionkey 0
+    pre = dfs_preorder_nodes(g, source=root).withColumnRenamed("pos", "pre_order")
+    post = dfs_postorder_nodes(g, source=root).withColumnRenamed("pos", "post_order")
+    return pre.join(post, "id").select(
+        F.col("id").cast("long"),
+        F.col("pre_order").cast("long"),
+        F.col("post_order").cast("long"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver checks the first ~50 entries, so new or
     # not-yet-driver-verified operators come FIRST; entries already green in
@@ -1996,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_pagerank_top20": q_pages_pagerank_top20,
         "copurchase_leiden_sizes": q_copurchase_leiden_sizes,
         # -- round-4 additions (new operators; fill the window to 50) ---- #
+        "hierarchy_dfs_order": q_hierarchy_dfs_order,
         # ---- 50-query driver cut line ----------------------------------- #
         # -- green in CORRECTNESS_r03 (heavier / flagship first) --------- #
         "supplier_part_idom": q_supplier_part_idom,
@@ -3818,6 +3845,29 @@ rk AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine
 FROM rk WHERE r <= 10"""
     )
+
+    # DFS replay on the hierarchy tree: min-id-first DFS preorder on a
+    # tree = lexicographic ancestor-path order; postorder = the same with
+    # a sentinel (> any id) appended so parents sort after their subtree.
+    sqls["hierarchy_dfs_order"] = """WITH
+n AS (SELECT CAST(n_nationkey + 1000000 AS BIGINT) AS id,
+             CAST(n_regionkey + 2000000 AS BIGINT) AS region FROM nation),
+c AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+             CAST(c_nationkey + 1000000 AS BIGINT) AS nation FROM customer),
+tree AS (
+  SELECT CAST(2000000 AS BIGINT) AS id, [CAST(2000000 AS BIGINT)] AS path
+  UNION ALL
+  SELECT id, [CAST(2000000 AS BIGINT), id] FROM n WHERE region = 2000000
+  UNION ALL
+  SELECT c.id, [CAST(2000000 AS BIGINT), c.nation, c.id]
+  FROM c JOIN n ON n.id = c.nation WHERE n.region = 2000000
+)
+SELECT id,
+       CAST(ROW_NUMBER() OVER (ORDER BY path) AS BIGINT) AS pre_order,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY list_append(path, CAST(4611686018427387904 AS BIGINT))
+       ) AS BIGINT) AS post_order
+FROM tree"""
 
     # SimHash-LSH ANN replay: hyperplane coefficient c(t,h,d) =
     # int(md5(f"{t}:{h}:{d}")[:8], 16) / 2^31 - 1 exactly as

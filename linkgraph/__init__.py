@@ -314,6 +314,13 @@ from linkgraph.algos.resistance import resistance_distance
 from linkgraph.algos.girth import girth
 from linkgraph.algos.simplepaths import all_simple_paths
 from linkgraph.algos.assortativity import attribute_mixing, degree_mixing
+from linkgraph.algos.dfs import (
+    dfs_edges,
+    dfs_tree,
+    dfs_preorder_nodes,
+    dfs_postorder_nodes,
+    dfs_labeled_edges,
+)
 
 __version__ = "0.1.0"
 
@@ -408,6 +415,11 @@ __all__ = [
     "is_regular",
     "is_k_regular",
     "number_of_walks",
+    "dfs_edges",
+    "dfs_tree",
+    "dfs_preorder_nodes",
+    "dfs_postorder_nodes",
+    "dfs_labeled_edges",
     "is_d_separator",
     "find_minimal_d_separator",
     "densest_subgraph",
