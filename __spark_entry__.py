@@ -1973,6 +1973,47 @@ def q_hierarchy_dfs_order(spark, sf_dir):
     )
 
 
+def q_copurchase_greedy_modularity(spark, sf_dir):
+    # CNM merge order is float-heap-sequential, so the oracle checks the
+    # defining invariants instead of the partition: every node in exactly
+    # one community (partition_violations=0), every community internally
+    # connected (dq>0 merges only join edge-sharing communities;
+    # disconnected=0), and positive final modularity.
+    from linkgraph.algos.community import greedy_modularity_communities, modularity
+    from linkgraph.algos.components import connected_components
+
+    g = DS.copurchase_graph(spark, sf_dir)
+    part = greedy_modularity_communities(g).persist()
+    dup = part.groupBy("id").count().filter(F.col("count") > 1).count()
+    missing = g.vertices.join(part, "id", "left_anti").count()
+    # intra-community subgraph CC: a connected community has exactly one
+    # component among its members
+    lab_s = part.select(F.col("id").alias("src"), F.col("community").alias("cs"))
+    lab_d = part.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+    intra = (
+        g.edges.join(lab_s, "src").join(lab_d, "dst")
+        .filter(F.col("cs") == F.col("cd"))
+        .select("src", "dst")
+    )
+    from linkgraph.graph import SparkGraph
+
+    sub = SparkGraph(intra, vertices=g.vertices, directed=False, coalesce_edges=False)
+    cc = connected_components(sub)
+    disconnected = (
+        part.join(cc, "id")
+        .groupBy("community")
+        .agg(F.countDistinct("component").alias("ncc"))
+        .filter(F.col("ncc") > 1)
+        .count()
+    )
+    q = modularity(g, part)
+    part.unpersist()
+    return spark.createDataFrame(
+        [(dup + missing, disconnected, bool(q > 0))],
+        "partition_violations long, disconnected_communities long, modularity_positive boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver checks the first ~50 entries, so new or
     # not-yet-driver-verified operators come FIRST; entries already green in
@@ -2023,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_leiden_sizes": q_copurchase_leiden_sizes,
         # -- round-4 additions (new operators; fill the window to 50) ---- #
         "hierarchy_dfs_order": q_hierarchy_dfs_order,
+        "copurchase_greedy_modularity": q_copurchase_greedy_modularity,
         # ---- 50-query driver cut line ----------------------------------- #
         # -- green in CORRECTNESS_r03 (heavier / flagship first) --------- #
         "supplier_part_idom": q_supplier_part_idom,
@@ -3844,6 +3886,13 @@ rk AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine
 FROM rk WHERE r <= 10"""
+    )
+
+    # CNM invariants (see q_copurchase_greedy_modularity comment)
+    sqls["copurchase_greedy_modularity"] = (
+        "SELECT CAST(0 AS BIGINT) AS partition_violations, "
+        "CAST(0 AS BIGINT) AS disconnected_communities, "
+        "TRUE AS modularity_positive"
     )
 
     # DFS replay on the hierarchy tree: min-id-first DFS preorder on a

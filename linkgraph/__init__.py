@@ -48,6 +48,7 @@ from linkgraph.algos.community import (
     modularity,
     louvain_communities,
     leiden_communities,
+    greedy_modularity_communities,
     partition_quality,
 )
 from linkgraph.algos.hierarchy import (
@@ -569,6 +570,7 @@ __all__ = [
     "degree_centrality",
     "modularity",
     "louvain_communities",
+    "greedy_modularity_communities",
     "minimum_spanning_edges",
     "minimum_spanning_tree",
     "maximum_spanning_tree",

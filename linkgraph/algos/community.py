@@ -49,6 +49,7 @@ __all__ = [
     "modularity",
     "louvain_communities",
     "leiden_communities",
+    "greedy_modularity_communities",
     "partition_quality",
 ]
 
@@ -590,3 +591,166 @@ def _partition_levels(
     out = cache.truncate(out, retire=mapping)
     cache.close(keep_result=True)
     return out
+
+def greedy_modularity_communities(
+    g: SparkGraph,
+    *,
+    weight: bool = False,
+    resolution: float = 1.0,
+    cutoff: int = 1,
+    best_n: Optional[int] = None,
+    max_driver_edges: int = 5_000_000,
+) -> DataFrame:
+    """Clauset–Newman–Moore greedy modularity maximization
+    (``community/modularity_max.py:228``) as ``(id, community)``; the
+    community label is the minimum member id (deterministic). The default
+    ``weight=False`` counts every edge as 1, matching the reference's
+    default ``weight=None``; ``weight=True`` uses the edge ``weight``
+    column (= reference ``weight="weight"``).
+
+    Scale note: the CNM merge schedule is inherently sequential — every
+    merge's ΔQ depends on all previous merges — so no shuffle-parallel
+    schedule reproduces it. The engine aggregates the weighted simple
+    arc table distributively (one groupBy), then runs the published heap
+    loop on the driver under the size guard, the same pattern as the
+    exact-parity LPA coloring path. For distributed community detection
+    at 100 TB scale use :func:`louvain_communities` /
+    :func:`leiden_communities`.
+
+    Parity: merge selection is "largest ΔQ, ties toward the smallest
+    ordered pair", the popped pair (u, v) merges u INTO v, and the ΔQ
+    init/update arithmetic keeps the reference's operation order, so
+    results are bit-identical to the reference on unit-weight graphs
+    (pinned in tests/test_community_greedy.py). While ΔQ > 0 a merge
+    always joins two communities sharing an edge, so every returned
+    community is connected — the invariant the driver query checks.
+    """
+    import heapq
+
+    n_nodes = g.number_of_nodes()
+    if cutoff < 1 or cutoff > max(n_nodes, 1):
+        raise ValueError(f"cutoff must be between 1 and {n_nodes}. Got {cutoff}.")
+    if best_n is not None:
+        if best_n < 1 or best_n > max(n_nodes, 1):
+            raise ValueError(
+                f"best_n must be between 1 and {n_nodes}. Got {best_n}."
+            )
+        if best_n < cutoff:
+            raise ValueError(f"Must have best_n >= cutoff. Got {best_n} < {cutoff}")
+
+    # Distributed prep: simple weighted arc list (self-loops contribute to
+    # m but never to a pair entry, like the reference's generator).
+    wcol = F.col("weight").cast("double") if weight else F.lit(1.0)
+    arcs = (
+        g.edges.select("src", "dst", wcol.alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    m_arcs = arcs.count()
+    if m_arcs > max_driver_edges:
+        raise ValueError(
+            f"CNM's merge schedule is sequential; the driver loop collects "
+            f"the arc list, but {m_arcs} arcs > max_driver_edges="
+            f"{max_driver_edges}. Use louvain_communities for the scale path."
+        )
+    rows = arcs.collect()
+    nodes = sorted(r["id"] for r in g.vertices.select("id").collect())
+    spark = g.spark
+
+    def _result(members_map) -> DataFrame:
+        out = []
+        for mem in members_map:
+            lab = min(mem)
+            out.extend((n, lab) for n in mem)
+        return spark.createDataFrame(out or [], "id long, community long")
+
+    m = sum(r["w"] for r in rows)
+    if not rows or m == 0.0 or (best_n == 1):
+        if best_n == 1 and nodes:
+            return _result([nodes])
+        return _result([[n] for n in nodes])
+
+    q0 = 1.0 / m
+    # a: out-degree fraction, b: in-degree fraction (a is b undirected);
+    # degrees summed first, scaled once (deg * q0 * 0.5) so the floats
+    # match the reference's init arithmetic bit-for-bit on unit weights
+    deg_out = {n: 0.0 for n in nodes}
+    deg_in = {n: 0.0 for n in nodes}
+    wt: dict = {n: {} for n in nodes}
+    for r in sorted(rows, key=lambda r: (r["src"], r["dst"])):
+        u, v, w = r["src"], r["dst"], r["w"]
+        deg_out[u] += w
+        deg_in[v] += w
+        if not g.directed:
+            deg_out[v] += w
+            deg_in[u] += w
+        if u != v:
+            wt[u][v] = wt[u].get(v, 0.0) + w
+            wt[v][u] = wt[v].get(u, 0.0) + w
+    if g.directed:
+        a = {n: d * q0 for n, d in deg_out.items()}
+        b = {n: d * q0 for n, d in deg_in.items()}
+    else:
+        a = b = {n: d * q0 * 0.5 for n, d in deg_out.items()}
+
+    dq: dict = {
+        u: {
+            v: q0 * w_uv - resolution * (a[u] * b[v] + b[u] * a[v])
+            for v, w_uv in nbrs.items()
+        }
+        for u, nbrs in wt.items()
+    }
+    heap = [(-d, u, v) for u, nbrs in dq.items() for v, d in nbrs.items()]
+    heapq.heapify(heap)
+    members: dict = {n: [n] for n in nodes}
+    merged_away: set = set()
+
+    while len(members) > cutoff:
+        best = None
+        while heap:
+            negd, u, v = heapq.heappop(heap)
+            if (
+                u not in merged_away
+                and v not in merged_away
+                and v in dq[u]
+                and dq[u][v] == -negd
+            ):
+                best = (-negd, u, v)
+                break
+        if best is None:
+            # heap exhausted: communities are the components; best_n may
+            # force union of the largest sets (modularity_max.py:344)
+            comms = sorted(members.values(), key=len, reverse=True)
+            if best_n is not None:
+                while len(comms) > best_n:
+                    comms = [comms[0] + comms[1]] + comms[2:]
+            return _result(comms)
+        d_best, u, v = best
+        if d_best < 0 and (best_n is None or len(members) <= best_n):
+            break
+        # merge u INTO v (the reference's orientation for the popped pair)
+        u_nbrs = set(dq[u]) - {v}
+        v_nbrs = set(dq[v]) - {u}
+        for w_ in u_nbrs | v_nbrs:
+            if w_ in u_nbrs and w_ in v_nbrs:
+                nd = dq[v][w_] + dq[u][w_]
+            elif w_ in v_nbrs:
+                nd = dq[v][w_] - resolution * (a[u] * b[w_] + a[w_] * b[u])
+            else:
+                nd = dq[u][w_] - resolution * (a[v] * b[w_] + a[w_] * b[v])
+            dq[v][w_] = nd
+            dq[w_][v] = nd
+            dq[w_].pop(u, None)
+            heapq.heappush(heap, (-nd, v, w_))
+            heapq.heappush(heap, (-nd, w_, v))
+        dq[v].pop(u, None)
+        dq[u] = {}
+        a[v] += a[u]
+        a[u] = 0.0
+        if g.directed:
+            b[v] += b[u]
+            b[u] = 0.0
+        members[v] = members[v] + members.pop(u)
+        merged_away.add(u)
+
+    return _result(members.values())
