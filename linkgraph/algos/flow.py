@@ -1,33 +1,36 @@
-"""Maximum flow / minimum cut — shortest-augmenting-path (Edmonds-Karp)
-with the BFS phase distributed.
+"""Maximum flow / minimum cut — Dinitz blocking-flow phases with the
+level-graph construction distributed.
 
 Reference semantics: ``networkx/algorithms/flow/maxflow.py:134``
 ``maximum_flow`` / ``:305`` ``maximum_flow_value`` / ``minimum_cut:447``
 (the reference defaults to preflow-push; every max-flow algorithm returns
 the same VALUE, and value + cut partition are what the parity tests pin).
-Augmenting semantics follow ``flow/edmondskarp.py:115``: shortest
-augmenting paths on the residual graph until none remains. Edges missing
-the capacity attribute are infinite (``edmondskarp.py:87`` treats absent
+Phase semantics follow ``flow/dinitz_alg.py``: repeat (BFS level graph →
+blocking flow → apply) until t leaves the residual BFS. Edges missing the
+capacity attribute are infinite (``edmondskarp.py:87`` treats absent
 ``capacity`` as inf), and an s→t path of infinite arcs raises like the
 reference's ``NetworkXUnbounded``.
 
-Distributed shape:
+Distributed shape (the superstep count is bounded by the PHASE count —
+O(V) phases, O(E^1/2) on unit capacities — never by the number of
+augmenting paths):
 
 - The residual graph is an arc DataFrame ``(u, v, cap)`` (reverse arcs
   start at 0; undirected edges become two arcs of full capacity, the
   reference's ``G.to_directed()`` view).
-- Each augmentation runs ONE multi-superstep BFS as frontier ⋈ arcs joins
-  with deterministic min-parent selection — the level structure of
-  Dinitz's algorithm; only the O(path length) parent walk and the O(path)
-  residual update touch the driver (a handful of single-row lookups, not
-  a collect of the graph).
-- Residual updates are a broadcast join against the ≤path-length update
-  set.
+- Each phase runs ONE distributed BFS (frontier ⋈ arcs) to level the
+  residual, prunes the level DAG to arcs on shortest s→t paths with one
+  backward sweep from t, and then computes the phase's ENTIRE blocking
+  flow on the driver over that pruned DAG (size-guarded collect — the
+  union of shortest s→t paths between two fixed nodes is a vanishing
+  fraction of a 100 TB graph; the classic current-arc Dinitz inner loop
+  is pure in-memory work). All of the phase's augmentations land on the
+  residual in ONE batched broadcast-join update.
+- If the pruned level DAG ever exceeds ``max_driver_edges``, the phase
+  falls back to per-path augmentation (one parent-BFS walk per path) —
+  correct at any scale, slower, and warned about.
 
-Cost: O(augmentations) BFS sweeps — the small-k scale contract (bounded
-flow value / unit capacities), same asymptotics the reference's
-Edmonds-Karp pays, with each sweep distributed. Min-cut falls out of the
-final residual reachability (one more BFS).
+Min-cut falls out of the final residual reachability (one more BFS).
 """
 
 from __future__ import annotations
@@ -109,12 +112,119 @@ def _walk_path(levels, s: int, t: int):
     return list(reversed(path))
 
 
+def _level_arcs(res: DataFrame, s: int, t: int, cache: SuperstepCache):
+    """Arcs of the pruned Dinitz level DAG: cap>0, lvl(v) == lvl(u)+1,
+    and backward-reachable from t — exactly the union of shortest s→t
+    paths in the residual. None when t is unreachable. One forward BFS +
+    one backward sweep, both O(dist(t)) supersteps."""
+    spark = res.sparkSession
+    live = res.filter(F.col("cap") > 0).select("u", "v", "cap")
+    frontier = cache.truncate(spark.createDataFrame([(int(s), 0)], "node long, lvl int"))
+    levels = frontier
+    lvl = 0
+    reached = False
+    while not reached:
+        lvl += 1
+        nxt = (
+            live.join(
+                frontier.select(F.col("node").alias("u")), "u"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(levels.select("node"), "node", "left_anti")
+            .withColumn("lvl", F.lit(lvl))
+        )
+        nxt = cache.truncate(nxt)
+        if nxt.limit(1).count() == 0:
+            return None
+        levels = cache.truncate(levels.unionByName(nxt))
+        reached = nxt.filter(F.col("node") == t).limit(1).count() > 0
+        frontier = nxt
+    larcs = (
+        live.join(levels.select(F.col("node").alias("u"), F.col("lvl").alias("lu")), "u")
+        .join(levels.select(F.col("node").alias("v"), F.col("lvl").alias("lv")), "v")
+        .filter((F.col("lv") == F.col("lu") + 1) & (F.col("lv") <= lvl))
+        .select("u", "v", "cap")
+    )
+    larcs = cache.truncate(larcs)
+    # backward prune from t: keep only arcs feeding shortest s->t paths
+    keep = cache.truncate(spark.createDataFrame([(int(t),)], "node long"))
+    back = keep
+    while True:
+        prev = cache.truncate(
+            larcs.join(back.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"))
+            .distinct()
+            .join(keep, "node", "left_anti")
+        )
+        if prev.limit(1).count() == 0:
+            break
+        keep = cache.truncate(keep.unionByName(prev))
+        back = prev
+    return cache.truncate(
+        larcs.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+    )
+
+
+def _blocking_flow(rows, s: int, t: int):
+    """Classic current-arc blocking flow on a collected level DAG.
+    Returns (phase_value, {(u, v): flow}, saw_infinite_path). Pure
+    in-memory driver work; neighbor order ascending for determinism."""
+    adj: dict = {}
+    cap: dict = {}
+    for r in rows:
+        adj.setdefault(r["u"], []).append(r["v"])
+        cap[(r["u"], r["v"])] = r["cap"]
+    for nbrs in adj.values():
+        nbrs.sort()
+    ptr = {u: 0 for u in adj}
+    flow: dict = {}
+    total = 0.0
+    while True:
+        # DFS with current-arc pointers: each retreat permanently advances
+        # a pointer, so the whole phase is O(V·paths + E)
+        stack = [s]
+        path = []
+        found = False
+        while stack:
+            u = stack[-1]
+            if u == t:
+                found = True
+                break
+            nbrs = adj.get(u, ())
+            advanced = False
+            while ptr.get(u, 0) < len(nbrs):
+                v = nbrs[ptr[u]]
+                if cap[(u, v)] - flow.get((u, v), 0.0) > 0:
+                    stack.append(v)
+                    path.append((u, v))
+                    advanced = True
+                    break
+                ptr[u] += 1
+            if advanced:
+                continue
+            stack.pop()
+            if path:
+                pu, pv = path.pop()
+                ptr[pu] += 1  # dead end behind this arc: retire it
+        if not found:
+            return total, flow, False
+        bottleneck = min(cap[a] - flow.get(a, 0.0) for a in path)
+        if bottleneck == _INF:
+            return total, flow, True
+        for a in path:
+            flow[a] = flow.get(a, 0.0) + bottleneck
+        total += bottleneck
+
+
 def _max_flow(
     g: SparkGraph,
     s: int,
     t: int,
     capacity: str,
     max_augmentations: int,
+    max_driver_edges: int = 5_000_000,
 ):
     """Shared kernel: returns (value, flow DF, final residual DF)."""
     spark = g.spark
@@ -126,30 +236,59 @@ def _max_flow(
     res = cache.truncate(res0)
     orig = cache.truncate(res0)  # initial caps, for flow extraction
     total = 0.0
-    for _ in range(max_augmentations):
-        levels = _bfs_parents(res, s, t, cache)
-        if levels is None:
+    n_aug = 0
+    while True:
+        larcs = _level_arcs(res, s, t, cache)
+        if larcs is None:
             break
-        path = _walk_path(levels, s, t)
-        caps = {
-            (r["u"], r["v"]): r["cap"]
-            for r in res.join(
-                F.broadcast(
-                    spark.createDataFrame(path, "u long, v long")
-                ),
-                ["u", "v"],
-                "left_semi",
-            ).collect()
-        }
-        bottleneck = min(caps[p] for p in path)
-        if bottleneck == _INF:
-            cache.close()
-            raise NetworkXUnbounded(
-                "Infinite capacity path, flow unbounded above."
+        n_arcs = larcs.count()
+        if n_arcs > max_driver_edges:
+            import warnings
+
+            warnings.warn(
+                f"maximum_flow: pruned level DAG has {n_arcs} arcs > "
+                f"max_driver_edges={max_driver_edges}; falling back to "
+                "per-path augmentation for this phase (slower)",
+                stacklevel=2,
             )
-        total += bottleneck
-        updates = [(u, v, -bottleneck) for (u, v) in path] + [
-            (v, u, bottleneck) for (u, v) in path
+            levels = _bfs_parents(res, s, t, cache)
+            if levels is None:
+                break
+            path = _walk_path(levels, s, t)
+            caps = {
+                (r["u"], r["v"]): r["cap"]
+                for r in res.join(
+                    F.broadcast(spark.createDataFrame(path, "u long, v long")),
+                    ["u", "v"],
+                    "left_semi",
+                ).collect()
+            }
+            bottleneck = min(caps[p] for p in path)
+            if bottleneck == _INF:
+                cache.close()
+                raise NetworkXUnbounded(
+                    "Infinite capacity path, flow unbounded above."
+                )
+            phase_value = bottleneck
+            phase_flow = {p: bottleneck for p in path}
+        else:
+            phase_value, phase_flow, unbounded = _blocking_flow(
+                larcs.collect(), s, t
+            )
+            if unbounded:
+                cache.close()
+                raise NetworkXUnbounded(
+                    "Infinite capacity path, flow unbounded above."
+                )
+            if phase_value == 0.0:
+                break
+        n_aug += len(phase_flow)
+        if n_aug > max_augmentations:
+            cache.close()
+            raise RuntimeError("maximum_flow exceeded max_augmentations")
+        total += phase_value
+        updates = [(u, v, -f) for (u, v), f in phase_flow.items()] + [
+            (v, u, f) for (u, v), f in phase_flow.items()
         ]
         upd = spark.createDataFrame(updates, "u long, v long, d double")
         upd = upd.groupBy("u", "v").agg(F.sum("d").alias("d"))
@@ -161,9 +300,6 @@ def _max_flow(
             ),
             retire=res,
         )
-    else:
-        cache.close()
-        raise RuntimeError("maximum_flow exceeded max_augmentations")
 
     flow = (
         orig.withColumnRenamed("cap", "cap0")

@@ -109,8 +109,16 @@ def weisfeiler_lehman_graph_hash(
     # has no attributes (graph_hashing.py:214-216).
     iterations -= 1
 
-    hash_counts: list = []
-    for _ in range(iterations):
+    # The reference hashes str(tuple(sorted per-iteration (label, count)
+    # pairs)). To stay bit-compatible WITHOUT an O(n)-row driver collect,
+    # the pair histograms stay in DataFrames: each iteration contributes
+    # (iteration, label, n) rows; the Python-repr string of the whole
+    # tuple is assembled by JVM sort_array/concat_ws aggregations and
+    # blake2b'd executor-side — only the final hex digest reaches the
+    # driver. (A global sorted histogram is inherent to the definition;
+    # the single assembled row is the honest minimum state.)
+    pair_tables: list = []
+    for it in range(iterations):
         if g.directed:
             succ = nbr_concat(
                 g.edges.select("src", "dst"), "s", "src", "dst", prefix="s_"
@@ -137,16 +145,46 @@ def weisfeiler_lehman_graph_hash(
                 F.concat("label", F.coalesce("s", F.lit(""))).alias("raw"),
             )
         labels = cache.truncate(agg.select("id", h(F.col("raw")).alias("label")))
-        counter = (
-            labels.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+        pair_tables.append(
+            cache.truncate(
+                labels.groupBy("label")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(it).alias("it"), "label", "n")
+            )
         )
-        hash_counts.extend(
-            sorted(((r["label"], r["n"]) for r in counter), key=lambda t: t[0])
-        )
+    allpairs = pair_tables[0]
+    for df in pair_tables[1:]:
+        allpairs = allpairs.unionByName(df)
+    n_pairs = allpairs.count()
+    if n_pairs == 0:
+        cache.close()
+        return blake2b(b"()", digest_size=digest_size).hexdigest()
+    # "('<label>', <n>)" is repr((label, n)); string sort of the formatted
+    # pair equals Python's tuple sort because "'" precedes every label
+    # character (hex digits / '_')
+    fmt = F.concat(
+        F.lit("('"), F.col("label"), F.lit("', "), F.col("n").cast("string"), F.lit(")")
+    )
+    per_iter = allpairs.groupBy("it").agg(
+        F.concat_ws(", ", F.sort_array(F.collect_list(fmt))).alias("s")
+    )
+    tail = ",)" if n_pairs == 1 else ")"  # repr of a 1-tuple
+    joined = per_iter.agg(
+        F.concat(
+            F.lit("("),
+            F.concat_ws(
+                ", ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("it", "s"))),
+                    lambda x: x["s"],
+                ),
+            ),
+            F.lit(tail),
+        ).alias("raw")
+    )
+    digest = joined.select(h(F.col("raw")).alias("d")).first()["d"]
     cache.close()
-    return blake2b(
-        str(tuple(hash_counts)).encode("ascii"), digest_size=digest_size
-    ).hexdigest()
+    return digest
 
 
 def weisfeiler_lehman_subgraph_hashes(

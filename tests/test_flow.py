@@ -170,3 +170,31 @@ def test_node_connectivity_adjacent_raises(spark):
     G = nx.path_graph(4)
     with _pytest.raises(ValueError):
         node_connectivity(from_nx(spark, G), 0, 1)
+
+
+def test_max_flow_high_value_dinitz(spark):
+    """Many augmenting paths in few phases — the Dinitz upgrade's target
+    shape. Value parity with the reference on a random capacitated
+    digraph."""
+    import random
+
+    import networkx as nx
+
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.flow import maximum_flow_value
+
+    rng = random.Random(11)
+    G = nx.DiGraph()
+    n = 40
+    for u in range(n):
+        for v in rng.sample([x for x in range(n) if x != u], 6):
+            G.add_edge(u, v, capacity=float(rng.randint(1, 9)))
+    rows = [(u, v, 1.0, d["capacity"]) for u, v, d in G.edges(data=True)]
+    g = SparkGraph(
+        spark.createDataFrame(
+            rows, "src long, dst long, weight double, capacity double"
+        ),
+        directed=True,
+        coalesce_edges=False,
+    )
+    assert maximum_flow_value(g, 0, n - 1) == nx.maximum_flow_value(G, 0, n - 1)
