@@ -1973,6 +1973,80 @@ def q_hierarchy_dfs_order(spark, sf_dir):
     )
 
 
+def _ring12(spark, sf_dir):
+    # 12-node ring over the smallest nation-0 custkeys: small enough that
+    # the n-source batched CG converges in tens of iterations, with exact
+    # cycle closed forms for the oracles.
+    from pyspark.sql import Window
+    from linkgraph.graph import SparkGraph
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n0 = c.agg(F.min("c_nationkey")).first()[0]
+    ids = (
+        c.filter(F.col("c_nationkey") == n0)
+        .select(F.col("c_custkey").cast("long").alias("id"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+        .filter(F.col("rn") <= 12)
+    )
+    k = ids.count()
+    ring = ids.select(
+        F.col("id").alias("src"),
+        F.lead("id", 1).over(Window.orderBy("rn")).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    closing = ids.groupBy().agg(
+        F.max("id").alias("src"), F.min("id").alias("dst")
+    )
+    return (
+        SparkGraph(
+            ring.unionByName(closing),
+            vertices=ids.select("id"),
+            directed=False,
+            coalesce_edges=False,
+        ),
+        k,
+    )
+
+
+def q_ring12_current_flow(spark, sf_dir):
+    # Current-flow closeness on C_n: Σ_w r(v,w) = (n²-1)/6 for every node
+    # (resistance k(n-k)/n summed), so centrality = 6/(n²-1) — the closed
+    # form the oracle replays. Solved by the batched distributed CG
+    # (one system per node), never a dense pseudo-inverse.
+    from linkgraph.algos.currentflow import current_flow_closeness_centrality
+
+    g, _ = _ring12(spark, sf_dir)
+    return current_flow_closeness_centrality(g, tol=1e-9).select(
+        F.col("id").cast("long"), F.round("centrality", 6).alias("centrality")
+    )
+
+
+def q_ring12_kemeny(spark, sf_dir):
+    # Kemeny constant of the random walk on C_n: Σ 1/(1-cos(2πj/n)) =
+    # (n²-1)/6 — same closed form, computed as tr(normalized-Laplacian⁺)
+    # via the batched CG.
+    from linkgraph.algos.currentflow import kemeny_constant
+
+    g, _ = _ring12(spark, sf_dir)
+    k = kemeny_constant(g, tol=1e-9)
+    return spark.createDataFrame([(round(k, 6),)], "kemeny double")
+
+
+def q_ring0_euler_circuit(spark, sf_dir):
+    # Euler circuit of the undirected nation-0 ring from the minimum id
+    # with ascending-neighbor Hierholzer: the walk is forced around the
+    # ring in rank order — edge i is (rank_i, rank_{i+1}), closing with
+    # (rank_n, rank_1). The oracle replays that closed form.
+    from linkgraph.algos.cycles import eulerian_circuit
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n0 = c.agg(F.min("c_nationkey")).first()[0]
+    ids = c.filter(F.col("c_nationkey") == n0).select(F.col("c_custkey").alias("id"))
+    g = DS.customer_ring_graph(spark, sf_dir).subgraph(ids).undirected_view()
+    return eulerian_circuit(g).select(
+        F.col("src").cast("long"), F.col("dst").cast("long"), F.col("order").cast("long")
+    )
+
+
 def q_copurchase_greedy_modularity(spark, sf_dir):
     # CNM merge order is float-heap-sequential, so the oracle checks the
     # defining invariants instead of the partition: every node in exactly
@@ -2065,6 +2139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions (new operators; fill the window to 50) ---- #
         "hierarchy_dfs_order": q_hierarchy_dfs_order,
         "copurchase_greedy_modularity": q_copurchase_greedy_modularity,
+        "ring12_current_flow": q_ring12_current_flow,
+        "ring12_kemeny": q_ring12_kemeny,
+        "ring0_euler_circuit": q_ring0_euler_circuit,
         # ---- 50-query driver cut line ----------------------------------- #
         # -- green in CORRECTNESS_r03 (heavier / flagship first) --------- #
         "supplier_part_idom": q_supplier_part_idom,
@@ -3886,6 +3963,33 @@ rk AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine
 FROM rk WHERE r <= 10"""
+    )
+
+    # Euler circuit of the nation-0 ring: forced rank-order walk
+    sqls["ring0_euler_circuit"] = (
+        "WITH ids AS (SELECT c_custkey AS id, ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn, "
+        "COUNT(*) OVER () AS n FROM customer "
+        "WHERE c_nationkey = (SELECT MIN(c_nationkey) FROM customer)) "
+        "SELECT CAST(a.id AS BIGINT) AS src, CAST(b.id AS BIGINT) AS dst, "
+        "CAST(a.rn AS BIGINT) AS \"order\" "
+        "FROM ids a JOIN ids b ON b.rn = a.rn % a.n + 1"
+    )
+
+    # Cycle closed forms for the 12-node nation-0 ring (see _ring12):
+    # current-flow closeness = 6/(n²-1) per node; Kemeny = (n²-1)/6.
+    sqls["ring12_current_flow"] = (
+        "WITH ids AS (SELECT c_custkey AS id, ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn "
+        "FROM customer WHERE c_nationkey = (SELECT MIN(c_nationkey) FROM customer)), "
+        "sel AS (SELECT id FROM ids WHERE rn <= 12), "
+        "n AS (SELECT COUNT(*) AS n FROM sel) "
+        "SELECT CAST(id AS BIGINT) AS id, "
+        "ROUND(6.0 / (n.n * n.n - 1) + 0, 6) AS centrality FROM sel, n"
+    )
+    sqls["ring12_kemeny"] = (
+        "WITH ids AS (SELECT c_custkey AS id, ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn "
+        "FROM customer WHERE c_nationkey = (SELECT MIN(c_nationkey) FROM customer)), "
+        "n AS (SELECT COUNT(*) AS n FROM ids WHERE rn <= 12) "
+        "SELECT ROUND((CAST(n AS DOUBLE) * n - 1) / 6.0 + 0, 6) AS kemeny FROM n"
     )
 
     # CNM invariants (see q_copurchase_greedy_modularity comment)

@@ -231,7 +231,13 @@ from linkgraph.algos.assortativity import (
     attribute_assortativity_coefficient,
     numeric_assortativity_coefficient,
 )
-from linkgraph.algos.cycles import is_eulerian, has_eulerian_path, cycle_basis
+from linkgraph.algos.cycles import (
+    is_eulerian,
+    has_eulerian_path,
+    cycle_basis,
+    eulerian_circuit,
+    eulerian_path,
+)
 from linkgraph.algos.tree import (
     is_tree,
     is_forest,
@@ -315,6 +321,11 @@ from linkgraph.algos.resistance import resistance_distance
 from linkgraph.algos.girth import girth
 from linkgraph.algos.simplepaths import all_simple_paths
 from linkgraph.algos.assortativity import attribute_mixing, degree_mixing
+from linkgraph.algos.currentflow import (
+    current_flow_closeness_centrality,
+    information_centrality,
+    kemeny_constant,
+)
 from linkgraph.algos.dfs import (
     dfs_edges,
     dfs_tree,
@@ -374,6 +385,8 @@ __all__ = [
     "numeric_assortativity_coefficient",
     "is_eulerian",
     "has_eulerian_path",
+    "eulerian_circuit",
+    "eulerian_path",
     "laplacian_centrality",
     "edge_connectivity",
     "node_connectivity",
@@ -421,6 +434,9 @@ __all__ = [
     "dfs_preorder_nodes",
     "dfs_postorder_nodes",
     "dfs_labeled_edges",
+    "current_flow_closeness_centrality",
+    "information_centrality",
+    "kemeny_constant",
     "is_d_separator",
     "find_minimal_d_separator",
     "densest_subgraph",

@@ -1,0 +1,302 @@
+"""Current-flow closeness (information centrality) and the Kemeny
+constant via BATCHED distributed conjugate gradient.
+
+References:
+- ``networkx/algorithms/centrality/current_flow_closeness.py:16``
+  ``current_flow_closeness_centrality`` (= ``information_centrality``),
+  Brandes–Fleischer STACS'05. The reference accumulates, for every node,
+  ``b[v] = Σ_w (C_vv − 2·C_wv) + Σ_u C_uu`` over the inverse-Laplacian
+  columns and returns ``1 / b[v]``. Because L⁺'s rows sum to zero
+  (L⁺·1 = 0), that accumulation collapses to the closed form
+  ``b[v] = n·L⁺_vv + tr(L⁺)`` — i.e. Σ_w resistance(v, w) — so the whole
+  centrality needs nothing but the DIAGONAL of L⁺.
+- ``networkx/algorithms/distance_measures.py:1008`` ``kemeny_constant``:
+  K = Σ_{j<n} 1/(1 − λ_j) over the eigenvalues of H = D^{-1/2}AD^{-1/2}.
+  The 1 − λ_j are exactly the nonzero eigenvalues of the normalized
+  Laplacian 𝓛 = I − H, so K = tr(𝓛⁺) — again a pseudo-inverse diagonal.
+
+Both references run dense solves (O(n³), n×n memory). Here each diagonal
+entry L⁺_vv comes from one CG solve ``L x = e_v − (1/n)·1`` (the RHS is
+projected onto range(L), so CG started at 0 converges to the
+pseudo-inverse solution), and ALL solves run SIMULTANEOUSLY as one
+(source, id)-keyed state table — the same batched-frontier trick as the
+multi-source Brandes pass (betweenness.py). Per iteration: one arc⋈state
+matvec join, two (source)-grouped scalar aggregations joined back
+broadcast-style, one fused column update; state is lineage-truncated.
+Nothing is ever n×n; the batch width (number of simultaneous sources) is
+the memory lever at scale, exactly like batched BFS.
+
+Convergence: O(√κ) iterations like every CG; each iteration stays
+edge-linear × batch width.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.exceptions import NetworkXError, NotImplementedForDirected
+from linkgraph.graph import SparkGraph
+from linkgraph.iterutils import SuperstepCache
+
+__all__ = [
+    "current_flow_closeness_centrality",
+    "information_centrality",
+    "kemeny_constant",
+]
+
+
+def _batched_cg_diag(
+    spark,
+    vertices: DataFrame,
+    arcs: DataFrame,
+    diag: DataFrame,
+    rhs: DataFrame,
+    *,
+    scale: Optional[DataFrame] = None,
+    tol: float = 1e-10,
+    max_iter: int = 2000,
+) -> DataFrame:
+    """Solve ``M x = b`` for every source system at once and return the
+    final state ``(s, id, x)``.
+
+    ``M p = diag_d · p − scale_u · Σ_v c(u,v) · scale_v · p(v)`` — the
+    combinatorial Laplacian with ``diag=(id,d)``, ``scale=None``; the
+    normalized Laplacian with ``diag`` ≡ 1 and ``scale=(id, g)`` holding
+    d^{-1/2}. ``rhs`` is ``(s, id, b)`` with every b ⊥ null(M).
+    """
+    cache = SuperstepCache(spark)
+    sc = scale if scale is not None else None
+    state = cache.truncate(
+        rhs.select("s", "id", F.lit(0.0).alias("x"), F.col("b").alias("r"), F.col("b").alias("p"))
+    )
+    rr = cache.truncate(
+        state.groupBy("s").agg(F.sum(F.col("r") * F.col("r")).alias("rr"))
+    )
+    for _ in range(max_iter):
+        p_in = state.select("s", F.col("id").alias("dst"), F.col("p").alias("pn"))
+        if sc is not None:
+            p_in = p_in.join(
+                sc.select(F.col("id").alias("dst"), F.col("g").alias("gn")), "dst"
+            ).select("s", "dst", (F.col("pn") * F.col("gn")).alias("pn"))
+        nbr = (
+            arcs.withColumnRenamed("src", "id").withColumnRenamed("dst", "dst")
+            .join(p_in, "dst")
+            .groupBy("s", "id")
+            .agg(F.sum(F.col("c") * F.col("pn")).alias("sm"))
+        )
+        if sc is not None:
+            nbr = nbr.join(sc, "id").select(
+                "s", "id", (F.col("sm") * F.col("g")).alias("sm")
+            )
+        st = (
+            state.join(diag, "id", "left")
+            .join(nbr, ["s", "id"], "left")
+            .select(
+                "s",
+                "id",
+                "x",
+                "r",
+                "p",
+                (
+                    F.coalesce("d", F.lit(0.0)) * F.col("p")
+                    - F.coalesce("sm", F.lit(0.0))
+                ).alias("lp"),
+            )
+        )
+        st = cache.truncate(st, retire=state)
+        pap = st.groupBy("s").agg(F.sum(F.col("p") * F.col("lp")).alias("pap"))
+        coef = rr.join(pap, "s", "left").select(
+            "s",
+            "rr",
+            F.when(F.col("pap") > 0, F.col("rr") / F.col("pap"))
+            .otherwise(0.0)
+            .alias("alpha"),
+        )
+        nxt = st.join(F.broadcast(coef), "s").select(
+            "s",
+            "id",
+            (F.col("x") + F.col("alpha") * F.col("p")).alias("x"),
+            (F.col("r") - F.col("alpha") * F.col("lp")).alias("r"),
+            "p",
+        )
+        nxt = cache.truncate(nxt, retire=st)
+        rr_new = cache.truncate(
+            nxt.groupBy("s").agg(F.sum(F.col("r") * F.col("r")).alias("rr"))
+        )
+        worst = rr_new.agg(F.max("rr")).first()[0] or 0.0
+        if worst < tol * tol:
+            state = nxt
+            break
+        betas = rr.select("s", F.col("rr").alias("rr_old")).join(rr_new, "s").select(
+            "s",
+            F.when(F.col("rr_old") > 0, F.col("rr") / F.col("rr_old"))
+            .otherwise(0.0)
+            .alias("beta"),
+        )
+        state = cache.truncate(
+            nxt.join(F.broadcast(betas), "s").select(
+                "s",
+                "id",
+                "x",
+                "r",
+                (F.col("r") + F.col("beta") * F.col("p")).alias("p"),
+            ),
+            retire=nxt,
+        )
+        rr = rr_new
+    else:
+        cache.close()
+        raise NetworkXError(f"batched CG did not converge in {max_iter} iterations")
+    out = state.select("s", "id", "x").localCheckpoint(eager=True)
+    cache.close(keep_result=True)
+    return out
+
+
+def _weighted_arcs(g: SparkGraph, weight: Optional[str]):
+    w = (
+        F.coalesce(F.col(weight).cast("double"), F.lit(1.0))
+        if weight is not None and weight in g.edges.columns
+        else F.lit(1.0)
+    )
+    return (
+        g.symmetric_edges()
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", w.alias("c"))
+    )
+
+
+def current_flow_closeness_centrality(
+    g: SparkGraph,
+    *,
+    weight: Optional[str] = None,
+    tol: float = 1e-10,
+    max_iter: int = 2000,
+) -> DataFrame:
+    """(id, centrality): current-flow closeness = information centrality,
+    ``1 / Σ_w resistance(v, w)`` (``current_flow_closeness.py:16``; the
+    reference applies no (n−1) normalization). Undirected connected
+    graphs only, like the reference."""
+    if g.directed:
+        raise NotImplementedForDirected(
+            "current_flow_closeness_centrality: not implemented for directed type"
+        )
+    from linkgraph.algos.components import is_connected
+
+    if not is_connected(g):
+        raise NetworkXError("Graph not connected.")
+    spark = g.spark
+    n = g.number_of_nodes()
+    if n == 1:
+        # a single node: empty sum — the reference returns 1/0 = inf
+        return g.vertices.select(
+            "id", F.lit(float("inf")).alias("centrality")
+        )
+    arcs = _weighted_arcs(g, weight).persist()
+    deg = arcs.groupBy(F.col("src").alias("id")).agg(F.sum("c").alias("d")).persist()
+    # one system per node: b = e_s − (1/n)·1 (⊥ 1 = null(L))
+    ids = g.vertices.select("id")
+    rhs = (
+        ids.select(F.col("id").alias("s"))
+        .crossJoin(ids)
+        .select(
+            "s",
+            "id",
+            (
+                F.when(F.col("s") == F.col("id"), 1.0).otherwise(0.0)
+                - F.lit(1.0 / n)
+            ).alias("b"),
+        )
+    )
+    sol = _batched_cg_diag(
+        spark, ids, arcs, deg, rhs, tol=tol, max_iter=max_iter
+    )
+    diag_lplus = sol.filter(F.col("s") == F.col("id")).select(
+        "id", F.col("x").alias("lvv")
+    )
+    trace = diag_lplus.agg(F.sum("lvv")).first()[0] or 0.0
+    out = diag_lplus.select(
+        "id",
+        (1.0 / (F.lit(float(n)) * F.col("lvv") + F.lit(float(trace)))).alias(
+            "centrality"
+        ),
+    ).localCheckpoint(eager=True)
+    arcs.unpersist()
+    deg.unpersist()
+    return out
+
+
+information_centrality = current_flow_closeness_centrality
+
+
+def kemeny_constant(
+    g: SparkGraph,
+    *,
+    weight: Optional[str] = None,
+    tol: float = 1e-10,
+    max_iter: int = 2000,
+) -> float:
+    """Kemeny constant of the random walk on ``g``
+    (``distance_measures.py:1008``): K = Σ_{j<n} 1/(1 − λ_j(H)) =
+    tr(𝓛⁺), computed as n batched CG solves on the normalized Laplacian
+    (RHS projected onto range(𝓛) via the D^{1/2}·1 null vector)."""
+    if g.directed:
+        raise NotImplementedForDirected(
+            "kemeny_constant: not implemented for directed type"
+        )
+    n = g.number_of_nodes()
+    if n == 0:
+        raise NetworkXError("Graph G must contain at least one node.")
+    from linkgraph.algos.components import is_connected
+
+    if not is_connected(g):
+        raise NetworkXError("Graph G must be connected.")
+    if n == 1:
+        return 0.0
+    spark = g.spark
+    arcs = _weighted_arcs(g, weight).persist()
+    neg = arcs.filter(F.col("c") < 0).limit(1).count()
+    if neg:
+        arcs.unpersist()
+        raise NetworkXError("The weights of graph G must be nonnegative.")
+    degs = arcs.groupBy(F.col("src").alias("id")).agg(F.sum("c").alias("dv"))
+    ids = g.vertices.select("id")
+    degs = ids.join(degs, "id", "left").select(
+        "id", F.coalesce("dv", F.lit(0.0)).alias("dv")
+    ).persist()
+    vol = degs.agg(F.sum("dv")).first()[0] or 0.0
+    if vol == 0.0:
+        arcs.unpersist()
+        degs.unpersist()
+        raise NetworkXError("Graph G must be connected.")
+    scale = degs.select(
+        "id", (1.0 / F.sqrt(F.col("dv"))).alias("g")
+    ).persist()
+    ones = degs.select("id", F.lit(1.0).alias("d"))  # 𝓛 diagonal is I
+    # null(𝓛) is spanned by φ = D^{1/2}1/√vol; project e_s off φ:
+    # b = e_s − φ_s·φ  ⇒  b(id) = 1[id=s] − √(d_s d_id)/vol
+    rhs = (
+        degs.select(F.col("id").alias("s"), F.col("dv").alias("ds"))
+        .crossJoin(degs)
+        .select(
+            "s",
+            "id",
+            (
+                F.when(F.col("s") == F.col("id"), 1.0).otherwise(0.0)
+                - F.sqrt(F.col("ds") * F.col("dv")) / F.lit(float(vol))
+            ).alias("b"),
+        )
+    )
+    sol = _batched_cg_diag(
+        spark, ids, arcs, ones, rhs, scale=scale, tol=tol, max_iter=max_iter
+    )
+    k = (
+        sol.filter(F.col("s") == F.col("id"))
+        .agg(F.sum("x"))
+        .first()[0]
+    )
+    arcs.unpersist()
+    degs.unpersist()
+    scale.unpersist()
+    return float(k)

@@ -32,12 +32,26 @@ from linkgraph.graph import SparkGraph
 from linkgraph.iterutils import SuperstepCache
 
 
-def simple_cycles(g: SparkGraph, length_bound: int) -> DataFrame:
-    """DataFrame ``(cycle array<BIGINT>)`` — each simple cycle of length
-    <= ``length_bound`` exactly once, in canonical rotation (min node
-    first). ``length_bound`` is required: unbounded enumeration is
-    Johnson's sequential algorithm and does not distribute."""
-    if length_bound is None or length_bound < 1:
+def simple_cycles(
+    g: SparkGraph,
+    length_bound: "int | None" = None,
+    *,
+    max_driver_edges: int = 1_000_000,
+) -> DataFrame:
+    """DataFrame ``(cycle array<BIGINT>)`` — each simple cycle exactly
+    once, in canonical rotation (min node first; undirected additionally
+    second < last element).
+
+    With ``length_bound`` the enumeration is the distributed rooted-path
+    join (one arc join per length step). ``length_bound=None`` matches the
+    reference's unbounded ``simple_cycles`` (``cycles.py:106``): Johnson's
+    blocked-set search for directed graphs / rooted canonical DFS for
+    undirected — inherently sequential walks, run on the driver under the
+    size guard like the DFS family. Output can be exponential in the
+    graph; the bound is the scale valve."""
+    if length_bound is None:
+        return _simple_cycles_unbounded(g, max_driver_edges)
+    if length_bound < 1:
         raise ValueError("length_bound must be a positive integer")
     spark = g.spark
     arcs = (g.edges if g.directed else g.symmetric_edges()).select(
@@ -296,3 +310,219 @@ def cycle_basis(g: SparkGraph, *, max_iter: int = 100_000) -> DataFrame:
     out = selfloops.unionByName(cycles).localCheckpoint(eager=True)
     cache.close(keep_result=True)
     return out
+
+
+def _euler_walk(g, start, *, max_driver_edges: int, circuit: bool):
+    """Driver-side Hierholzer walk (``euler.py`` ``eulerian_circuit`` /
+    ``eulerian_path`` semantics). The walk order is inherently sequential
+    (each step consumes the edge it crossed), so — like the DFS family —
+    the engine collects the edge multiset under a size guard and runs the
+    stack walk on the driver with ascending-neighbor determinism. Returns
+    the ordered vertex sequence."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    arcs = (g.edges if g.directed else g.symmetric_edges()).select("src", "dst")
+    m = arcs.count()
+    if m > max_driver_edges:
+        raise ValueError(
+            f"Euler walks are sequential by definition; the driver walk "
+            f"collects the edge list, but {m} arcs > max_driver_edges="
+            f"{max_driver_edges}."
+        )
+    adj: dict = {}
+    for r in arcs.collect():
+        adj.setdefault(r["src"], Counter())[r["dst"]] += 1
+    stack = [start]
+    trail: list = []
+    while stack:
+        v = stack[-1]
+        nbrs = adj.get(v)
+        if nbrs:
+            u = min(nbrs)
+            nbrs[u] -= 1
+            if nbrs[u] == 0:
+                del nbrs[u]
+            if not g.directed and u != v:  # self-loops appear once
+                back = adj[u]
+                back[v] -= 1
+                if back[v] == 0:
+                    del back[v]
+            stack.append(u)
+        else:
+            trail.append(stack.pop())
+    if any(adj.values()):
+        raise ValueError("G is not Eulerian.")
+    return list(reversed(trail))
+
+
+def eulerian_circuit(
+    g, source=None, *, max_driver_edges: int = 5_000_000
+):
+    """(src, dst, order): edges of an Euler circuit in traversal order
+    (``euler.py:90`` ``eulerian_circuit``; Hierholzer). Raises when the
+    graph is not Eulerian, like the reference. ``source=None`` starts at
+    the minimum node id (the engine's determinism rule)."""
+    from pyspark.sql import functions as F
+
+    if not is_eulerian(g):
+        raise ValueError("G is not Eulerian.")
+    if source is None:
+        source = g.vertices.agg(F.min("id")).first()[0]
+    seq = _euler_walk(
+        g, int(source), max_driver_edges=max_driver_edges, circuit=True
+    )
+    rows = [(seq[i], seq[i + 1], i + 1) for i in range(len(seq) - 1)]
+    return g.spark.createDataFrame(rows or [], "src long, dst long, order long")
+
+
+def eulerian_path(
+    g, source=None, *, max_driver_edges: int = 5_000_000
+):
+    """(src, dst, order): edges of an Euler path (``euler.py:294``
+    ``eulerian_path``). Starts at the unique deficit node when one exists
+    (odd-degree / out−in = 1), else at ``source`` or the minimum id."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algos.degrees import in_degrees, out_degrees, degrees
+
+    if not has_eulerian_path(g):
+        raise ValueError("Graph has no Eulerian paths.")
+    if source is None:
+        if g.directed:
+            unb = (
+                in_degrees(g).withColumnRenamed("degree", "din")
+                .join(out_degrees(g).withColumnRenamed("degree", "dout"), "id")
+                .filter(F.col("dout") - F.col("din") == 1)
+                .agg(F.min("id"))
+                .first()[0]
+            )
+        else:
+            unb = (
+                degrees(g)
+                .filter(F.col("degree") % 2 == 1)
+                .agg(F.min("id"))
+                .first()[0]
+            )
+        source = unb if unb is not None else g.vertices.agg(F.min("id")).first()[0]
+    seq = _euler_walk(
+        g, int(source), max_driver_edges=max_driver_edges, circuit=False
+    )
+    rows = [(seq[i], seq[i + 1], i + 1) for i in range(len(seq) - 1)]
+    return g.spark.createDataFrame(rows or [], "src long, dst long, order long")
+
+
+def _simple_cycles_unbounded(g: SparkGraph, max_driver_edges: int) -> DataFrame:
+    """Driver-gated unbounded enumeration (see :func:`simple_cycles`)."""
+    from pyspark.sql import functions as F
+
+    arcs = (g.edges if g.directed else g.symmetric_edges()).select(
+        "src", "dst"
+    ).distinct()
+    m = arcs.count()
+    if m > max_driver_edges:
+        raise ValueError(
+            f"unbounded simple_cycles is Johnson's sequential search; the "
+            f"driver walk collects the edge list, but {m} arcs > "
+            f"max_driver_edges={max_driver_edges}. Pass length_bound for "
+            "the distributed bounded enumeration."
+        )
+    adj: dict = {}
+    loops = []
+    for r in arcs.collect():
+        u, v = r["src"], r["dst"]
+        if u == v:
+            loops.append([u])
+            continue
+        adj.setdefault(u, []).append(v)
+    for nbrs in adj.values():
+        nbrs.sort()
+    if g.directed:
+        cycles = _johnson_cycles(adj)
+    else:
+        cycles = _undirected_cycles(adj)
+    rows = [(c,) for c in loops + cycles]
+    return g.spark.createDataFrame(rows or [], "cycle array<bigint>")
+
+
+def _johnson_cycles(adj: dict) -> list:
+    """Johnson 1975 elementary-circuit search (the reference's directed
+    path, ``cycles.py:106``), iterative. Roots ascend, the explored
+    subgraph is {v >= root}, so every cycle emerges rooted at its minimum
+    node — already canonical."""
+    cycles: list = []
+    nodes = sorted(set(adj) | {w for ns in adj.values() for w in ns})
+    for root in nodes:
+        # subgraph on ids >= root
+        sub = {
+            u: [w for w in ns if w >= root]
+            for u, ns in adj.items()
+            if u >= root
+        }
+        blocked: set = {root}
+        blist: dict = {}
+        path = [root]
+        # frame: (vertex, neighbor iterator, found_cycle_below flag)
+        stack = [(root, iter(sub.get(root, ())), False)]
+        while stack:
+            v, it, found = stack[-1]
+            advanced = False
+            for w in it:
+                if w == root:
+                    cycles.append(path.copy())
+                    stack[-1] = (v, it, True)
+                elif w not in blocked:
+                    blocked.add(w)
+                    path.append(w)
+                    stack.append((w, iter(sub.get(w, ())), False))
+                    advanced = True
+                    break
+            if advanced:
+                continue
+            found = stack[-1][2]  # re-read: may have been set mid-iteration
+            stack.pop()
+            path.pop()
+            if found:
+                # unblock v and everything transitively waiting on it
+                pending = [v]
+                while pending:
+                    x = pending.pop()
+                    if x in blocked:
+                        blocked.discard(x)
+                        pending.extend(blist.pop(x, ()))
+                if stack:
+                    pv, pit, _ = stack[-1]
+                    stack[-1] = (pv, pit, True)
+            else:
+                for w in sub.get(v, ()):
+                    blist.setdefault(w, set()).add(v)
+    return cycles
+
+
+def _undirected_cycles(adj: dict) -> list:
+    """Rooted canonical DFS enumeration for undirected graphs: every
+    cycle discovered once, rooted at its minimum node, walking only
+    larger-id interior nodes, one rotation sense (second < last)."""
+    cycles: list = []
+    for root in sorted(adj):
+        stack = [(root, iter(adj.get(root, ())))]
+        path = [root]
+        on_path = {root}
+        while stack:
+            v, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w == root and len(path) >= 3 and path[1] < path[-1]:
+                    cycles.append(path.copy())
+                elif w > root and w not in on_path:
+                    path.append(w)
+                    on_path.add(w)
+                    stack.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+            if advanced:
+                continue
+            stack.pop()
+            on_path.discard(path.pop())
+    return cycles

@@ -49,11 +49,20 @@ class NetworkXUnbounded(Exception):
     """Infinite-capacity s→t path (``nx.exception.NetworkXUnbounded``)."""
 
 
-def _residual(g: SparkGraph, capacity: str) -> DataFrame:
+def _residual(g: SparkGraph, capacity) -> DataFrame:
     """(u, v, cap) arcs: forward caps + 0-cap reverse arcs, undirected
-    edges expanded both ways at full capacity."""
-    if capacity in g.edges.columns:
+    edges expanded both ways at full capacity. ``capacity`` may be a
+    column name (absent column = infinite, ``edmondskarp.py:87``), a
+    pyspark ``Column``, or a SQL expression string containing non-word
+    characters — the Spark twin of a per-edge capacity callable."""
+    from pyspark.sql import Column
+
+    if isinstance(capacity, Column):
+        cap = capacity.cast("double")
+    elif capacity in g.edges.columns:
         cap = F.col(capacity).cast("double")
+    elif not capacity.isidentifier():
+        cap = F.expr(capacity).cast("double")
     else:
         cap = F.lit(_INF)
     arcs = (g.edges if g.directed else g.symmetric_edges()).select(

@@ -43,21 +43,30 @@ __all__ = [
 
 
 def minimum_spanning_edges(
-    g: SparkGraph, *, max_rounds: int = 50, maximum: bool = False
+    g: SparkGraph, *, weight=None, max_rounds: int = 50, maximum: bool = False
 ) -> DataFrame:
     """Edges of the minimum (or maximum) spanning forest:
     ``(src BIGINT, dst BIGINT, weight DOUBLE)``, canonical ``src < dst``
     orientation. A forest: one tree per connected component
     (``nx.minimum_spanning_edges`` semantics for disconnected graphs).
+
+    ``weight`` accepts ``None`` (the ``weight`` column), a column name, a
+    SQL expression string, or a ``Column`` — the Spark twin of the
+    reference's per-edge weight callable; see
+    :func:`linkgraph.graph.resolve_weight_column`.
     """
     if g.directed:
         raise ValueError("minimum_spanning_edges: undirected graphs only")
     spark = g.spark
     # canonical simple edge view; parallel edges keep the best weight so the
     # per-component argmin is over the same candidate set as the reference
+    from linkgraph.graph import resolve_weight_column
+
     best = F.min if not maximum else F.max
+    wexpr = resolve_weight_column(g.edges, weight).alias("weight")
     edges = (
         g.edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", wexpr)
         .groupBy("src", "dst")
         .agg(best("weight").alias("weight"))
     )
@@ -141,21 +150,25 @@ def minimum_spanning_edges(
         spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
-def minimum_spanning_tree(g: SparkGraph, *, max_rounds: int = 50) -> SparkGraph:
+def minimum_spanning_tree(
+    g: SparkGraph, *, weight=None, max_rounds: int = 50
+) -> SparkGraph:
     """Spanning forest as a graph over the same vertex set
     (``nx.minimum_spanning_tree``, ``tree/mst.py:579``)."""
     return SparkGraph(
-        minimum_spanning_edges(g, max_rounds=max_rounds),
+        minimum_spanning_edges(g, weight=weight, max_rounds=max_rounds),
         g.vertices.select("id"),
         directed=False,
         coalesce_edges=False,
     )
 
 
-def maximum_spanning_tree(g: SparkGraph, *, max_rounds: int = 50) -> SparkGraph:
+def maximum_spanning_tree(
+    g: SparkGraph, *, weight=None, max_rounds: int = 50
+) -> SparkGraph:
     """``nx.maximum_spanning_tree`` (``tree/mst.py:661``)."""
     return SparkGraph(
-        minimum_spanning_edges(g, max_rounds=max_rounds, maximum=True),
+        minimum_spanning_edges(g, weight=weight, max_rounds=max_rounds, maximum=True),
         g.vertices.select("id"),
         directed=False,
         coalesce_edges=False,

@@ -49,6 +49,7 @@ def weighted_shortest_path_lengths(
     g: SparkGraph,
     sources,
     *,
+    weight=None,
     max_rounds: Optional[int] = None,
     checkpoint_store: Optional[CheckpointStore] = None,
 ) -> DataFrame:
@@ -62,6 +63,12 @@ def weighted_shortest_path_lengths(
     Undirected graphs relax along both directions of each edge (the
     reference walks ``G.adj``); directed graphs along arcs only.
 
+    ``weight`` accepts ``None`` (the ``weight`` column), a column name, a
+    SQL expression string, or a ``Column`` — the Spark twin of the
+    reference's ``weight=callable (u, v, d) -> float`` adapter
+    (``weighted.py:41-79``); see
+    :func:`linkgraph.graph.resolve_weight_column`.
+
     Raises :class:`NegativeCycleError` when relaxation is still improving
     after n rounds (every simple path has < n hops, so round n+1 can only
     improve via a negative cycle — the certificate the reference uses,
@@ -69,11 +76,12 @@ def weighted_shortest_path_lengths(
     """
     import time
 
+    from linkgraph.graph import resolve_weight_column
+
     spark = g.spark
-    adj = (
-        g.symmetric_edges().select("src", "dst", "weight")
-        if not g.directed
-        else g.edges.select("src", "dst", "weight")
+    base = g.symmetric_edges() if not g.directed else g.edges
+    adj = base.select(
+        "src", "dst", resolve_weight_column(base, weight).alias("weight")
     ).persist()
 
     cache = SuperstepCache(spark)
@@ -176,7 +184,10 @@ def shortest_path_length(g: SparkGraph, sources, *, weight: bool = False, **kwar
     DataFrame ``(id, distance)`` from the nearest source; unreachable nodes
     absent."""
     if weight:
-        return weighted_shortest_path_lengths(g, sources, **kwargs)
+        # weight=True → the weight column; any other truthy value (name,
+        # SQL expression, Column) passes through to the resolver
+        wkw = {} if weight is True else {"weight": weight}
+        return weighted_shortest_path_lengths(g, sources, **wkw, **kwargs)
     from linkgraph.algos.setops import shortest_path_lengths
 
     return shortest_path_lengths(g, sources, **kwargs)
