@@ -98,7 +98,11 @@ def main() -> None:
     # the noise-free steady state a dedicated cluster would show.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
-    def bench(name, fn, forced: bool = False):
+    # pipeline-scale benches report separately so the headline total stays
+    # comparable round-over-round (BENCH_r01..r03 measured the 7-query core)
+    scale_timings: dict[str, float] = {}
+
+    def bench(name, fn, forced: bool = False, table: "dict | None" = None):
         if only and name not in only and not forced:
             return None
         best, out = None, None
@@ -108,7 +112,7 @@ def main() -> None:
             dt = time.monotonic() - t0
             if best is None or dt < best:
                 best = dt
-        timings[name] = round(best, 3)
+        (timings if table is None else table)[name] = round(best, 3)
         return out
 
     # JVM / codegen warm-up (excluded from all timings): one end-to-end pass
@@ -193,10 +197,46 @@ def main() -> None:
     # -- documents / embeddings ----------------------------------------- #
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench("doc_minhash", lambda: TX.minhash_lsh_pairs(docs).count())
+    bench("doc_near_dups", lambda: TX.near_duplicates(docs).count(), table=scale_timings)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 50)
     bench("emb_topk", lambda: EMB.cosine_topk(emb, queries, k=10).count())
+    bench(
+        "emb_ivf",
+        lambda: EMB.ivf_topk(emb, queries, k=10, n_centroids=32, n_probe=4).count(),
+        table=scale_timings,
+    )
+
+    # -- 10x pipeline scale points (VERDICT r03 #9) ---------------------- #
+    # Deterministic 10x replication: copy k perturbs each document with a
+    # per-copy suffix token (shingle sets stay >=0.8-similar, so dedup
+    # must verify ~45 candidate pairs per original — the worst realistic
+    # dup-cluster shape, never all-pairs) and shifts each embedding by a
+    # per-copy constant in one dimension (IVF re-trains and probes the
+    # full 10x corpus).
+    n_docs = docs.count()
+    docs10 = docs.crossJoin(spark.range(10).withColumnRenamed("id", "rep")).select(
+        (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string")).alias(
+            "text"
+        ),
+    )
+    bench("doc_minhash_10x", lambda: TX.minhash_lsh_pairs(docs10).count(), table=scale_timings)
+    bench("doc_near_dups_10x", lambda: TX.near_duplicates(docs10).count(), table=scale_timings)
+
+    emb10 = emb.crossJoin(spark.range(10).withColumnRenamed("id", "rep")).select(
+        (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.col("rep") * 0.01).otherwise(0.0)
+        ).alias("embedding"),
+    )
+    queries10 = emb10.filter(F.col("vec_id") < 50)
+    bench(
+        "emb_ivf_10x",
+        lambda: EMB.ivf_topk(emb10, queries10, k=10, n_centroids=32, n_probe=4).count(),
+        table=scale_timings,
+    )
 
     total = round(sum(timings.values()), 3)
     eps = (
@@ -216,6 +256,8 @@ def main() -> None:
                 "n_pages": n_pages,
                 "pages_edges": pr_edges,
                 "pagerank_edges_per_sec_per_iter": eps,
+                "pipeline_scale": scale_timings,
+                "n_docs": n_docs,
             }
         )
     )

@@ -29,7 +29,7 @@ Weighted graphs sum edge weights per neighbor label like the reference
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from linkgraph.graph import SparkGraph
 from linkgraph.iterutils import SuperstepCache
@@ -173,3 +173,169 @@ def fast_label_propagation_communities(
     sym.unpersist()
     cache.close(keep_result=True)
     return labels
+
+
+def asyn_fluidc(
+    g: SparkGraph,
+    k: int,
+    *,
+    max_iter: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Fluid-communities partition ``(id, community)`` — the distributed
+    twin of ``asyn_fluidc`` (``community/asyn_fluid.py:22``; Parés et al.
+    2018). The reference is RNG-scheduled by contract (random seeds,
+    random vertex order, ``random.choice`` ties) — like the LPA variants
+    above, the twin keeps the defining traits and replaces the schedule:
+
+    - k seed nodes by seeded-hash top-k (the reference's ``sample``);
+    - community density = 1/|members|, recomputed per round;
+    - a node adopts the density-weighted argmax among its neighbors'
+      communities plus its own (``asyn_fluid.py:91-116``), ties broken by
+      a seeded hash; a community's LAST member never leaves (the
+      invariant that keeps exactly k communities, mirroring the
+      reference's retention rule);
+    - a seeded coin holds back ~1/4 of the movable nodes per round (the
+      oscillation guard), and unassigned nodes only join once a neighbor
+      carries a community (fluid expansion from the seeds).
+
+    Deterministic for a fixed seed; exact labeling is engine-specific
+    (rows-only contract), validity (true partition into exactly k
+    nonempty communities) and quality are pinned in tests. Raises on
+    directed input, disconnected graphs, and k > n like the reference.
+    """
+    from linkgraph.exceptions import NetworkXError, NotImplementedForDirected
+
+    if g.directed:
+        raise NotImplementedForDirected(
+            "asyn_fluidc: not implemented for directed type"
+        )
+    from linkgraph.algos.components import is_connected
+
+    n = g.number_of_nodes()
+    if k < 1 or k > n:
+        raise NetworkXError(f"k must be in [1, {n}]. Got {k}.")
+    if not is_connected(g):
+        raise NetworkXError("Fluid Communities requires connected Graphs.")
+
+    spark = g.spark
+    sym = _sym(g).select("src", "dst").persist()
+    cache = SuperstepCache(spark)
+    seeds = (
+        g.vertices.select("id")
+        .orderBy(F.xxhash64(F.lit(seed), F.col("id")), F.col("id"))
+        .limit(k)
+        .select("id", F.col("id").alias("community"))
+    )
+    state = cache.truncate(
+        g.vertices.select("id").join(seeds, "id", "left")
+    )
+    prev = None
+    for it in range(max_iter):
+        assigned = state.filter(F.col("community").isNotNull())
+        dens = assigned.groupBy("community").agg(
+            (F.lit(1.0) / F.count(F.lit(1))).alias("density"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        # per-node candidate scores: sum of neighbor densities per
+        # community, plus the node's own community density
+        nbr = (
+            sym.join(
+                assigned.select(
+                    F.col("id").alias("dst"), F.col("community").alias("c")
+                ),
+                "dst",
+            )
+            .join(dens.withColumnRenamed("community", "c"), "c")
+            .groupBy(F.col("src").alias("id"), "c")
+            .agg(F.sum("density").alias("score"))
+        )
+        own = assigned.join(dens, "community").select(
+            "id", F.col("community").alias("c"), F.col("density").alias("score")
+        )
+        scores = (
+            nbr.unionByName(own)
+            .groupBy("id", "c")
+            .agg(F.sum("score").alias("score"))
+        )
+        best = (
+            scores.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("id")
+                    .orderBy(
+                        F.desc("score"),
+                        F.xxhash64(F.lit(seed + it), F.col("id"), F.col("c")),
+                        F.col("c"),
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("id", F.col("c").alias("new_c"))
+        )
+        # a community may lose at most sz-1 members per synchronous round
+        # (so it can never vanish — the reference's retention invariant);
+        # a hash-coin additionally holds ~1/4 of the movers
+        movers = (
+            best.join(state, "id")
+            .filter(
+                F.col("community").isNull()
+                | (F.col("new_c") != F.col("community"))
+            )
+            .filter(
+                F.col("community").isNull()
+                | (
+                    F.pmod(
+                        F.xxhash64(F.lit(seed * 7 + it), F.col("id")), F.lit(4)
+                    )
+                    != 0
+                )
+            )
+        )
+        retained = (
+            movers.filter(F.col("community").isNotNull())
+            .join(dens, "community")
+            .withColumn(
+                "mrk",
+                F.row_number().over(
+                    Window.partitionBy("community").orderBy(
+                        F.xxhash64(F.lit(seed * 13 + it), F.col("id")), F.col("id")
+                    )
+                ),
+            )
+            .withColumn(
+                "mv_cnt",
+                F.count(F.lit(1)).over(Window.partitionBy("community")),
+            )
+            # when EVERY member of the community wants out, hold one back
+            .filter((F.col("mv_cnt") == F.col("sz")) & (F.col("mrk") == 1))
+            .select("id")
+        )
+        movable = movers.join(retained, "id", "left_anti").select("id", "new_c")
+        nxt = cache.truncate(
+            state.join(movable, "id", "left").select(
+                "id", F.coalesce("new_c", "community").alias("community")
+            ),
+            retire=prev,
+        )
+        changed = (
+            nxt.join(
+                state.withColumnRenamed("community", "old_c"), "id"
+            )
+            .filter(
+                ~(
+                    F.col("community").eqNullSafe(F.col("old_c"))
+                )
+            )
+            .limit(1)
+            .count()
+        )
+        prev = state
+        state = nxt
+        if changed == 0:
+            break
+    out = state.filter(F.col("community").isNotNull()).persist()
+    out.count()
+    sym.unpersist()
+    cache.close(keep_result=True)
+    return out
