@@ -2031,6 +2031,68 @@ def q_ring12_kemeny(spark, sf_dir):
     return spark.createDataFrame([(round(k, 6),)], "kemeny double")
 
 
+def q_ring12_fluidc_sizes(spark, sf_dir):
+    # Fluid communities on the 12-node ring, k=3: rows-only contract (the
+    # reference is RNG-scheduled by design; the twin is deterministic for
+    # the fixed seed). Community labels are engine-specific, so the query
+    # reports the sorted size multiset.
+    from linkgraph.algos.lpa_variants import asyn_fluidc
+
+    g, _ = _ring12(spark, sf_dir)
+    part = asyn_fluidc(g, 3)
+    return (
+        part.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .select(F.col("size").cast("long"))
+        .orderBy("size")
+    )
+
+
+def q_chain30_blossom_matching(spark, sf_dir):
+    # Max-weight matching on the gap-weighted 30-customer chain of the
+    # minimum nation: on a path the optimum weight has the classic
+    # interval-DP closed form dp_i = max(dp_{i-1}, dp_{i-2} + w_i), which
+    # the oracle unrolls; the blossom kernel must reproduce it exactly.
+    # Validity (each node matched <= once, only real edges) is asserted
+    # Spark-side into the violations column.
+    from pyspark.sql import Window
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.matching_weight import max_weight_matching
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n0 = c.agg(F.min("c_nationkey")).first()[0]
+    ids = (
+        c.filter(F.col("c_nationkey") == n0)
+        .select(F.col("c_custkey").cast("long").alias("id"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+        .filter(F.col("rn") <= 30)
+    )
+    chain = ids.select(
+        F.col("id").alias("src"),
+        F.lead("id", 1).over(Window.orderBy("rn")).alias("dst"),
+    ).filter(F.col("dst").isNotNull()).select(
+        "src", "dst", (F.col("dst") - F.col("src")).cast("double").alias("weight")
+    )
+    g = SparkGraph(
+        chain, vertices=ids.select("id"), directed=False, coalesce_edges=False
+    )
+    matched = max_weight_matching(g).persist()
+    edge_set = chain.select("src", "dst")
+    bad_edge = matched.join(edge_set, ["src", "dst"], "left_anti").count()
+    ends = matched.select(F.col("src").alias("id")).unionAll(
+        matched.select(F.col("dst").alias("id"))
+    )
+    dup = ends.groupBy("id").count().filter(F.col("count") > 1).count()
+    total = (
+        matched.join(chain, ["src", "dst"]).agg(F.sum("weight")).first()[0] or 0.0
+    )
+    matched.unpersist()
+    return spark.createDataFrame(
+        [(round(float(total), 6), bad_edge + dup)],
+        "matched_weight double, violations long",
+    )
+
+
 def q_ring0_euler_circuit(spark, sf_dir):
     # Euler circuit of the undirected nation-0 ring from the minimum id
     # with ascending-neighbor Hierholzer: the walk is forced around the
@@ -2142,6 +2204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring12_current_flow": q_ring12_current_flow,
         "ring12_kemeny": q_ring12_kemeny,
         "ring0_euler_circuit": q_ring0_euler_circuit,
+        "chain30_blossom_matching": q_chain30_blossom_matching,
+        "ring12_fluidc_sizes": q_ring12_fluidc_sizes,
         # ---- 50-query driver cut line ----------------------------------- #
         # -- green in CORRECTNESS_r03 (heavier / flagship first) --------- #
         "supplier_part_idom": q_supplier_part_idom,
@@ -3963,6 +4027,27 @@ rk AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine
 FROM rk WHERE r <= 10"""
+    )
+
+    # Max-weight matching on the 30-node gap-weighted chain: unrolled
+    # interval DP dp_i = max(dp_{i-1}, dp_{i-2} + w_i) over the 29 chain
+    # edges (missing steps no-op via a -1e15 sentinel at tiny sf).
+    _dp_steps = []
+    for i in range(1, 30):
+        _dp_steps.append(
+            f", d{i} AS MATERIALIZED (SELECT GREATEST(d{i-1}.a, d{i-1}.b + "
+            f"COALESCE((SELECT w FROM ew WHERE rn = {i}), -1e15)) AS a, "
+            f"d{i-1}.a AS b FROM d{i-1})"
+        )
+    sqls["chain30_blossom_matching"] = (
+        "WITH ids AS (SELECT c_custkey AS id, ROW_NUMBER() OVER (ORDER BY c_custkey) AS rn "
+        "FROM customer WHERE c_nationkey = (SELECT MIN(c_nationkey) FROM customer) "
+        "ORDER BY c_custkey LIMIT 30), "
+        "ew AS MATERIALIZED (SELECT a.rn AS rn, CAST(b.id - a.id AS DOUBLE) AS w "
+        "FROM ids a JOIN ids b ON b.rn = a.rn + 1), "
+        "d0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b)"
+        + "".join(_dp_steps)
+        + " SELECT ROUND(a + 0, 6) AS matched_weight, CAST(0 AS BIGINT) AS violations FROM d29"
     )
 
     # Euler circuit of the nation-0 ring: forced rank-order walk

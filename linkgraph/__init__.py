@@ -83,6 +83,7 @@ from linkgraph.algos.bipartite import (
 from linkgraph.algos.lpa_variants import (
     asyn_lpa_communities,
     fast_label_propagation_communities,
+    asyn_fluidc,
 )
 from linkgraph.algos.reciprocity import overall_reciprocity, node_reciprocity
 from linkgraph.algos.hits import hits
@@ -150,6 +151,7 @@ from linkgraph.algos.flow import (
     NetworkXUnbounded,
 )
 from linkgraph.algos.distance import (
+    incremental_closeness_centrality,
     eccentricity,
     eccentricity_bounds,
     approximate_diameter,
@@ -217,6 +219,10 @@ from linkgraph.algos.bridges import (
     bridges,
     has_bridges,
     two_edge_connected_components,
+)
+from linkgraph.algos.matching_weight import (
+    max_weight_matching,
+    min_weight_matching,
 )
 from linkgraph.algos.selection import (
     maximal_independent_set,
@@ -376,6 +382,9 @@ __all__ = [
     "articulation_points",
     "maximal_independent_set",
     "maximal_matching",
+    "max_weight_matching",
+    "min_weight_matching",
+    "asyn_fluidc",
     "voterank",
     "dominating_set",
     "s_metric",
@@ -523,6 +532,7 @@ __all__ = [
     "center",
     "periphery",
     "closeness_centrality",
+    "incremental_closeness_centrality",
     "harmonic_centrality",
     "multimodal",
     "read_graphml",

@@ -44,6 +44,7 @@ from linkgraph.graph import SparkGraph
 from linkgraph.iterutils import SuperstepCache
 
 __all__ = [
+    "incremental_closeness_centrality",
     "all_pairs_shortest_path_lengths",
     "closeness_centrality",
     "harmonic_centrality",
@@ -360,3 +361,77 @@ def barycenter(g: SparkGraph) -> DataFrame:
         return sums.filter(F.col("s") == best).select("id")
     finally:
         sums.unpersist()
+
+
+def incremental_closeness_centrality(
+    g: SparkGraph,
+    edge,
+    prev_cc: Optional[DataFrame] = None,
+    insertion: bool = True,
+    *,
+    wf_improved: bool = True,
+) -> DataFrame:
+    """Closeness after inserting/deleting ``edge``, recomputing only the
+    nodes the change can affect — ``closeness.py:142``
+    ``incremental_closeness_centrality`` (Sariyüce et al. 2013 level-based
+    work filtering). Theorem 1: cc[s] is unchanged iff
+    ``|d(s, u) − d(s, v)| ≤ 1``, with d measured before an insertion /
+    after a deletion.
+
+    ``prev_cc`` is a ``(id, closeness)`` DataFrame (e.g. a previous call's
+    output); ``None`` recomputes everything. Like the reference, the input
+    graph is left untouched and the result reflects the modified graph.
+    Undirected unweighted graphs only.
+
+    Distributed shape: two BFS sweeps (u and v, one batched multi-source
+    run) classify nodes; the affected set re-runs through the SAME batched
+    multi-source closeness kernel (each covered source is exact); the
+    unaffected set keeps its previous rows. At 100 TB the affected set is
+    the work bound — exactly the filtering theorem's point.
+    """
+    from linkgraph.exceptions import NetworkXError, NotImplementedForDirected
+
+    if g.directed:
+        raise NotImplementedForDirected(
+            "incremental_closeness_centrality: not implemented for directed type"
+        )
+    u, v = int(edge[0]), int(edge[1])
+    spark = g.spark
+    if prev_cc is not None:
+        ids = g.vertices.select("id")
+        pc = prev_cc.select(F.col(prev_cc.columns[0]).alias("id"))
+        if (
+            ids.join(pc, "id", "left_anti").limit(1).count()
+            or pc.join(ids, "id", "left_anti").limit(1).count()
+        ):
+            raise NetworkXError("prev_cc and G do not have the same nodes")
+
+    pair = spark.createDataFrame([(u, v, 1.0)], "src long, dst long, weight double")
+    if insertion:
+        g2 = g.add_edges(pair)
+        base = g  # distances BEFORE the insertion
+    else:
+        g2 = g.remove_edges(pair.select("src", "dst"))
+        base = g2  # distances AFTER the removal
+
+    if prev_cc is None:
+        return closeness_centrality(g2, wf_improved=wf_improved)
+
+    srcs = spark.createDataFrame([(u,), (v,)], "id long")
+    sp = all_pairs_shortest_path_lengths(base, srcs)
+    du = sp.filter(F.col("source") == u).select("id", F.col("distance").alias("du"))
+    dv = sp.filter(F.col("source") == v).select("id", F.col("distance").alias("dv"))
+    unaffected = (
+        du.join(dv, "id")
+        .filter(F.abs(F.col("du") - F.col("dv")) <= 1)
+        .select("id")
+    )
+    kept = prev_cc.select(
+        F.col(prev_cc.columns[0]).alias("id"),
+        F.col(prev_cc.columns[1]).alias("closeness"),
+    ).join(unaffected, "id", "left_semi")
+    affected = g.vertices.select("id").join(unaffected, "id", "left_anti")
+    recomputed = closeness_centrality(
+        g2, wf_improved=wf_improved, sources=affected
+    ).join(affected, "id", "left_semi")
+    return kept.unionByName(recomputed)

@@ -185,3 +185,50 @@ def test_approximate_diameter_lower_bound_and_tree_exact(spark):
     approx = approximate_diameter(g)
     assert approx <= nx.diameter(G)
     assert approx >= nx.diameter(G) - 1  # empirically tight on these fixtures
+
+
+def test_incremental_closeness_centrality(spark):
+    """Parity with closeness.py:142 — incremental result equals the full
+    recomputation on the modified graph, for insertions and deletions."""
+    import networkx as nx
+    import pytest
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.distance import (
+        closeness_centrality,
+        incremental_closeness_centrality,
+    )
+    from linkgraph.exceptions import NetworkXError
+
+    G = nx.gnp_random_graph(20, 0.15, seed=6)
+    g = from_nx(spark, G)
+    prev = closeness_centrality(g)
+
+    # insertion of a distance-shrinking edge
+    far = nx.periphery(G.subgraph(max(nx.connected_components(G), key=len)))
+    u, v = far[0], far[-1]
+    got = {
+        r["id"]: r["closeness"]
+        for r in incremental_closeness_centrality(g, (u, v), prev).collect()
+    }
+    H = G.copy()
+    H.add_edge(u, v)
+    want = nx.closeness_centrality(H)
+    assert got == pytest.approx(want)
+    # matches nx's own incremental form
+    want_inc = nx.incremental_closeness_centrality(G.copy(), (u, v), nx.closeness_centrality(G))
+    assert got == pytest.approx(want_inc)
+
+    # deletion
+    e = next(iter(G.edges()))
+    got = {
+        r["id"]: r["closeness"]
+        for r in incremental_closeness_centrality(g, e, prev, insertion=False).collect()
+    }
+    H = G.copy()
+    H.remove_edge(*e)
+    assert got == pytest.approx(nx.closeness_centrality(H))
+
+    # prev_cc node mismatch raises
+    bad = prev.filter(prev.id != 0)
+    with pytest.raises(NetworkXError):
+        incremental_closeness_centrality(g, (u, v), bad)
