@@ -143,6 +143,8 @@ from linkgraph.algos.isomorphism import (
     subgraph_matches,
     count_subgraph_matches,
     subgraph_is_isomorphic,
+    is_isomorphic,
+    could_be_isomorphic,
 )
 from linkgraph.algos.flow import (
     maximum_flow,
@@ -518,6 +520,8 @@ __all__ = [
     "subgraph_matches",
     "count_subgraph_matches",
     "subgraph_is_isomorphic",
+    "is_isomorphic",
+    "could_be_isomorphic",
     "simple_cycles",
     "maximum_flow",
     "maximum_flow_value",

@@ -248,3 +248,196 @@ def subgraph_is_isomorphic(
     return (
         subgraph_matches(g, pattern_edges, induced=induced).limit(1).count() > 0
     )
+
+
+def could_be_isomorphic(g1: SparkGraph, g2: SparkGraph) -> bool:
+    """Fast necessary condition — ``isomorphism/isomorph.py:12``
+    ``could_be_isomorphic``: equal sorted (degree, triangle-count,
+    clique-membership?) fingerprints. The reference compares per-node
+    (degree, triangles, maximal-clique count); computing max cliques is
+    exponential, so this twin compares the sorted (degree, triangles)
+    multiset — a strictly weaker certificate than the reference's but
+    fully distributed (two aggregations, no collect): NEVER returns False
+    for isomorphic graphs. Directed graphs compare (in, out) degrees.
+    """
+    from linkgraph.algos.degrees import degrees, in_degrees, out_degrees
+    from linkgraph.algos.triangles import triangles
+
+    if g1.directed != g2.directed:
+        return False
+    if g1.number_of_nodes() != g2.number_of_nodes():
+        return False
+    if g1.number_of_edges() != g2.number_of_edges():
+        return False
+
+    def fingerprint(g):
+        if g.directed:
+            d = (
+                in_degrees(g).withColumnRenamed("degree", "din")
+                .join(out_degrees(g).withColumnRenamed("degree", "dout"), "id")
+                .select(
+                    F.concat_ws("_", F.col("din"), F.col("dout")).alias("fp")
+                )
+            )
+        else:
+            t = triangles(g).select("id", F.col("triangles").alias("t"))
+            d = (
+                degrees(g)
+                .join(t, "id", "left")
+                .select(
+                    F.concat_ws(
+                        "_",
+                        F.col("degree"),
+                        F.coalesce(F.col("t"), F.lit(0)),
+                    ).alias("fp")
+                )
+            )
+        return {
+            (r["fp"], r["n"])
+            for r in d.groupBy("fp").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    return fingerprint(g1) == fingerprint(g2)
+
+
+def _collect_adj_pair(g: SparkGraph, max_driver_edges: int):
+    arcs = (g.edges if g.directed else g.symmetric_edges()).select("src", "dst")
+    m = arcs.count()
+    if m > max_driver_edges:
+        raise ValueError(
+            f"exact isomorphism is a sequential backtracking search; the "
+            f"driver kernel collects the edge list, but {m} arcs > "
+            f"max_driver_edges={max_driver_edges}. Use "
+            "weisfeiler_lehman_graph_hash for a distributed near-certain "
+            "equality probe."
+        )
+    out: dict = {}
+    inn: dict = {}
+    for r in arcs.collect():
+        out.setdefault(r["src"], set()).add(r["dst"])
+        inn.setdefault(r["dst"], set()).add(r["src"])
+    nodes = sorted(r["id"] for r in g.vertices.select("id").collect())
+    return nodes, out, inn
+
+
+def _color_refine(nodes, out, inn, directed, rounds=None):
+    """1-WL color refinement; returns {node: color_int}."""
+    if directed:
+        color = {
+            v: (len(out.get(v, ())), len(inn.get(v, ()))) for v in nodes
+        }
+    else:
+        color = {v: len(out.get(v, ())) for v in nodes}
+    # canonicalize to ints
+    pal = {c: i for i, c in enumerate(sorted(set(color.values())))}
+    color = {v: pal[c] for v, c in color.items()}
+    for _ in range(rounds if rounds is not None else len(nodes)):
+        sig = {}
+        for v in nodes:
+            so = tuple(sorted(color[w] for w in out.get(v, ())))
+            si = (
+                tuple(sorted(color[w] for w in inn.get(v, ())))
+                if directed
+                else ()
+            )
+            sig[v] = (color[v], so, si)
+        pal = {c: i for i, c in enumerate(sorted(set(sig.values())))}
+        new = {v: pal[sig[v]] for v in nodes}
+        if len(set(new.values())) == len(set(color.values())):
+            color = new
+            break
+        color = new
+    return color
+
+
+def is_isomorphic(
+    g1: SparkGraph,
+    g2: SparkGraph,
+    *,
+    max_driver_edges: int = 1_000_000,
+) -> bool:
+    """Exact graph isomorphism — ``isomorphvf2.py`` ``GraphMatcher
+    .is_isomorphic`` semantics for attribute-free graphs. Backtracking
+    (inherently sequential; worst case exponential like the reference's
+    VF2) over WL-color-refined classes on the driver, size-guarded like
+    the DFS family. Candidate order is most-constrained-first (rarest
+    color, then highest degree)."""
+    if g1.directed != g2.directed:
+        return False
+    n1, o1, i1 = _collect_adj_pair(g1, max_driver_edges)
+    n2, o2, i2 = _collect_adj_pair(g2, max_driver_edges)
+    if len(n1) != len(n2):
+        return False
+    m1 = sum(len(s) for s in o1.values())
+    m2 = sum(len(s) for s in o2.values())
+    if m1 != m2:
+        return False
+    directed = g1.directed
+    c1 = _color_refine(n1, o1, i1, directed)
+    c2 = _color_refine(n2, o2, i2, directed)
+    from collections import Counter
+
+    if Counter(c1.values()) != Counter(c2.values()):
+        return False
+
+    by_color2: dict = {}
+    for v, c in c2.items():
+        by_color2.setdefault(c, []).append(v)
+    # most-constrained-first: rarest color class, then largest degree
+    color_size = Counter(c1.values())
+    order = sorted(
+        n1, key=lambda v: (color_size[c1[v]], -len(o1.get(v, ())), v)
+    )
+    mapping: dict = {}
+    used: set = set()
+
+    def consistent(v, w):
+        # all mapped neighbors must correspond exactly (both directions)
+        for x in o1.get(v, ()):
+            if x in mapping and mapping[x] not in o2.get(w, ()):
+                return False
+        for x in i1.get(v, ()):
+            if x in mapping and mapping[x] not in i2.get(w, ()):
+                return False
+        # reverse containment: mapped nodes adjacent to w must have their
+        # preimages adjacent to v
+        for x in o2.get(w, ()):
+            if x in used:
+                pre = _pre[x]
+                if pre not in o1.get(v, ()) and True:
+                    return False
+        for x in i2.get(w, ()):
+            if x in used:
+                pre = _pre[x]
+                if pre not in i1.get(v, ()):
+                    return False
+        return True
+
+    _pre: dict = {}
+
+    def backtrack(k):
+        if k == len(order):
+            return True
+        v = order[k]
+        for w in by_color2.get(c1[v], ()):
+            if w in used:
+                continue
+            if consistent(v, w):
+                mapping[v] = w
+                _pre[w] = v
+                used.add(w)
+                if backtrack(k + 1):
+                    return True
+                used.discard(w)
+                del _pre[w]
+                del mapping[v]
+        return False
+
+    import sys as _sys
+
+    old = _sys.getrecursionlimit()
+    _sys.setrecursionlimit(max(old, len(n1) + 100))
+    try:
+        return backtrack(0)
+    finally:
+        _sys.setrecursionlimit(old)

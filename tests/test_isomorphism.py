@@ -125,3 +125,38 @@ def test_pattern_validation(spark, G):
         subgraph_matches(g, [(0, 0)])
     with pytest.raises(NetworkXError):
         subgraph_matches(g, [])
+
+
+def test_is_isomorphic_exact(spark):
+    """Exact graph isomorphism (driver-gated WL-guided backtracking) vs
+    the reference, including WL-indistinguishable 3-regular pairs."""
+    import random
+
+    import networkx as nx
+    import pytest
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.isomorphism import is_isomorphic, could_be_isomorphic
+
+    rng = random.Random(3)
+    G = nx.gnp_random_graph(14, 0.3, seed=5)
+    H = nx.relabel_nodes(G, dict(zip(G.nodes(), rng.sample(list(G.nodes()), 14))))
+    assert is_isomorphic(from_nx(spark, G), from_nx(spark, H))
+    assert could_be_isomorphic(from_nx(spark, G), from_nx(spark, H))
+
+    # same degree sequence, not isomorphic
+    A, B = nx.cycle_graph(6), nx.disjoint_union(nx.cycle_graph(3), nx.cycle_graph(3))
+    assert not is_isomorphic(from_nx(spark, A), from_nx(spark, B))
+    assert not could_be_isomorphic(from_nx(spark, A), from_nx(spark, B))
+
+    # both 3-regular on 10 nodes / 15 edges — WL colors agree, search must
+    # still separate them
+    P, L = nx.petersen_graph(), nx.circular_ladder_graph(5)
+    assert not is_isomorphic(from_nx(spark, P), from_nx(spark, L))
+
+    # directed
+    D = nx.gnp_random_graph(10, 0.3, seed=2, directed=True)
+    Dp = nx.relabel_nodes(D, dict(zip(D.nodes(), rng.sample(list(D.nodes()), 10))))
+    assert is_isomorphic(from_nx(spark, D), from_nx(spark, Dp))
+
+    with pytest.raises(ValueError, match="max_driver_edges"):
+        is_isomorphic(from_nx(spark, G), from_nx(spark, H), max_driver_edges=2)
