@@ -160,8 +160,10 @@ def q_pagerank_fixed20(spark, sf_dir):
 
 
 def q_chain_lpa_sizes(spark, sf_dir):
-    # Not SQL-expressible (iterative, schedule-dependent): rows-only check;
-    # exact-partition parity vs networkx is pinned in tests/test_lpa.py.
+    # Oracled since r4: the semi-sync Prec-Max schedule is deterministic,
+    # so the oracle replays the coloring (rank%2 on paths) and the sweeps
+    # as unrolled SQL; exact-partition parity vs networkx additionally
+    # pinned in tests/test_lpa.py.
     g = DS.customer_chain_graph(spark, sf_dir)
     labels = label_propagation_communities(g)
     return (
@@ -4027,6 +4029,48 @@ rk AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine
 FROM rk WHERE r <= 10"""
+    )
+
+    # Semi-sync LPA replay on the per-nation chains (upgrades the former
+    # rows-only chain_lpa_sizes): the greedy largest-first coloring on a
+    # path is rank%2 (interior deg-2 nodes color first in ascending-id
+    # order), and the Prec-Max schedule converges in 2 sweeps (verified by
+    # simulation); 4 sweeps are unrolled — extras are no-ops at fixpoint.
+    _lpa_steps = []
+    for t in range(1, 9):
+        ct = (t - 1) % 2
+        _lpa_steps.append(
+            f""",
+f{t} AS MATERIALIZED (
+  SELECT s.src AS id, l.label AS nlab, COUNT(*) AS cnt
+  FROM sym s JOIN l{t-1} l ON l.id = s.dst
+  JOIN col ON col.id = s.src AND col.color = {ct}
+  GROUP BY 1, 2),
+u{t} AS MATERIALIZED (
+  SELECT f.id,
+         CASE WHEN MAX(CASE WHEN f.nlab = l.label THEN 1 ELSE 0 END) = 1
+              THEN ANY_VALUE(l.label) ELSE MAX(f.nlab) END AS label
+  FROM f{t} f
+  JOIN (SELECT id, MAX(cnt) AS mx FROM f{t} GROUP BY id) m
+    ON m.id = f.id AND f.cnt = m.mx
+  JOIN l{t-1} l ON l.id = f.id
+  GROUP BY f.id),
+l{t} AS MATERIALIZED (
+  SELECT l.id, COALESCE(u.label, l.label) AS label
+  FROM l{t-1} l LEFT JOIN u{t} u ON u.id = l.id)"""
+        )
+    sqls["chain_lpa_sizes"] = (
+        """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_nationkey AS nk FROM customer),
+rk AS (SELECT id, nk, ROW_NUMBER() OVER (PARTITION BY nk ORDER BY id) AS rn FROM c),
+e AS (SELECT a.id AS src, b.id AS dst FROM rk a JOIN rk b ON b.nk = a.nk AND b.rn = a.rn + 1),
+sym AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+col AS MATERIALIZED (SELECT id, rn % 2 AS color FROM rk),
+l0 AS MATERIALIZED (SELECT id, id AS label FROM c)"""
+        + "".join(_lpa_steps)
+        + """
+SELECT CAST(sz AS BIGINT) AS size, CAST(COUNT(*) AS BIGINT) AS n_communities
+FROM (SELECT label, COUNT(*) AS sz FROM l8 GROUP BY label)
+GROUP BY sz"""
     )
 
     # Max-weight matching on the 30-node gap-weighted chain: unrolled
