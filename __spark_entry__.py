@@ -2033,6 +2033,111 @@ def q_ring12_kemeny(spark, sf_dir):
     return spark.createDataFrame([(round(k, 6),)], "kemeny double")
 
 
+def q_ring0_incremental_closeness(spark, sf_dir):
+    # Delete the closing arc of the nation-0 ring via
+    # incremental_closeness_centrality (prev = the ring's closeness): the
+    # result is the PATH's closeness, whose closed form per rank r is
+    # (n-1) / [r(r-1)/2 + (n-r)(n-r+1)/2] — the oracle. Exercises the
+    # Sariyüce level-filtering path end-to-end (two BFS classification
+    # sweeps + batched recompute of the affected set only).
+    from linkgraph.algos.distance import (
+        closeness_centrality,
+        incremental_closeness_centrality,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n0 = c.agg(F.min("c_nationkey")).first()[0]
+    ids = c.filter(F.col("c_nationkey") == n0).select(F.col("c_custkey").alias("id"))
+    g = DS.customer_ring_graph(spark, sf_dir).subgraph(ids).undirected_view()
+    hi = ids.agg(F.max("id")).first()[0]
+    lo = ids.agg(F.min("id")).first()[0]
+    prev = closeness_centrality(g)
+    out = incremental_closeness_centrality(g, (hi, lo), prev, insertion=False)
+    return out.select(
+        F.col("id").cast("long"), F.round("closeness", 6).alias("closeness")
+    )
+
+
+def q_mixed_simple_cycles(spark, sf_dir):
+    # Unbounded Johnson enumeration on the mixed ring/chain digraph: the
+    # only simple cycles are the even-nation rings themselves (odd nations
+    # are open chains), each discovered once rooted at its minimum node in
+    # arc direction = ascending custkeys — the closed form the oracle
+    # replays with list() aggregation.
+    from linkgraph.algos.cycles import simple_cycles
+
+    g = DS.mixed_ring_chain_graph(spark, sf_dir)
+    return simple_cycles(g).select("cycle")
+
+
+def q_chain_sssp_weight_expr(spark, sf_dir):
+    # Derived-weight surface (§2.L row 84): Bellman-Ford over the
+    # gap-weighted nation chains with weight EXPRESSION 2*weight + 1 from
+    # the minimum customer of each nation's chain... single source = the
+    # global minimum custkey; distances telescope on its own chain:
+    # d(rank r) = 2*(c_r - c_1) + (r - 1); other chains unreachable.
+    from linkgraph.algos.sssp import weighted_shortest_path_lengths
+
+    g = DS.customer_chain_weighted_graph(spark, sf_dir)
+    src = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .agg(F.min("c_custkey"))
+        .first()[0]
+    )
+    return weighted_shortest_path_lengths(
+        g, [int(src)], weight=F.col("weight") * 2 + 1
+    ).select(F.col("id").cast("long"), F.round("distance", 6).alias("distance"))
+
+
+def q_ring0_isomorphism_probe(spark, sf_dir):
+    # Exact isomorphism (WL-guided driver backtracking): the nation-0 ring
+    # is isomorphic to its relabeled copy (ids shifted into a disjoint
+    # range) and NOT to the equal-size path (the ring minus one edge plus
+    # a pendant) — closed-form booleans.
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.isomorphism import is_isomorphic
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n0 = c.agg(F.min("c_nationkey")).first()[0]
+    ids = c.filter(F.col("c_nationkey") == n0).select(F.col("c_custkey").alias("id"))
+    g = DS.customer_ring_graph(spark, sf_dir).subgraph(ids).undirected_view()
+    off = 10_000_000
+    g_shift = SparkGraph(
+        g.edges.select(
+            (F.col("src") + off).alias("src"), (F.col("dst") + off).alias("dst")
+        ),
+        vertices=ids.select((F.col("id") + off).alias("id")),
+        directed=False,
+        coalesce_edges=False,
+    )
+    # same node/edge count, different structure: drop the closing edge,
+    # hang the freed endpoint off the path interior
+    hi = ids.agg(F.max("id")).first()[0]
+    lo = ids.agg(F.min("id")).first()[0]
+    mid = (
+        ids.filter(~F.col("id").isin(int(hi), int(lo)))
+        .agg(F.min("id"))
+        .first()[0]
+    )
+    path_e = g.edges.filter(
+        ~((F.col("src").isin(int(hi), int(lo))) & (F.col("dst").isin(int(hi), int(lo))))
+    )
+    extra = spark.createDataFrame(
+        [(int(hi), int(mid), 1.0)], "src long, dst long, weight double"
+    )
+    g_path = SparkGraph(
+        path_e.select("src", "dst").unionByName(extra.select("src", "dst")),
+        vertices=ids.select("id"),
+        directed=False,
+        coalesce_edges=False,
+    )
+    iso_copy = is_isomorphic(g, g_shift)
+    iso_path = is_isomorphic(g, g_path)
+    return spark.createDataFrame(
+        [(iso_copy, iso_path)], "iso_relabeled boolean, iso_rewired boolean"
+    )
+
+
 def q_ring12_fluidc_sizes(spark, sf_dir):
     # Fluid communities on the 12-node ring, k=3: rows-only contract (the
     # reference is RNG-scheduled by design; the twin is deterministic for
@@ -2208,6 +2313,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring0_euler_circuit": q_ring0_euler_circuit,
         "chain30_blossom_matching": q_chain30_blossom_matching,
         "ring12_fluidc_sizes": q_ring12_fluidc_sizes,
+        "ring0_incremental_closeness": q_ring0_incremental_closeness,
+        "mixed_simple_cycles": q_mixed_simple_cycles,
+        "chain_sssp_weight_expr": q_chain_sssp_weight_expr,
+        "ring0_isomorphism_probe": q_ring0_isomorphism_probe,
         # ---- 50-query driver cut line ----------------------------------- #
         # -- green in CORRECTNESS_r03 (heavier / flagship first) --------- #
         "supplier_part_idom": q_supplier_part_idom,
@@ -4029,6 +4138,41 @@ rk AS (
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, cosine
 FROM rk WHERE r <= 10"""
+    )
+
+    # Path closeness closed form after deleting the ring's closing edge:
+    # totsp(rank r) = r(r-1)/2 + (n-r)(n-r+1)/2; closeness = (n-1)/totsp
+    # (wf factor is 1: the path is connected).
+    sqls["ring0_incremental_closeness"] = (
+        "WITH ids AS (SELECT CAST(c_custkey AS BIGINT) AS id, "
+        "ROW_NUMBER() OVER (ORDER BY c_custkey) AS r, COUNT(*) OVER () AS n "
+        "FROM customer WHERE c_nationkey = (SELECT MIN(c_nationkey) FROM customer)) "
+        "SELECT id, ROUND((n - 1.0) / "
+        "(r * (r - 1) / 2.0 + (n - r) * (n - r + 1) / 2.0) + 0, 6) AS closeness "
+        "FROM ids"
+    )
+
+    # Johnson cycles on the mixed digraph: exactly one cycle per even
+    # nation — its customers ascending (min-rooted, arc direction).
+    sqls["mixed_simple_cycles"] = (
+        "SELECT list(CAST(c_custkey AS BIGINT) ORDER BY c_custkey) AS cycle "
+        "FROM customer WHERE c_nationkey % 2 = 0 GROUP BY c_nationkey"
+    )
+
+    # Derived-weight Bellman-Ford telescoping: from the global minimum
+    # custkey (nation nk0's chain), d(rank r) = 2*(c_r - c_1) + (r - 1);
+    # other nations' chains are unreachable (absent).
+    sqls["chain_sssp_weight_expr"] = (
+        "WITH s AS (SELECT c_custkey AS c0, c_nationkey AS nk FROM customer "
+        "ORDER BY c_custkey LIMIT 1) "
+        "SELECT CAST(c_custkey AS BIGINT) AS id, "
+        "ROUND(CAST(2.0 * (c_custkey - (SELECT c0 FROM s)) "
+        "+ ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS DOUBLE) + 0, 6) AS distance "
+        "FROM customer WHERE c_nationkey = (SELECT nk FROM s)"
+    )
+
+    sqls["ring0_isomorphism_probe"] = (
+        "SELECT TRUE AS iso_relabeled, FALSE AS iso_rewired"
     )
 
     # Semi-sync LPA replay on the per-nation chains (upgrades the former
