@@ -2138,6 +2138,22 @@ def q_ring0_isomorphism_probe(spark, sf_dir):
     )
 
 
+def q_gen_planarity_probe(spark, sf_dir):
+    # is_planar (Demoucron kernel) on two generated fixtures: the 6x8
+    # grid (planar) and K6 (not) — closed-form booleans. Sits first past
+    # the 50-query window; pytest parity covers it this round.
+    from linkgraph import generators as GEN
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.planarity import is_planar
+
+    grid = GEN.grid_2d_graph(spark, 6, 8)
+    k6 = GEN.complete_graph(spark, 6)
+    return spark.createDataFrame(
+        [(is_planar(grid), is_planar(k6))],
+        "grid_planar boolean, k6_planar boolean",
+    )
+
+
 def q_ring12_fluidc_sizes(spark, sf_dir):
     # Fluid communities on the 12-node ring, k=3: rows-only contract (the
     # reference is RNG-scheduled by design; the twin is deterministic for
@@ -2318,6 +2334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_sssp_weight_expr": q_chain_sssp_weight_expr,
         "ring0_isomorphism_probe": q_ring0_isomorphism_probe,
         # ---- 50-query driver cut line ----------------------------------- #
+        # round-4 additions past the window (first in line for round 5)
+        "gen_planarity_probe": q_gen_planarity_probe,
         # -- green in CORRECTNESS_r03 (heavier / flagship first) --------- #
         "supplier_part_idom": q_supplier_part_idom,
         "supplier_part_dom_frontiers": q_supplier_part_dom_frontiers,
@@ -4173,6 +4191,10 @@ FROM rk WHERE r <= 10"""
 
     sqls["ring0_isomorphism_probe"] = (
         "SELECT TRUE AS iso_relabeled, FALSE AS iso_rewired"
+    )
+
+    sqls["gen_planarity_probe"] = (
+        "SELECT TRUE AS grid_planar, FALSE AS k6_planar"
     )
 
     # Semi-sync LPA replay on the per-nation chains (upgrades the former

@@ -233,6 +233,7 @@ from linkgraph.algos.selection import (
     dominating_set,
     min_vertex_cover_approx,
 )
+from linkgraph.algos.planarity import is_planar
 from linkgraph.algos.tournament import is_tournament, score_sequence
 from linkgraph.algos.degrees import s_metric, laplacian_centrality
 from linkgraph.algos.assortativity import (
@@ -484,6 +485,7 @@ __all__ = [
     "weisfeiler_lehman_subgraph_hashes",
     "min_vertex_cover_approx",
     "is_tournament",
+    "is_planar",
     "score_sequence",
     "attribute_mixing",
     "degree_mixing",
