@@ -333,6 +333,8 @@ from linkgraph.algos.assortativity import attribute_mixing, degree_mixing
 from linkgraph.algos.currentflow import (
     current_flow_closeness_centrality,
     information_centrality,
+    current_flow_betweenness_centrality,
+    edge_current_flow_betweenness_centrality,
     kemeny_constant,
 )
 from linkgraph.algos.dfs import (
@@ -447,6 +449,8 @@ __all__ = [
     "dfs_postorder_nodes",
     "dfs_labeled_edges",
     "current_flow_closeness_centrality",
+    "current_flow_betweenness_centrality",
+    "edge_current_flow_betweenness_centrality",
     "information_centrality",
     "kemeny_constant",
     "is_d_separator",

@@ -43,6 +43,8 @@ from linkgraph.iterutils import SuperstepCache
 __all__ = [
     "current_flow_closeness_centrality",
     "information_centrality",
+    "current_flow_betweenness_centrality",
+    "edge_current_flow_betweenness_centrality",
     "kemeny_constant",
 ]
 
@@ -300,3 +302,187 @@ def kemeny_constant(
     degs.unpersist()
     scale.unpersist()
     return float(k)
+
+
+def _lplus_columns(g: SparkGraph, weight, tol, max_iter):
+    """All L⁺ columns as (s, id, x) via the batched CG (x(s,·) = L⁺ e_s),
+    plus the conductance arc table. Shared by the closeness and
+    betweenness forms."""
+    spark = g.spark
+    n = g.number_of_nodes()
+    arcs = _weighted_arcs(g, weight).persist()
+    deg = arcs.groupBy(F.col("src").alias("id")).agg(F.sum("c").alias("d")).persist()
+    ids = g.vertices.select("id")
+    rhs = (
+        ids.select(F.col("id").alias("s"))
+        .crossJoin(ids)
+        .select(
+            "s",
+            "id",
+            (
+                F.when(F.col("s") == F.col("id"), 1.0).otherwise(0.0)
+                - F.lit(1.0 / n)
+            ).alias("b"),
+        )
+    )
+    sol = _batched_cg_diag(spark, ids, arcs, deg, rhs, tol=tol, max_iter=max_iter)
+    return sol, arcs, deg
+
+
+def current_flow_betweenness_centrality(
+    g: SparkGraph,
+    *,
+    normalized: bool = True,
+    weight: Optional[str] = None,
+    tol: float = 1e-10,
+    max_iter: int = 2000,
+) -> DataFrame:
+    """(id, betweenness): current-flow (= random-walk) betweenness
+    (``current_flow_betweenness.py:171``; Brandes–Fleischer / Newman).
+    Per canonical edge e=(u<w), the flow row F_e(i) = c_e(L⁺_{u,i} −
+    L⁺_{w,i}) accumulates (i − pos_i)F_e(i) onto u and
+    (N − i − 1 − pos_i)F_e(i) onto w, pos the descending rank; final
+    value (b_v − i_v)·2/nb. The formula is ordering-invariant (verified
+    in tests); node indices here are ascending-id dense ranks.
+
+    Distributed shape: n batched CG solves (shared with
+    :func:`current_flow_closeness_centrality`), then one m×n flow table,
+    one per-edge window rank, two aggregations — no dense matrix ever
+    materializes; the CG batch width is the scale lever."""
+    from pyspark.sql import Window
+
+    if g.directed:
+        raise NotImplementedForDirected(
+            "current_flow_betweenness_centrality: not implemented for directed type"
+        )
+    from linkgraph.algos.components import is_connected
+
+    if not is_connected(g):
+        raise NetworkXError("Graph not connected.")
+    n = g.number_of_nodes()
+    if n < 3:
+        return g.vertices.select("id", F.lit(0.0).alias("betweenness"))
+    sol, arcs, deg = _lplus_columns(g, weight, tol, max_iter)
+    idx = g.vertices.select(
+        "id", (F.dense_rank().over(Window.orderBy("id")) - 1).alias("ix")
+    ).persist()
+    edges = (
+        arcs.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("w"), "c")
+    )
+    fe = (
+        edges.join(
+            sol.select(F.col("s"), F.col("id").alias("u"), F.col("x").alias("xu")),
+            "u",
+        )
+        .join(
+            sol.select(F.col("s"), F.col("id").alias("w"), F.col("x").alias("xw")),
+            ["s", "w"],
+        )
+        .select(
+            "u",
+            "w",
+            F.col("s").alias("i"),
+            (F.col("c") * (F.col("xu") - F.col("xw"))).alias("f"),
+        )
+        .join(idx.select(F.col("id").alias("i"), "ix"), "i")
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("u", "w").orderBy(F.desc("f"), F.asc("i"))
+    ) - 1
+    fe = fe.withColumn("pos", pos)
+    per_edge = fe.groupBy("u", "w").agg(
+        F.sum((F.col("ix") - F.col("pos")) * F.col("f")).alias("bs"),
+        F.sum(
+            (F.lit(n) - F.col("ix") - 1 - F.col("pos")) * F.col("f")
+        ).alias("bt"),
+    )
+    acc = (
+        per_edge.select(F.col("u").alias("id"), F.col("bs").alias("b"))
+        .unionByName(per_edge.select(F.col("w").alias("id"), F.col("bt").alias("b")))
+        .groupBy("id")
+        .agg(F.sum("b").alias("b"))
+    )
+    nb = (n - 1.0) * (n - 2.0) if normalized else 2.0
+    out = (
+        idx.join(acc, "id", "left")
+        .select(
+            "id",
+            (
+                (F.coalesce("b", F.lit(0.0)) - F.col("ix")) * 2.0 / F.lit(nb)
+            ).alias("betweenness"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    arcs.unpersist()
+    deg.unpersist()
+    idx.unpersist()
+    return out
+
+
+def edge_current_flow_betweenness_centrality(
+    g: SparkGraph,
+    *,
+    normalized: bool = True,
+    weight: Optional[str] = None,
+    tol: float = 1e-10,
+    max_iter: int = 2000,
+) -> DataFrame:
+    """(src, dst, betweenness) for canonical ``src < dst`` edges —
+    ``current_flow_betweenness.py`` ``edge_current_flow_betweenness_
+    centrality``: b(e) = Σ_i (N + 1 − 2·pos1_i)·F_e(i) / nb with pos1 the
+    1-based descending rank (the reference's two per-i terms collapse to
+    this — the i-dependence cancels)."""
+    from pyspark.sql import Window
+
+    if g.directed:
+        raise NotImplementedForDirected(
+            "edge_current_flow_betweenness_centrality: not implemented for directed type"
+        )
+    from linkgraph.algos.components import is_connected
+
+    if not is_connected(g):
+        raise NetworkXError("Graph not connected.")
+    n = g.number_of_nodes()
+    sol, arcs, deg = _lplus_columns(g, weight, tol, max_iter)
+    edges = (
+        arcs.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("w"), "c")
+    )
+    fe = (
+        edges.join(
+            sol.select(F.col("s"), F.col("id").alias("u"), F.col("x").alias("xu")),
+            "u",
+        )
+        .join(
+            sol.select(F.col("s"), F.col("id").alias("w"), F.col("x").alias("xw")),
+            ["s", "w"],
+        )
+        .select(
+            "u",
+            "w",
+            F.col("s").alias("i"),
+            (F.col("c") * (F.col("xu") - F.col("xw"))).alias("f"),
+        )
+    )
+    pos1 = F.row_number().over(
+        Window.partitionBy("u", "w").orderBy(F.desc("f"), F.asc("i"))
+    )
+    nb = (n - 1.0) * (n - 2.0) if normalized else 2.0
+    out = (
+        fe.withColumn("pos1", pos1)
+        .groupBy("u", "w")
+        .agg(
+            (
+                F.sum((F.lit(n + 1) - 2 * F.col("pos1")) * F.col("f"))
+                / F.lit(nb)
+            ).alias("betweenness")
+        )
+        .select(
+            F.col("u").alias("src"), F.col("w").alias("dst"), "betweenness"
+        )
+        .localCheckpoint(eager=True)
+    )
+    arcs.unpersist()
+    deg.unpersist()
+    return out

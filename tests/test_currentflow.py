@@ -102,3 +102,71 @@ def test_currentflow_guards(spark):
         current_flow_closeness_centrality(disc)
     with pytest.raises(NetworkXError):
         kemeny_constant(disc)
+
+
+def _dense_cfb(G, weighted=False, normalized=True):
+    nodes = sorted(G.nodes())
+    N = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((N, N))
+    for u, v in G.edges():
+        w = G[u][v].get("weight", 1.0) if weighted else 1.0
+        A[idx[u], idx[v]] = A[idx[v], idx[u]] = w
+    Lp = np.linalg.pinv(np.diag(A.sum(1)) - A)
+    b = np.zeros(N)
+    eb = {}
+    for u, v in sorted(sorted((idx[a], idx[c])) for a, c in G.edges()):
+        c = A[u, v]
+        row = c * (Lp[u] - Lp[v])
+        pos = np.empty(N, dtype=int)
+        pos[np.argsort(row)[::-1]] = np.arange(N)
+        for i in range(N):
+            b[u] += (i - pos[i]) * row[i]
+            b[v] += (N - i - 1 - pos[i]) * row[i]
+        eb[(nodes[u], nodes[v])] = sum(
+            (N + 1 - 2 * (pos[i] + 1)) * row[i] for i in range(N)
+        )
+    nb = (N - 1.0) * (N - 2.0) if normalized else 2.0
+    return (
+        {nodes[i]: (b[i] - i) * 2.0 / nb for i in range(N)},
+        {e: w / nb for e, w in eb.items()},
+    )
+
+
+@pytest.mark.parametrize(
+    "G", [nx.balanced_tree(2, 3), nx.cycle_graph(8), nx.gnp_random_graph(14, 0.3, seed=7)]
+)
+def test_cf_betweenness_matches_dense_reference_formula(spark, G):
+    from linkgraph.algos.currentflow import (
+        current_flow_betweenness_centrality,
+        edge_current_flow_betweenness_centrality,
+    )
+
+    g = from_nx(spark, G)
+    got = {
+        r["id"]: r["betweenness"]
+        for r in current_flow_betweenness_centrality(g).collect()
+    }
+    want, ewant = _dense_cfb(G)
+    assert got == pytest.approx(want, abs=1e-8)
+    egot = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_current_flow_betweenness_centrality(g).collect()
+    }
+    assert egot == pytest.approx(
+        {(min(u, v), max(u, v)): w for (u, v), w in ewant.items()}, abs=1e-8
+    )
+
+
+def test_cf_betweenness_tree_equals_shortest_path(spark):
+    # Newman 2005: on trees, current flows only along the unique path, so
+    # current-flow betweenness == shortest-path betweenness exactly.
+    from linkgraph.algos.currentflow import current_flow_betweenness_centrality
+
+    T = nx.balanced_tree(3, 2)
+    g = from_nx(spark, T)
+    got = {
+        r["id"]: r["betweenness"]
+        for r in current_flow_betweenness_centrality(g).collect()
+    }
+    assert got == pytest.approx(nx.betweenness_centrality(T, normalized=True))
