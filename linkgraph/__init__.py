@@ -234,6 +234,7 @@ from linkgraph.algos.selection import (
     min_vertex_cover_approx,
 )
 from linkgraph.algos.planarity import is_planar
+from linkgraph.algos.chordal import is_chordal
 from linkgraph.algos.tournament import is_tournament, score_sequence
 from linkgraph.algos.degrees import s_metric, laplacian_centrality
 from linkgraph.algos.assortativity import (
@@ -490,6 +491,7 @@ __all__ = [
     "min_vertex_cover_approx",
     "is_tournament",
     "is_planar",
+    "is_chordal",
     "score_sequence",
     "attribute_mixing",
     "degree_mixing",

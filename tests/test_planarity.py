@@ -54,3 +54,27 @@ def test_is_planar_guard(spark):
     g = from_nx(spark, nx.cycle_graph(9))
     with pytest.raises(ValueError, match="max_driver_edges"):
         is_planar(g, max_driver_edges=2)
+
+
+def test_is_chordal_parity(spark):
+    """MCS chordality vs the reference (chordal.py)."""
+    from linkgraph.algos.chordal import is_chordal
+    from linkgraph.exceptions import NotImplementedForDirected
+
+    cases = [
+        (nx.cycle_graph(4), False),
+        (nx.cycle_graph(5), False),
+        (nx.complete_graph(6), True),
+        (nx.balanced_tree(2, 3), True),
+        (nx.Graph([(0, 1), (1, 2), (2, 0), (0, 3), (3, 2)]), True),
+    ]
+    rng = random.Random(2)
+    for _ in range(4):
+        G = nx.gnp_random_graph(12, 0.4, seed=rng.randint(0, 10**6))
+        cases.append((G, nx.is_chordal(G)))
+    for G, want in cases:
+        assert is_chordal(from_nx(spark, G)) == want
+    with pytest.raises(NotImplementedForDirected):
+        is_chordal(from_nx(spark, nx.DiGraph([(0, 1)])))
+    with pytest.raises(ValueError, match="max_driver_edges"):
+        is_chordal(from_nx(spark, nx.complete_graph(6)), max_driver_edges=2)
