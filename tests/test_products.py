@@ -141,3 +141,44 @@ def test_power_validation(spark):
     g = from_nx(spark, nx.path_graph(3))
     with _pytest.raises(ValueError):
         power(g, 0)
+
+
+def test_power_parity(spark):
+    """nx.power twin (product.py): edges join nodes at distance <= k."""
+    import networkx as nx
+    import pytest
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.products import power
+
+    def edge_set(sg):
+        return {
+            (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+            for r in sg.edges.collect()
+        }
+
+    for G in (nx.path_graph(8), nx.gnp_random_graph(10, 0.25, seed=3)):
+        for k in (1, 2, 3):
+            assert edge_set(power(from_nx(spark, G), k)) == {
+                (min(u, v), max(u, v)) for u, v in nx.power(G, k).edges()
+            }
+    with pytest.raises(ValueError):
+        power(from_nx(spark, nx.path_graph(3)), 0)
+
+
+def test_modular_product_parity(spark):
+    import networkx as nx
+    from linkgraph.graph import from_nx
+    from linkgraph.algos.products import modular_product
+
+    G1, G2 = nx.path_graph(4), nx.cycle_graph(3)
+    sg = modular_product(from_nx(spark, G1), from_nx(spark, G2))
+    stride = 3
+    want = {
+        tuple(sorted((u[0] * stride + u[1], v[0] * stride + v[1])))
+        for u, v in nx.modular_product(G1, G2).edges()
+    }
+    got = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in sg.edges.collect()
+    }
+    assert got == want
