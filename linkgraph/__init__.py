@@ -345,6 +345,15 @@ from linkgraph.algos.dfs import (
     dfs_postorder_nodes,
     dfs_labeled_edges,
 )
+from linkgraph.algos.spectral import (
+    communicability,
+    communicability_exp,
+    subgraph_centrality,
+    subgraph_centrality_exp,
+    estrada_index,
+    second_order_centrality,
+    communicability_betweenness_centrality,
+)
 
 __version__ = "0.1.0"
 
@@ -454,6 +463,13 @@ __all__ = [
     "edge_current_flow_betweenness_centrality",
     "information_centrality",
     "kemeny_constant",
+    "communicability",
+    "communicability_exp",
+    "subgraph_centrality",
+    "subgraph_centrality_exp",
+    "estrada_index",
+    "second_order_centrality",
+    "communicability_betweenness_centrality",
     "is_d_separator",
     "find_minimal_d_separator",
     "densest_subgraph",
