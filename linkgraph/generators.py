@@ -269,3 +269,117 @@ def watts_strogatz_graph(
     return SparkGraph(
         e, vertices=_vertices(spark, n), directed=False, coalesce_edges=False
     )
+
+
+def house_graph(spark: SparkSession, *, with_x: bool = False) -> SparkGraph:
+    """``networkx/generators/small.py`` ``house_graph`` — the 5-node house
+    (square 0-1-3-2 plus roof apex 4); ``with_x=True`` adds the two square
+    diagonals (``house_x_graph``). Fixed published fixture; tiny by
+    definition, so a driver literal list is the right plan."""
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    if with_x:
+        edges += [(0, 3), (1, 2)]
+    e = spark.createDataFrame(
+        [(int(u), int(v), 1.0) for u, v in sorted(edges)],
+        "src long, dst long, weight double",
+    )
+    return SparkGraph(e, vertices=_vertices(spark, 5), directed=False,
+                      coalesce_edges=False)
+
+
+#: Zachary's karate club (W. W. Zachary, "An information flow model for
+#: conflict and fission in small groups", J. Anthropol. Res. 33, 452-473,
+#: 1977) — the published 78-edge dataset, node-for-node the reference's
+#: ``networkx/generators/social.py:16`` fixture.
+_KARATE_EDGES = [
+    (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (0, 8),
+    (0, 10), (0, 11), (0, 12), (0, 13), (0, 17), (0, 19), (0, 21),
+    (0, 31), (1, 2), (1, 3), (1, 7), (1, 13), (1, 17), (1, 19), (1, 21),
+    (1, 30), (2, 3), (2, 7), (2, 8), (2, 9), (2, 13), (2, 27), (2, 28),
+    (2, 32), (3, 7), (3, 12), (3, 13), (4, 6), (4, 10), (5, 6), (5, 10),
+    (5, 16), (6, 16), (8, 30), (8, 32), (8, 33), (9, 33), (13, 33),
+    (14, 32), (14, 33), (15, 32), (15, 33), (18, 32), (18, 33), (19, 33),
+    (20, 32), (20, 33), (22, 32), (22, 33), (23, 25), (23, 27), (23, 29),
+    (23, 32), (23, 33), (24, 25), (24, 27), (24, 31), (25, 31), (26, 29),
+    (26, 33), (27, 33), (28, 31), (28, 33), (29, 32), (29, 33), (30, 32),
+    (30, 33), (31, 32), (31, 33), (32, 33),
+]
+
+#: Mr. Hi's faction after the split (every other member sided with the
+#: Officer) — the reference's ``club`` node attribute.
+_KARATE_MR_HI = {0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 16, 17, 19, 21}
+
+
+def karate_club_graph(spark: SparkSession) -> SparkGraph:
+    """``networkx/generators/social.py:16`` — Zachary's karate club, the
+    reference's canonical 34-node community fixture, with the ``club``
+    vertex attribute column ('Mr. Hi' / 'Officer')."""
+    e = spark.createDataFrame(
+        [(int(u), int(v), 1.0) for u, v in _KARATE_EDGES],
+        "src long, dst long, weight double",
+    )
+    v = spark.createDataFrame(
+        [(i, "Mr. Hi" if i in _KARATE_MR_HI else "Officer") for i in range(34)],
+        "id long, club string",
+    )
+    return SparkGraph(e, vertices=v, directed=False, coalesce_edges=False)
+
+
+def powerlaw_cluster_graph(
+    spark: SparkSession, n: int, m: int, p: float, seed: int = 0
+) -> SparkGraph:
+    """Holme–Kim powerlaw-with-clustering (``random_graphs.py:1008``):
+    BA preferential attachment where each extra draw, with probability
+    ``p``, closes a triangle with a neighbor of the previous draw's target
+    instead of attaching preferentially.
+
+    Distributed twin of the sequential urn, built on the same static-
+    sampling shortcut as :func:`barabasi_albert_graph` (draw j of node t is
+    ``⌊t·u²⌋``, density ∝ expected degree): because every BA target is a
+    pure hash function of (seed, node, j), the triangle-closing neighbor
+    needs NO join — draw j's triad partner is target(prev_target, j'') for
+    a hash-chosen j'', computable in one expression. Each draw row is
+    independent, so the whole graph is one ``spark.range`` scan; clustering
+    rises with p exactly as in the reference (pinned statistically in
+    tests). Seed nodes (< m) have no BA draws to close against, so their
+    triad coins fall back to a preferential draw, like the reference's
+    repeat-rejection fallback."""
+    n, m = int(n), int(m)
+    if m < 1 or m >= n:
+        raise ValueError(f"NetworkXError must have m>1 and m<n, m={m},n={n}")
+    if p > 1 or p < 0:
+        raise ValueError(f"NetworkXError p must be in [0,1], p={p}")
+
+    def _u(salt, *cols):
+        return (
+            F.pmod(F.xxhash64(F.lit(int(seed) + salt), *cols), F.lit(2**32))
+            / F.lit(float(2**32))
+        )
+
+    draws = (
+        spark.range(m, n)
+        .select(F.col("id").alias("t"))
+        .crossJoin(spark.range(m).select(F.col("id").alias("j")))
+    )
+    u = _u(0, "t", "j")
+    pa_target = F.floor(F.col("t") * u * u).cast("long")
+    # previous draw's PA target (j-1 for j>0; j=0 is always a pure PA draw)
+    u_prev = _u(0, "t", (F.col("j") - 1).cast("long"))
+    prev_target = F.floor(F.col("t") * u_prev * u_prev).cast("long")
+    # triad partner: one of prev_target's own BA draws, j'' hash-uniform
+    jj = F.pmod(F.xxhash64(F.lit(int(seed) + 1), "t", "j"), F.lit(m)).cast("long")
+    u_nbr = _u(0, prev_target, jj)
+    triad_target = F.floor(prev_target * u_nbr * u_nbr).cast("long")
+    coin = _u(2, "t", "j")
+    dst = F.when(
+        (F.col("j") > 0) & (coin < F.lit(float(p))) & (prev_target >= F.lit(m)),
+        triad_target,
+    ).otherwise(pa_target)
+    e = (
+        draws.select(F.col("t").alias("src"), dst.alias("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return SparkGraph(
+        e, vertices=_vertices(spark, n), directed=False, coalesce_edges=False
+    )

@@ -193,3 +193,58 @@ def test_watts_strogatz_rewired(spark):
     g2 = watts_strogatz_graph(spark, 100, 6, 0.3, seed=7)
     got2 = {(r["src"], r["dst"]) for r in g2.edges.select("src", "dst").collect()}
     assert got == got2
+
+
+def test_house_graph_matches_nx(spark):
+    g = GEN.house_graph(spark)
+    G = nx.house_graph()
+    assert _nodes(g) == set(G.nodes())
+    assert _edges(g) == {(min(u, v), max(u, v)) for u, v in G.edges()}
+    gx = GEN.house_graph(spark, with_x=True)
+    GX = nx.house_x_graph()
+    assert {(min(u, v), max(u, v)) for u, v in _edges(gx)} == {
+        (min(u, v), max(u, v)) for u, v in GX.edges()
+    }
+
+
+def test_karate_club_matches_nx(spark):
+    g = GEN.karate_club_graph(spark)
+    G = nx.karate_club_graph()
+    assert _nodes(g) == set(G.nodes())
+    assert _edges(g) == {(min(u, v), max(u, v)) for u, v in G.edges()}
+    clubs = {r["id"]: r["club"] for r in g.vertices.collect()}
+    assert clubs == {n: d["club"] for n, d in G.nodes(data=True)}
+
+
+def test_powerlaw_cluster_graph(spark):
+    import linkgraph
+
+    n, m = 400, 3
+    g0 = GEN.powerlaw_cluster_graph(spark, n, m, 0.0, seed=7)
+    # p=0 degenerates to the BA static-sampling graph
+    ba = GEN.barabasi_albert_graph(spark, n, m, seed=7)
+    assert _edges(g0) == _edges(ba)
+
+    gp = GEN.powerlaw_cluster_graph(spark, n, m, 0.9, seed=7)
+    # connectivity: every node reaches node 0 (draw j=0 is always PA)
+    comps = linkgraph.connected_components(gp)
+    assert comps.select("component").distinct().count() == 1
+    # clustering must rise substantially with p, like the Holme-Kim model
+    c0 = linkgraph.average_clustering(g0)
+    cp = linkgraph.average_clustering(gp)
+    assert cp > c0 * 1.5
+    # same magnitude as the reference model at the same (n, m, p)
+    C = nx.average_clustering(nx.powerlaw_cluster_graph(n, m, 0.9, seed=7))
+    assert 0.3 * C < cp < 3.0 * C
+    # hub skew retained: max degree far above the median
+    degs = sorted(
+        r["degree"] for r in linkgraph.degrees(gp).select("degree").collect()
+    )
+    assert degs[-1] > 6 * degs[len(degs) // 2]
+
+
+def test_powerlaw_cluster_validation(spark):
+    with pytest.raises(ValueError):
+        GEN.powerlaw_cluster_graph(spark, 5, 5, 0.5)
+    with pytest.raises(ValueError):
+        GEN.powerlaw_cluster_graph(spark, 5, 2, 1.5)
