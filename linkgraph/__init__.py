@@ -345,6 +345,7 @@ from linkgraph.algos.dfs import (
     dfs_postorder_nodes,
     dfs_labeled_edges,
 )
+from linkgraph.algos.coloring import greedy_color
 from linkgraph.algos.spectral import (
     communicability,
     communicability_exp,
@@ -463,6 +464,7 @@ __all__ = [
     "edge_current_flow_betweenness_centrality",
     "information_centrality",
     "kemeny_constant",
+    "greedy_color",
     "communicability",
     "communicability_exp",
     "subgraph_centrality",
