@@ -185,6 +185,9 @@ from linkgraph.algos.sssp import (
     single_source_weighted_path_length,
     bellman_ford_path_lengths,
     all_pairs_bellman_ford_path_lengths,
+    floyd_warshall,
+    astar_path,
+    astar_path_length,
     has_path,
     NegativeCycleError,
 )
@@ -505,6 +508,9 @@ __all__ = [
     "within_inter_cluster",
     "common_neighbor_centrality",
     "all_pairs_bellman_ford_path_lengths",
+    "floyd_warshall",
+    "astar_path",
+    "astar_path_length",
     "weisfeiler_lehman_subgraph_hashes",
     "min_vertex_cover_approx",
     "is_tournament",

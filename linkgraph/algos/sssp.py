@@ -297,6 +297,7 @@ def all_pairs_bellman_ford_path_lengths(
     g: SparkGraph,
     sources=None,
     *,
+    weight=None,
     max_rounds: Optional[int] = None,
 ) -> DataFrame:
     """Per-source weighted shortest-path lengths: ``(source BIGINT,
@@ -312,11 +313,12 @@ def all_pairs_bellman_ford_path_lengths(
     Unreachable pairs are absent; raises :class:`NegativeCycleError` after
     n rounds of continued improvement, like the single-source form.
     """
+    from linkgraph.graph import resolve_weight_column
+
     spark = g.spark
-    adj = (
-        g.symmetric_edges().select("src", "dst", "weight")
-        if not g.directed
-        else g.edges.select("src", "dst", "weight")
+    base = g.symmetric_edges() if not g.directed else g.edges
+    adj = base.select(
+        "src", "dst", resolve_weight_column(base, weight).alias("weight")
     ).persist()
     if sources is None:
         src_df = g.vertices.select(F.col("id").alias("source"))
@@ -376,3 +378,130 @@ def all_pairs_bellman_ford_path_lengths(
     adj.unpersist()
     cache.close(keep_result=True)
     return dist
+
+
+def floyd_warshall(g: SparkGraph, *, weight=None, sources=None) -> DataFrame:
+    """(src, dst, distance): all-pairs weighted shortest-path lengths —
+    the reference's ``floyd_warshall`` (``shortest_paths/dense.py:18``).
+
+    The reference's triple loop is O(n³) DENSE dynamic programming with an
+    n² matrix on one machine; the engine computes the identical values
+    with the batched per-source Bellman–Ford fixpoint
+    (:func:`all_pairs_bellman_ford_path_lengths`) — O(diameter) join
+    rounds over (source, id) state, which is the shuffle-parallel plan and
+    strictly less work on sparse graphs. Differences from the reference's
+    dict-of-dicts, both engine-wide conventions: unreachable pairs are
+    ABSENT instead of ``inf`` (the diagonal ``(v, v, 0.0)`` is present),
+    and a negative cycle raises :class:`NegativeCycleError` where the
+    reference silently returns wrong distances. Negative edge WEIGHTS are
+    fine, like the reference. ``sources`` restricts the row space (the
+    landmark valve at scale); ``weight`` takes a column/SQL expression."""
+    out = all_pairs_bellman_ford_path_lengths(g, sources, weight=weight)
+    return out.select(
+        F.col("source").alias("src"), F.col("id").alias("dst"), "distance"
+    )
+
+
+def _astar(
+    g: SparkGraph, source, target, heuristic, weight, max_driver_edges: int
+):
+    """Textbook A* on a driver-collected weighted arc list (size-guarded).
+
+    The reference (``astar.py:22``) is a sequential heap walk whose pop
+    order is the algorithm itself — no join form exists; same driver-gate
+    pattern as the DFS family. Weight resolves Spark-side (column / SQL
+    expression / Column), so expression weights work identically to the
+    distributed paths."""
+    import heapq
+    from itertools import count
+
+    from linkgraph.exceptions import NetworkXError
+    from linkgraph.graph import resolve_weight_column
+
+    base = g.symmetric_edges() if not g.directed else g.edges
+    arcs = base.select(
+        "src", "dst", resolve_weight_column(base, weight).alias("w")
+    )
+    m = arcs.count()
+    if m > max_driver_edges:
+        raise NetworkXError(
+            f"astar_path pop order is sequential by definition; {m} arcs > "
+            f"max_driver_edges={max_driver_edges}. Use "
+            "weighted_shortest_path_lengths (distributed) for lengths."
+        )
+    adj: dict[int, list[tuple[int, float]]] = {}
+    nodes = {r["id"] for r in g.vertices.select("id").collect()}
+    source, target = int(source), int(target)
+    if source not in nodes or target not in nodes:
+        raise NetworkXError(
+            f"Either source {source} or target {target} is not in G"
+        )
+    for r in arcs.collect():
+        adj.setdefault(r["src"], []).append((r["dst"], float(r["w"])))
+    h = heuristic if heuristic is not None else (lambda u, v: 0.0)
+
+    c = count()
+    queue = [(0.0, next(c), source, 0.0, None)]
+    enqueued: dict[int, tuple[float, float]] = {}
+    explored: dict[int, Optional[int]] = {}
+    while queue:
+        _, _, cur, dist, parent = heapq.heappop(queue)
+        if cur == target:
+            path = [cur]
+            p = parent
+            while p is not None:
+                path.append(p)
+                p = explored[p]
+            path.reverse()
+            return path, dist
+        if cur in explored:
+            if explored[cur] is None:
+                continue
+            qcost, hval = enqueued[cur]
+            if qcost < dist:
+                continue
+        explored[cur] = parent
+        for nbr, w in adj.get(cur, ()):
+            ncost = dist + w
+            if nbr in enqueued:
+                qcost, hval = enqueued[nbr]
+                if qcost <= ncost:
+                    continue
+            else:
+                hval = h(nbr, target)
+            enqueued[nbr] = ncost, hval
+            heapq.heappush(queue, (ncost + hval, next(c), nbr, ncost, cur))
+    raise NetworkXError(f"Node {target} not reachable from {source}")
+
+
+def astar_path(
+    g: SparkGraph,
+    source,
+    target,
+    heuristic=None,
+    *,
+    weight=None,
+    max_driver_edges: int = 5_000_000,
+) -> DataFrame:
+    """(order, id): nodes of a minimum-weight source→target path under an
+    admissible ``heuristic(u, target)`` (``astar.py:22`` ``astar_path``) —
+    identical path cost to the reference; tie paths may differ by heap
+    order, so tests pin the COST, the endpoints, and edge validity."""
+    path, _ = _astar(g, source, target, heuristic, weight, max_driver_edges)
+    return g.spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(path)], "order int, id bigint"
+    )
+
+
+def astar_path_length(
+    g: SparkGraph,
+    source,
+    target,
+    heuristic=None,
+    *,
+    weight=None,
+    max_driver_edges: int = 5_000_000,
+) -> float:
+    """``astar.py:160`` ``astar_path_length`` — the cost of the A* path."""
+    _, dist = _astar(g, source, target, heuristic, weight, max_driver_edges)
+    return float(dist)
