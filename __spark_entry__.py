@@ -2273,6 +2273,89 @@ def q_copurchase_greedy_modularity(spark, sf_dir):
     )
 
 
+
+def q_chain_floyd_warshall(spark, sf_dir):
+    # floyd_warshall over the gap-weighted chains, landmark-sliced to one
+    # source per nation: values equal the batched APSP kernel's (the public
+    # API delegates), telescoping to custkey - min(custkey) per nation.
+    from linkgraph.algos.sssp import floyd_warshall
+
+    g = DS.customer_chain_weighted_graph(spark, sf_dir)
+    landmarks = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .groupBy("c_nationkey")
+        .agg(F.min("c_custkey").alias("id"))
+        .select("id")
+    )
+    return floyd_warshall(g, sources=landmarks).select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.round("distance", 6).alias("distance"),
+    )
+
+
+def q_chain_astar_cost(spark, sf_dir):
+    # A* between the min and max custkey of the smallest nation's chain:
+    # the optimal cost telescopes to max - min and the path visits every
+    # customer of that nation exactly once (the chain IS the only path).
+    from linkgraph.algos.sssp import astar_path, astar_path_length
+
+    g = DS.customer_chain_weighted_graph(spark, sf_dir)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n0 = c.agg(F.min("c_nationkey")).first()[0]
+    row = c.filter(F.col("c_nationkey") == n0).agg(
+        F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi")
+    ).first()
+    s, t = int(row["lo"]), int(row["hi"])
+
+    def h(u, target):  # admissible: remaining gap can never exceed the cost
+        return float(abs(target - u))
+
+    cost = astar_path_length(g, s, t, heuristic=h)
+    hops = astar_path(g, s, t, heuristic=h).count()
+    return spark.createDataFrame(
+        [(round(cost, 6), int(hops))], "cost double, path_nodes long"
+    )
+
+
+def q_nation_ring_global_cut(spark, sf_dir):
+    # Whole-graph edge connectivity and the Stoer-Wagner global min cut of
+    # the 25-node nation ring: every cut of a cycle removes >= 2 edges and
+    # any 2 adjacent-arc removals realize it, so lambda = cut value = 2 and
+    # the two sides partition all nations.
+    from linkgraph.algos.flow import edge_connectivity, stoer_wagner
+    from linkgraph.graph import SparkGraph
+    from pyspark.sql import Window
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    w = Window.orderBy("n_nationkey")
+    ranked = n.select(F.col("n_nationkey").alias("src"),
+                      F.lead("n_nationkey").over(w).alias("dst"))
+    lo_hi = n.agg(F.min("n_nationkey").alias("lo"), F.max("n_nationkey").alias("hi")).first()
+    wrap = spark.createDataFrame([(int(lo_hi["hi"]), int(lo_hi["lo"]))], "src long, dst long")
+    ring = ranked.filter(F.col("dst").isNotNull()).unionByName(wrap)
+    g = SparkGraph(ring, vertices=n.select(F.col("n_nationkey").alias("id")),
+                   directed=False, coalesce_edges=False)
+    lam = edge_connectivity(g)
+    value, (a, b) = stoer_wagner(g)
+    return spark.createDataFrame(
+        [(int(lam), float(value), len(a) + len(b))],
+        "edge_conn long, min_cut double, n_nodes long",
+    )
+
+
+def q_chain_greedy_color(spark, sf_dir):
+    # greedy_color (largest_first) on the per-nation chains has a closed
+    # form the oracle replays: interiors (degree 2) are colored first in
+    # ascending custkey order and alternate 0/1 within each chain; the two
+    # degree-1 endpoints then take the smallest color their single already-
+    # colored neighbor leaves free.
+    from linkgraph.algos.coloring import greedy_color
+
+    g = DS.customer_chain_graph(spark, sf_dir)
+    return greedy_color(g).select(F.col("id").cast("long"), F.col("color").cast("int"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver checks the first ~50 entries, so new or
     # not-yet-driver-verified operators come FIRST; entries already green in
@@ -2281,6 +2364,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-checked (judge-oracle-green r03; promote per
         #    VERDICT r03 next-round #1 so CORRECTNESS_r04 records them) --- #
+        # -- new in the round-4 continuation ------------------------- #
+        "chain_floyd_warshall": q_chain_floyd_warshall,
+        "chain_astar_cost": q_chain_astar_cost,
+        "nation_ring_global_cut": q_nation_ring_global_cut,
+        "chain_greedy_color": q_chain_greedy_color,
         "copurchase_cut_measures": q_copurchase_cut_measures,
         "copurchase_partition_quality": q_copurchase_partition_quality,
         "hierarchy_trophic_levels": q_hierarchy_trophic_levels,
@@ -3194,6 +3282,32 @@ def oracle_sql() -> dict[str, str]:
     )
     # Landmark weighted APSP on gap-weighted chains: telescoping closed
     # form distance(source=nation-min, c) = c - min.
+    sqls["chain_floyd_warshall"] = (
+        "WITH mn AS (SELECT c_nationkey, MIN(c_custkey) AS m FROM customer GROUP BY 1) "
+        "SELECT CAST(mn.m AS BIGINT) AS src, CAST(c.c_custkey AS BIGINT) AS dst, "
+        "ROUND(CAST(c.c_custkey - mn.m AS DOUBLE), 6) AS distance "
+        "FROM customer c JOIN mn ON mn.c_nationkey = c.c_nationkey"
+    )
+    sqls["chain_astar_cost"] = (
+        "WITH n0 AS (SELECT MIN(c_nationkey) AS k FROM customer) "
+        "SELECT ROUND(CAST(MAX(c_custkey) - MIN(c_custkey) AS DOUBLE), 6) AS cost, "
+        "CAST(COUNT(*) AS BIGINT) AS path_nodes "
+        "FROM customer WHERE c_nationkey = (SELECT k FROM n0)"
+    )
+    sqls["nation_ring_global_cut"] = (
+        "SELECT CAST(2 AS BIGINT) AS edge_conn, CAST(2.0 AS DOUBLE) AS min_cut, "
+        "CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nation"
+    )
+    sqls["chain_greedy_color"] = (
+        "WITH ranked AS (SELECT c_custkey, c_nationkey, "
+        "ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn, "
+        "COUNT(*) OVER (PARTITION BY c_nationkey) AS n FROM customer) "
+        "SELECT CAST(c_custkey AS BIGINT) AS id, CAST(CASE "
+        "WHEN n = 1 THEN 0 "
+        "WHEN rn = 1 THEN CASE WHEN n = 2 THEN 0 ELSE 1 END "
+        "WHEN rn = n THEN CASE WHEN n = 2 THEN 1 WHEN n % 2 = 0 THEN 0 ELSE 1 END "
+        "ELSE (rn - 2) % 2 END AS INTEGER) AS color FROM ranked"
+    )
     sqls["chain_apsp_weighted"] = (
         "WITH mn AS (SELECT c_nationkey, MIN(c_custkey) AS m FROM customer GROUP BY 1) "
         "SELECT CAST(mn.m AS BIGINT) AS source, CAST(c.c_custkey AS BIGINT) AS id, "

@@ -257,7 +257,7 @@ from linkgraph.algos.tree import (
     is_branching,
     is_arborescence,
 )
-from linkgraph.algos.flow import edge_connectivity, node_connectivity
+from linkgraph.algos.flow import edge_connectivity, node_connectivity, stoer_wagner
 from linkgraph.algos.triads import triadic_census
 from linkgraph.algos.dominance import (
     immediate_dominators,
@@ -468,6 +468,7 @@ __all__ = [
     "information_centrality",
     "kemeny_constant",
     "greedy_color",
+    "stoer_wagner",
     "communicability",
     "communicability_exp",
     "subgraph_centrality",

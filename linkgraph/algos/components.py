@@ -201,14 +201,6 @@ def number_connected_components(g: SparkGraph, **kwargs) -> int:
     )
 
 
-def is_connected(g: SparkGraph, **kwargs) -> bool:
-    """``connected.py:153``."""
-    n = g.number_of_nodes()
-    if n == 0:
-        raise ValueError("Connectivity is undefined for the null graph")
-    return number_connected_components(g, **kwargs) == 1
-
-
 def component_sizes(g: SparkGraph, **kwargs) -> DataFrame:
     """DataFrame (component, size) — the distributed stand-in for
     ``[len(c) for c in connected_components(G)]``."""

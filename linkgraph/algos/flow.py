@@ -372,10 +372,48 @@ def minimum_cut(
     return value, (reachable, rest)
 
 
-def edge_connectivity(g: SparkGraph, s: int, t: int) -> int:
-    """Local edge connectivity λ(s, t): minimum number of edges separating
-    t from s (``networkx/algorithms/connectivity/connectivity.py:364``) —
-    max-flow with unit capacities (Menger)."""
+def edge_connectivity(g: SparkGraph, s: int = None, t: int = None) -> int:
+    """Edge connectivity (``networkx/algorithms/connectivity/connectivity.py:364``).
+
+    With (s, t): local λ(s, t) — minimum number of edges separating t
+    from s, via max-flow with unit capacities (Menger). With neither:
+    whole-graph λ(G):
+
+    - undirected: driver-gated Stoer–Wagner on unit weights (see
+      :func:`stoer_wagner` — exact, zero flow calls, O(n·m) driver work
+      under the size guard; the reference's own whole-graph form also
+      runs a driver-sized loop of flow computations);
+    - directed: Even's cyclic scheme — λ(G) = min over consecutive pairs
+      (vᵢ, vᵢ₊₁ mod n) in any fixed node order of λ(vᵢ, vᵢ₊₁), each a
+      distributed Dinitz run (any cut has some consecutive pair
+      straddling it). n flow calls, the reference's own cost class
+      (``connectivity.py:459``); 0 when not strongly connected.
+    """
+    if (s is None) != (t is None):
+        raise ValueError("Both source and target must be specified.")
+    if s is None:
+        from linkgraph.algos.components import is_connected
+        from linkgraph.algos.strongly_connected import is_strongly_connected
+
+        if g.number_of_nodes() < 2:
+            raise ValueError(
+                "Expected a graph with at least two nodes"
+            )
+        if g.directed:
+            if not is_strongly_connected(g):
+                return 0
+            ids = sorted(r["id"] for r in g.vertices.select("id").collect())
+            lam = None
+            for u, v in zip(ids, ids[1:] + ids[:1]):
+                cur = edge_connectivity(g, u, v)
+                lam = cur if lam is None else min(lam, cur)
+                if lam == 0:
+                    break
+            return int(lam)
+        if not is_connected(g):
+            return 0
+        value, _ = stoer_wagner(g, weight=None, _unit=True)
+        return int(round(value))
     unit = SparkGraph(
         g.edges.select("src", "dst", F.lit(1.0).alias("capacity")),
         g.vertices.select("id"),
@@ -385,10 +423,18 @@ def edge_connectivity(g: SparkGraph, s: int, t: int) -> int:
     return int(round(maximum_flow_value(unit, s, t, "capacity")))
 
 
-def node_connectivity(g: SparkGraph, s: int, t: int) -> int:
-    """Local node connectivity κ(s, t): minimum number of nodes (besides
-    s, t) separating them (``connectivity.py:53``); raises when s and t
-    are adjacent, like the reference.
+def node_connectivity(g: SparkGraph, s: int = None, t: int = None) -> int:
+    """Node connectivity (``connectivity.py:53`` local form, ``:206``
+    whole-graph form).
+
+    With (s, t): local κ(s, t) — minimum number of nodes (besides s, t)
+    separating them; raises when s and t are adjacent, like the
+    reference. With neither: whole-graph κ(G) by the reference's own
+    schedule — fix a minimum-degree node v, take the min of κ(v, w) over
+    non-neighbors w and κ(x, y) over non-adjacent neighbor pairs of v
+    (both directions when directed) — each a distributed Dinitz run on
+    the split graph; O(deg(v)² + n) flow calls, the identical cost class
+    the reference pays. 0 when not (strongly) connected.
 
     Standard vertex-splitting reduction onto the same distributed
     Edmonds-Karp: node v becomes v_in → v_out with capacity 1 (∞ for s
@@ -396,6 +442,10 @@ def node_connectivity(g: SparkGraph, s: int, t: int) -> int:
     u_out → v_in at capacity n (both directions when undirected); κ(s,t)
     is the max-flow from s_out to t_in.
     """
+    if (s is None) != (t is None):
+        raise ValueError("Both source and target must be specified.")
+    if s is None:
+        return _global_node_connectivity(g)
     adjacent = not (
         g.symmetric_edges()
         .filter((F.col("src") == s) & (F.col("dst") == t))
@@ -424,3 +474,178 @@ def node_connectivity(g: SparkGraph, s: int, t: int) -> int:
         cross.unionByName(internal), directed=True, coalesce_edges=False
     )
     return int(round(maximum_flow_value(split, int(s) * 2 + 1, int(t) * 2, "capacity")))
+
+
+def _global_node_connectivity(g: SparkGraph) -> int:
+    """Whole-graph κ(G) — the reference's minimum-degree-pivot schedule
+    (``connectivity.py:206``)."""
+    from linkgraph.algos.components import is_connected
+    from linkgraph.algos.strongly_connected import is_strongly_connected
+
+    n = g.number_of_nodes()
+    if n < 2:
+        raise ValueError("Expected a graph with at least two nodes")
+    if g.directed:
+        if not is_strongly_connected(g):
+            return 0
+    elif not is_connected(g):
+        return 0
+
+    sym = g.symmetric_edges().select("src", "dst").distinct()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    v = deg.orderBy("deg", "id").first()
+    pivot, kappa = int(v["id"]), int(v["deg"])
+
+    out_nbrs = {
+        r["dst"]
+        for r in (g.edges if g.directed else sym)
+        .filter(F.col("src") == pivot)
+        .select("dst")
+        .collect()
+    }
+    in_nbrs = (
+        {
+            r["src"]
+            for r in g.edges.filter(F.col("dst") == pivot).select("src").collect()
+        }
+        if g.directed
+        else out_nbrs
+    )
+    ids = sorted(r["id"] for r in g.vertices.select("id").collect())
+    adj_pairs = {
+        (r["src"], r["dst"]) for r in sym.collect()
+    }  # membership probe set for neighbor-pair adjacency
+
+    # κ(pivot, w) for every non-successor w; κ(w, pivot) for every
+    # non-predecessor w (directed covers both orientations)
+    for w in ids:
+        if kappa <= 1:
+            break
+        if w != pivot and w not in out_nbrs:
+            kappa = min(kappa, node_connectivity(g, pivot, w))
+    if g.directed:
+        for w in ids:
+            if kappa <= 1:
+                break
+            if w != pivot and w not in in_nbrs:
+                kappa = min(kappa, node_connectivity(g, w, pivot))
+    # non-adjacent pairs among the pivot's neighbors
+    nbrs = sorted(out_nbrs | in_nbrs)
+    for i, x in enumerate(nbrs):
+        if kappa <= 1:
+            break
+        for y in nbrs[i + 1 :]:
+            if (x, y) not in adj_pairs:
+                kappa = min(kappa, node_connectivity(g, x, y))
+                if kappa <= 1:
+                    break
+    return int(kappa)
+
+
+def stoer_wagner(
+    g: SparkGraph,
+    *,
+    weight=None,
+    max_driver_edges: int = 5_000_000,
+    _unit: bool = False,
+) -> Tuple[float, Tuple[list, list]]:
+    """(cut_value, (partition, rest)): the global minimum weighted edge
+    cut of a connected undirected graph — Stoer–Wagner maximum-adjacency
+    search (``networkx/algorithms/connectivity/stoerwagner.py:14``).
+
+    Each of the n−1 phases grows an ordering by repeatedly absorbing the
+    most-connected remaining node, then contracts the last two — a
+    sequential dependence with no join form (like DFS), so the kernel is
+    driver-gated under a size guard; values are exact, not approximate.
+    ``weight`` accepts a column/SQL expression; ``_unit=True`` forces
+    unit weights (the whole-graph :func:`edge_connectivity` path)."""
+    import heapq
+    from itertools import count
+
+    from linkgraph.graph import resolve_weight_column
+
+    if g.directed:
+        from linkgraph.exceptions import NetworkXError
+
+        raise NetworkXError("stoer_wagner: not implemented for directed type")
+    from linkgraph.algos.components import is_connected
+
+    n = g.number_of_nodes()
+    if n < 2:
+        raise ValueError("graph has less than two nodes.")
+    if not is_connected(g):
+        raise ValueError("graph is not connected.")
+
+    base = g.edges
+    wcol = (
+        F.lit(1.0)
+        if _unit
+        else resolve_weight_column(base, weight)
+    )
+    arcs = base.select("src", "dst", wcol.alias("w")).filter(
+        F.col("src") != F.col("dst")
+    )
+    m = arcs.count()
+    if m > max_driver_edges:
+        from linkgraph.exceptions import NetworkXError
+
+        raise NetworkXError(
+            f"stoer_wagner phases are sequential by definition; {m} edges "
+            f"> max_driver_edges={max_driver_edges}."
+        )
+    adj: dict[int, dict[int, float]] = {}
+    for r in arcs.collect():
+        u, v, w = int(r["src"]), int(r["dst"]), float(r["w"])
+        if w < 0:
+            raise ValueError("graph has a negative-weighted edge.")
+        adj.setdefault(u, {})[v] = adj.setdefault(u, {}).get(v, 0.0) + w
+        adj.setdefault(v, {})[u] = adj.setdefault(v, {}).get(u, 0.0) + w
+    for r in g.vertices.select("id").collect():
+        adj.setdefault(int(r["id"]), {})
+
+    # contraction tracking: each supernode owns a set of original ids
+    groups = {u: [u] for u in adj}
+    best_value, best_group = float("inf"), None
+    tie = count()
+    while len(adj) > 1:
+        # maximum-adjacency search from the smallest id (determinism rule)
+        start = min(adj)
+        seen = {start}
+        conn = {}  # candidate -> total weight into seen
+        heap = []
+        for v, w in adj[start].items():
+            conn[v] = w
+            heapq.heappush(heap, (-w, next(tie), v))
+        order = [start]
+        while len(seen) < len(adj):
+            while True:
+                negw, _, u = heapq.heappop(heap)
+                if u not in seen and conn.get(u) == -negw:
+                    break
+            seen.add(u)
+            order.append(u)
+            for v, w in adj[u].items():
+                if v not in seen:
+                    conn[v] = conn.get(v, 0.0) + w
+                    heapq.heappush(heap, (-conn[v], next(tie), v))
+        s, t = order[-2], order[-1]
+        cut_of_phase = sum(adj[t].values())
+        if cut_of_phase < best_value:
+            best_value = cut_of_phase
+            best_group = list(groups[t])
+        # contract t into s
+        for v, w in adj[t].items():
+            if v != s:
+                adj[v][s] = adj[v].get(s, 0.0) + w
+                adj[s][v] = adj[s].get(v, 0.0) + w
+            del adj[v][t]
+        del adj[t]
+        groups[s].extend(groups[t])
+        del groups[t]
+
+    part = sorted(best_group)
+    part_set = set(part)
+    rest = sorted(u for u in groups[next(iter(groups))] if u not in part_set)
+    return float(best_value), (part, rest)
