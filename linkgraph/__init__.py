@@ -348,6 +348,12 @@ from linkgraph.algos.dfs import (
     dfs_postorder_nodes,
     dfs_labeled_edges,
 )
+from linkgraph.algos.approximation import (
+    diameter_2sweep,
+    randomized_partitioning,
+    one_exchange,
+    greedy_tsp,
+)
 from linkgraph.algos.coloring import greedy_color
 from linkgraph.algos.spectral import (
     communicability,
@@ -469,6 +475,10 @@ __all__ = [
     "kemeny_constant",
     "greedy_color",
     "stoer_wagner",
+    "diameter_2sweep",
+    "randomized_partitioning",
+    "one_exchange",
+    "greedy_tsp",
     "communicability",
     "communicability_exp",
     "subgraph_centrality",

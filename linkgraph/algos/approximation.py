@@ -1,0 +1,221 @@
+"""Approximation / heuristic algorithms.
+
+Reference: ``networkx/algorithms/approximation/`` —
+``distance_measures.py:13`` ``diameter`` (2-sweep), ``maxcut.py:13``
+``randomized_partitioning`` / ``:60`` ``one_exchange``,
+``traveling_salesman.py:316`` ``greedy_tsp``.
+
+Split per the engine's standard rule:
+
+- ``diameter`` is two frontier-BFS passes — fully distributed (the same
+  superstep kernel as every BFS-family operator), no driver collection.
+- ``randomized_partitioning`` is one hash-coin column expression plus one
+  aggregate — embarrassingly parallel.
+- ``one_exchange`` (sequential local search: each accepted flip changes
+  the gain of every neighbor) and ``greedy_tsp`` (a sequential nearest-
+  neighbor walk) have no join form; driver-gated under size guards,
+  exactly the cost class the reference pays.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from linkgraph.exceptions import NetworkXError
+from linkgraph.graph import SparkGraph
+
+__all__ = [
+    "diameter_2sweep",
+    "randomized_partitioning",
+    "one_exchange",
+    "greedy_tsp",
+]
+
+
+def diameter_2sweep(g: SparkGraph, *, start=None) -> int:
+    """Lower bound on the diameter by the 2-sweep heuristic
+    (``approximation/distance_measures.py:13``): BFS from a start node,
+    then BFS from the farthest node found; the second eccentricity is the
+    bound (exact on trees, and in practice on most real graphs — the
+    reference makes the same claim). Directed graphs run the reference's
+    double sweep (forward + backward eccentricities).
+
+    Deterministic where the reference draws a random start: ``start=None``
+    uses the minimum node id. Raises on an empty or non-(strongly-)
+    connected graph, like the reference's ``ValueError``. Two (four when
+    directed) distributed BFS passes — no driver collection; this IS the
+    scale path for "how wide is the 100 TB crawl graph".
+    """
+    from linkgraph.algos.setops import shortest_path_lengths
+
+    n = g.number_of_nodes()
+    if n == 0:
+        raise NetworkXError("Expected non-empty NetworkX graph!")
+    if start is None:
+        start = g.vertices.agg(F.min("id")).first()[0]
+
+    def _sweep(graph: SparkGraph, source) -> tuple[int, int]:
+        d = shortest_path_lengths(graph, [int(source)])
+        if d.count() < graph.number_of_nodes():
+            raise NetworkXError("DiGraph not strongly connected."
+                                if graph.directed else "Graph not connected.")
+        far = d.orderBy(F.desc("distance"), "id").first()
+        return int(far["id"]), int(far["distance"])
+
+    if not g.directed:
+        v, _ = _sweep(g, start)
+        _, ecc = _sweep(g, v)
+        return ecc
+    # directed 2-dsweep: forward sweep picks a, backward eccentricity of a
+    rev = g.reverse() if hasattr(g, "reverse") else SparkGraph(
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        vertices=g.vertices.select("id"),
+        directed=True,
+        coalesce_edges=False,
+    )
+    a, _ = _sweep(g, start)
+    _, ecc_b = _sweep(rev, a)
+    b, _ = _sweep(rev, start)
+    _, ecc_f = _sweep(g, b)
+    return max(ecc_b, ecc_f)
+
+
+def randomized_partitioning(
+    g: SparkGraph, *, seed: int = 0, p: float = 0.5, weight=None
+) -> tuple[float, DataFrame]:
+    """(cut_size, (id, side)): each node joins side 1 independently with
+    probability p via the hash coin (``maxcut.py:13``). One column
+    expression + one aggregate — the distributed twin of the reference's
+    per-node ``random() < p``; expected cut = 2p(1−p)·total weight."""
+    from linkgraph.graph import resolve_weight_column
+
+    coin = (
+        F.pmod(F.xxhash64(F.lit(int(seed)), F.col("id")), F.lit(2**32))
+        / F.lit(float(2**32))
+    )
+    sides = g.vertices.select(
+        "id", (coin < F.lit(float(p))).cast("int").alias("side")
+    ).localCheckpoint(eager=True)
+    base = g.edges
+    wcol = resolve_weight_column(base, weight)
+    cut = (
+        base.select("src", "dst", wcol.alias("w"))
+        .join(sides.withColumnRenamed("id", "src").withColumnRenamed("side", "s1"), "src")
+        .join(sides.withColumnRenamed("id", "dst").withColumnRenamed("side", "s2"), "dst")
+        .filter(F.col("s1") != F.col("s2"))
+        .agg(F.sum("w"))
+        .first()[0]
+    )
+    return float(cut or 0.0), sides
+
+
+def one_exchange(
+    g: SparkGraph,
+    *,
+    seed: int = 0,
+    weight=None,
+    max_driver_edges: int = 5_000_000,
+) -> tuple[float, DataFrame]:
+    """(cut_size, (id, side)): 1-exchange local-search maxcut
+    (``maxcut.py:60``) — start from the hash-coin partition and flip any
+    node whose flip increases the cut until none does. Each accepted flip
+    re-prices every neighbor, a sequential dependence with no join form —
+    driver-gated; the local-optimum INVARIANT (no single flip improves) is
+    what tests pin, the reference's own guarantee."""
+    from linkgraph.graph import resolve_weight_column
+
+    base = g.edges
+    wcol = resolve_weight_column(base, weight)
+    arcs = base.select("src", "dst", wcol.alias("w")).filter(
+        F.col("src") != F.col("dst")
+    )
+    m = arcs.count()
+    if m > max_driver_edges:
+        raise NetworkXError(
+            f"one_exchange local search is sequential; {m} edges > "
+            f"max_driver_edges={max_driver_edges}. Use "
+            "randomized_partitioning (distributed) at scale."
+        )
+    adj: dict[int, dict[int, float]] = {}
+    for r in arcs.collect():
+        u, v, w = int(r["src"]), int(r["dst"]), float(r["w"])
+        adj.setdefault(u, {})[v] = adj.setdefault(u, {}).get(v, 0.0) + w
+        adj.setdefault(v, {})[u] = adj.setdefault(v, {}).get(u, 0.0) + w
+    ids = sorted(int(r["id"]) for r in g.vertices.select("id").collect())
+    rng_side = {
+        i: int(
+            (hash((seed, i)) & 0xFFFFFFFF) / 2**32 < 0.5
+        )
+        for i in ids
+    }
+    improved = True
+    while improved:
+        improved = False
+        for u in ids:
+            gain = 0.0
+            for v, w in adj.get(u, {}).items():
+                gain += w if rng_side[v] == rng_side[u] else -w
+            if gain > 0:
+                rng_side[u] = 1 - rng_side[u]
+                improved = True
+    cut = sum(
+        w
+        for u, nbrs in adj.items()
+        for v, w in nbrs.items()
+        if u < v and rng_side[u] != rng_side[v]
+    )
+    sides = g.spark.createDataFrame(
+        [(i, rng_side[i]) for i in ids], "id bigint, side int"
+    )
+    return float(cut), sides
+
+
+def greedy_tsp(
+    g: SparkGraph,
+    *,
+    weight=None,
+    source=None,
+    max_driver_edges: int = 5_000_000,
+) -> DataFrame:
+    """(order, id): nearest-neighbor TSP cycle over a COMPLETE weighted
+    graph (``traveling_salesman.py:316`` ``greedy_tsp``): from the source,
+    repeatedly hop to the cheapest unvisited node, then return. The walk
+    is sequential by definition — driver-gated; identical cycle to the
+    reference when edge weights are pairwise distinct (ties: ascending
+    node id, the engine's determinism rule). Raises on incomplete
+    graphs, like the reference."""
+    from linkgraph.graph import resolve_weight_column
+
+    base = g.symmetric_edges() if not g.directed else g.edges
+    arcs = base.select(
+        "src", "dst", resolve_weight_column(base, weight).alias("w")
+    ).filter(F.col("src") != F.col("dst"))
+    m = arcs.count()
+    if m > max_driver_edges:
+        raise NetworkXError(
+            f"greedy_tsp walk is sequential; {m} arcs > "
+            f"max_driver_edges={max_driver_edges}."
+        )
+    adj: dict[int, dict[int, float]] = {}
+    for r in arcs.collect():
+        adj.setdefault(int(r["src"]), {})[int(r["dst"])] = float(r["w"])
+    ids = sorted(int(r["id"]) for r in g.vertices.select("id").collect())
+    n = len(ids)
+    if any(len(adj.get(u, {})) < n - 1 for u in ids):
+        raise NetworkXError("G must be a complete graph.")
+    cur = int(source) if source is not None else ids[0]
+    if cur not in set(ids):
+        raise NetworkXError(f"source {cur} not in G")
+    cycle = [cur]
+    unvisited = set(ids) - {cur}
+    while unvisited:
+        nxt = min(unvisited, key=lambda v: (adj[cur][v], v))
+        cycle.append(nxt)
+        unvisited.remove(nxt)
+        cur = nxt
+    cycle.append(cycle[0])
+    return g.spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cycle)], "order int, id bigint"
+    )

@@ -1,0 +1,116 @@
+"""Approximation-module parity/invariants vs the reference."""
+
+from __future__ import annotations
+
+import random
+
+import networkx as nx
+import pytest
+
+import linkgraph
+from linkgraph.exceptions import NetworkXError
+from linkgraph.graph import SparkGraph
+
+
+def _graph(spark, G, directed=False, weighted=False):
+    if weighted:
+        rows = [
+            (int(u), int(v), float(d["weight"])) for u, v, d in G.edges(data=True)
+        ]
+        schema = "src long, dst long, weight double"
+    else:
+        rows = [(int(u), int(v)) for u, v in G.edges()]
+        schema = "src long, dst long"
+    e = spark.createDataFrame(rows, schema)
+    return SparkGraph(
+        e,
+        vertices=spark.createDataFrame([(int(n),) for n in G.nodes()], "id long"),
+        directed=directed,
+    )
+
+
+def test_diameter_2sweep_exact_on_trees_and_cycles(spark):
+    for G in [
+        nx.path_graph(9),                 # diameter 8, 2-sweep exact on trees
+        nx.random_labeled_tree(20, seed=3),
+        nx.cycle_graph(10),               # diameter 5
+        nx.star_graph(6),                 # diameter 2
+    ]:
+        got = linkgraph.diameter_2sweep(_graph(spark, G))
+        true = nx.diameter(G)
+        assert got == true, G  # 2-sweep is exact on these families
+
+
+def test_diameter_2sweep_is_valid_lower_bound(spark):
+    G = nx.gnp_random_graph(40, 0.12, seed=7)
+    G = G.subgraph(max(nx.connected_components(G), key=len)).copy()
+    G = nx.convert_node_labels_to_integers(G)
+    got = linkgraph.diameter_2sweep(_graph(spark, G))
+    true = nx.diameter(G)
+    assert true / 2 <= got <= true  # the reference's own guarantee
+
+
+def test_diameter_2sweep_directed_and_errors(spark):
+    D = nx.cycle_graph(8, create_using=nx.DiGraph)
+    assert linkgraph.diameter_2sweep(_graph(spark, D, directed=True)) == 7
+    with pytest.raises(NetworkXError):
+        linkgraph.diameter_2sweep(
+            _graph(spark, nx.union(nx.path_graph(2), nx.path_graph([5, 6])))
+        )
+    with pytest.raises(NetworkXError):
+        linkgraph.diameter_2sweep(
+            _graph(spark, nx.path_graph(3, create_using=nx.DiGraph), directed=True)
+        )
+
+
+def test_randomized_partitioning_invariants(spark):
+    G = nx.gnp_random_graph(60, 0.2, seed=9)
+    g = _graph(spark, G)
+    cut, sides = linkgraph.randomized_partitioning(g, seed=5)
+    d = {r["id"]: r["side"] for r in sides.collect()}
+    assert set(d) == set(G.nodes()) and set(d.values()) <= {0, 1}
+    want = sum(1.0 for u, v in G.edges() if d[u] != d[v])
+    assert cut == pytest.approx(want)
+    # expected cut is m/2; a seeded draw should be in a generous band
+    assert 0.3 * G.number_of_edges() < cut < 0.7 * G.number_of_edges()
+
+
+def test_one_exchange_local_optimum(spark):
+    rng = random.Random(2)
+    G = nx.gnp_random_graph(25, 0.3, seed=2)
+    for u, v in G.edges():
+        G[u][v]["weight"] = float(rng.randint(1, 9))
+    g = _graph(spark, G, weighted=True)
+    cut, sides = linkgraph.one_exchange(g)
+    d = {r["id"]: r["side"] for r in sides.collect()}
+    want = sum(dd["weight"] for u, v, dd in G.edges(data=True) if d[u] != d[v])
+    assert cut == pytest.approx(want)
+    # defining invariant: no single flip improves the cut
+    for u in G.nodes():
+        gain = sum(
+            dd["weight"] * (1 if d[u] == d[v] else -1)
+            for _, v, dd in G.edges(u, data=True)
+        )
+        assert gain <= 1e-9, u
+    # at least as good as the reference's randomized start local optimum class:
+    ref_cut, _ = nx.algorithms.approximation.one_exchange(G, seed=2)
+    assert cut >= 0.8 * ref_cut
+
+
+def test_greedy_tsp_matches_nx(spark):
+    rng = random.Random(6)
+    n = 9
+    G = nx.complete_graph(n)
+    used = set()
+    for u, v in G.edges():
+        w = rng.randint(1, 500)
+        while w in used:  # distinct weights -> deterministic greedy
+            w = rng.randint(1, 500)
+        used.add(w)
+        G[u][v]["weight"] = float(w)
+    g = _graph(spark, G, weighted=True)
+    path = [r["id"] for r in linkgraph.greedy_tsp(g).orderBy("order").collect()]
+    want = nx.algorithms.approximation.greedy_tsp(G, source=0)
+    assert path == want
+    with pytest.raises(NetworkXError):
+        linkgraph.greedy_tsp(_graph(spark, nx.path_graph(4)))  # incomplete
