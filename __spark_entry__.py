@@ -241,9 +241,12 @@ def q_hits_top20(spark, sf_dir):
     from linkgraph.algos.hits import hits
 
     g = DS.supplier_part_graph(spark, sf_dir)
+    # order by the ROUNDED value: at display precision the two engines
+    # agree exactly, where the raw floats differ in ulps (summation order)
+    # and would shuffle ids inside rounded-tie groups at small SF
     return (
         hits(g, fixed_iter=20)
-        .orderBy(F.desc("authority"), "id")
+        .orderBy(F.desc(F.round("authority", 8)), "id")
         .limit(20)
         .select("id", F.round("authority", 8).alias("authority"))
     )
@@ -2768,7 +2771,7 @@ a{k} AS MATERIALIZED (
 SELECT CAST(id AS BIGINT) AS id,
        ROUND(a / (SELECT SUM(a) FROM a{iters}), 8) AS authority
 FROM a{iters}
-ORDER BY a / (SELECT SUM(a) FROM a{iters}) DESC, id
+ORDER BY ROUND(a / (SELECT SUM(a) FROM a{iters}), 8) DESC, id
 LIMIT 20"""
     return head + "".join(its) + tail
 
