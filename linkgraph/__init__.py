@@ -348,6 +348,7 @@ from linkgraph.algos.dfs import (
     dfs_postorder_nodes,
     dfs_labeled_edges,
 )
+from linkgraph.algos import approximation
 from linkgraph.algos.approximation import (
     diameter_2sweep,
     randomized_partitioning,
@@ -475,6 +476,7 @@ __all__ = [
     "kemeny_constant",
     "greedy_color",
     "stoer_wagner",
+    "approximation",
     "diameter_2sweep",
     "randomized_partitioning",
     "one_exchange",

@@ -27,6 +27,7 @@ from linkgraph.exceptions import NetworkXError
 from linkgraph.graph import SparkGraph
 
 __all__ = [
+    "diameter",
     "diameter_2sweep",
     "randomized_partitioning",
     "one_exchange",
@@ -219,3 +220,9 @@ def greedy_tsp(
     return g.spark.createDataFrame(
         [(i, v) for i, v in enumerate(cycle)], "order int, id bigint"
     )
+
+
+#: nx-style name: ``nx.algorithms.approximation.diameter`` — the engine's
+#: deterministic 2-sweep (the reference's seeded random start replaced by
+#: the minimum-id determinism rule).
+diameter = diameter_2sweep
