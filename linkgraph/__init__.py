@@ -170,6 +170,12 @@ from linkgraph.io.graphml import read_graphml, write_graphml
 from linkgraph.io.gml import read_gml, write_gml
 from linkgraph.io.pajek import read_pajek, write_pajek
 from linkgraph.io.gexf import read_gexf, write_gexf
+from linkgraph.io.graph6 import (
+    from_graph6_bytes,
+    to_graph6_bytes,
+    read_graph6,
+    write_graph6,
+)
 from linkgraph.describe import describe
 from linkgraph.convert_matrix import (
     to_csr_arrays,
@@ -477,6 +483,10 @@ __all__ = [
     "greedy_color",
     "stoer_wagner",
     "approximation",
+    "from_graph6_bytes",
+    "to_graph6_bytes",
+    "read_graph6",
+    "write_graph6",
     "diameter_2sweep",
     "randomized_partitioning",
     "one_exchange",
