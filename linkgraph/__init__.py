@@ -176,6 +176,12 @@ from linkgraph.io.graph6 import (
     read_graph6,
     write_graph6,
 )
+from linkgraph.io.sparse6 import (
+    from_sparse6_bytes,
+    to_sparse6_bytes,
+    read_sparse6,
+    write_sparse6,
+)
 from linkgraph.describe import describe
 from linkgraph.convert_matrix import (
     to_csr_arrays,
@@ -487,6 +493,10 @@ __all__ = [
     "to_graph6_bytes",
     "read_graph6",
     "write_graph6",
+    "from_sparse6_bytes",
+    "to_sparse6_bytes",
+    "read_sparse6",
+    "write_sparse6",
     "diameter_2sweep",
     "randomized_partitioning",
     "one_exchange",
