@@ -2359,6 +2359,29 @@ def q_chain_greedy_color(spark, sf_dir):
     return greedy_color(g).select(F.col("id").cast("long"), F.col("color").cast("int"))
 
 
+
+def q_nation_ring_diameter(spark, sf_dir):
+    # 2-sweep diameter on the nation ring: exact on cycles (the second BFS
+    # starts from an antipode), so the value is floor(n / 2) — two fully
+    # distributed BFS passes, no driver collection.
+    from linkgraph.algos.approximation import diameter_2sweep
+    from linkgraph.graph import SparkGraph
+    from pyspark.sql import Window
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    w = Window.orderBy("n_nationkey")
+    ranked = n.select(F.col("n_nationkey").alias("src"),
+                      F.lead("n_nationkey").over(w).alias("dst"))
+    lo_hi = n.agg(F.min("n_nationkey").alias("lo"), F.max("n_nationkey").alias("hi")).first()
+    wrap = spark.createDataFrame([(int(lo_hi["hi"]), int(lo_hi["lo"]))], "src long, dst long")
+    ring = ranked.filter(F.col("dst").isNotNull()).unionByName(wrap)
+    g = SparkGraph(ring, vertices=n.select(F.col("n_nationkey").alias("id")),
+                   directed=False, coalesce_edges=False)
+    return spark.createDataFrame(
+        [(int(diameter_2sweep(g)),)], "diameter long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver checks the first ~50 entries, so new or
     # not-yet-driver-verified operators come FIRST; entries already green in
@@ -2368,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked (judge-oracle-green r03; promote per
         #    VERDICT r03 next-round #1 so CORRECTNESS_r04 records them) --- #
         # -- new in the round-4 continuation ------------------------- #
+        "nation_ring_diameter": q_nation_ring_diameter,
         "chain_floyd_warshall": q_chain_floyd_warshall,
         "chain_astar_cost": q_chain_astar_cost,
         "nation_ring_global_cut": q_nation_ring_global_cut,
@@ -3285,6 +3309,9 @@ def oracle_sql() -> dict[str, str]:
     )
     # Landmark weighted APSP on gap-weighted chains: telescoping closed
     # form distance(source=nation-min, c) = c - min.
+    sqls["nation_ring_diameter"] = (
+        "SELECT CAST(FLOOR(COUNT(*) / 2) AS BIGINT) AS diameter FROM nation"
+    )
     sqls["chain_floyd_warshall"] = (
         "WITH mn AS (SELECT c_nationkey, MIN(c_custkey) AS m FROM customer GROUP BY 1) "
         "SELECT CAST(mn.m AS BIGINT) AS src, CAST(c.c_custkey AS BIGINT) AS dst, "
