@@ -176,6 +176,7 @@ from linkgraph.io.graph6 import (
     read_graph6,
     write_graph6,
 )
+from linkgraph.io.leda import parse_leda, read_leda
 from linkgraph.io.sparse6 import (
     from_sparse6_bytes,
     to_sparse6_bytes,
@@ -497,6 +498,8 @@ __all__ = [
     "to_sparse6_bytes",
     "read_sparse6",
     "write_sparse6",
+    "parse_leda",
+    "read_leda",
     "diameter_2sweep",
     "randomized_partitioning",
     "one_exchange",
