@@ -363,6 +363,7 @@ from linkgraph.algos.dfs import (
 )
 from linkgraph.algos import approximation
 from linkgraph.algos.approximation import (
+    christofides,
     diameter_2sweep,
     randomized_partitioning,
     one_exchange,
@@ -500,6 +501,7 @@ __all__ = [
     "write_sparse6",
     "parse_leda",
     "read_leda",
+    "christofides",
     "diameter_2sweep",
     "randomized_partitioning",
     "one_exchange",

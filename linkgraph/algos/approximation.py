@@ -27,6 +27,7 @@ from linkgraph.exceptions import NetworkXError
 from linkgraph.graph import SparkGraph
 
 __all__ = [
+    "christofides",
     "diameter",
     "diameter_2sweep",
     "randomized_partitioning",
@@ -226,3 +227,131 @@ def greedy_tsp(
 #: deterministic 2-sweep (the reference's seeded random start replaced by
 #: the minimum-id determinism rule).
 diameter = diameter_2sweep
+
+
+def christofides(
+    g: SparkGraph,
+    *,
+    weight=None,
+    max_driver_edges: int = 5_000_000,
+) -> DataFrame:
+    """(order, id): Christofides 1.5-approximate TSP cycle over a COMPLETE
+    weighted graph satisfying the triangle inequality
+    (``traveling_salesman.py:150`` ``christofides``).
+
+    A composition of the engine's existing kernels, exactly the
+    reference's pipeline: distributed Borůvka MST → min-weight perfect
+    matching on the odd-degree MST vertices (the blossom kernel,
+    matching_weight.py) → Euler circuit of the MST+matching multigraph →
+    shortcut repeated visits. The MST runs distributed; matching and the
+    walk are driver-gated like their standalone APIs (the cycle tour
+    itself is an O(n) object). The 1.5·OPT guarantee is pinned in tests
+    against brute-force optima; the exact tour may differ from the
+    reference's where MST/matching tie-breaks differ — both sides carry
+    the same approximation contract."""
+    from linkgraph.algos.mst import minimum_spanning_edges
+    from linkgraph.algos.matching_weight import min_weight_matching
+    from linkgraph.graph import resolve_weight_column
+
+    base = g.symmetric_edges() if not g.directed else g.edges
+    arcs = base.select(
+        "src", "dst", resolve_weight_column(base, weight).alias("w")
+    ).filter(F.col("src") != F.col("dst"))
+    m = arcs.count()
+    if m > max_driver_edges:
+        raise NetworkXError(
+            f"christofides matching step is driver-gated; {m} arcs > "
+            f"max_driver_edges={max_driver_edges}."
+        )
+    ids = sorted(int(r["id"]) for r in g.vertices.select("id").collect())
+    n = len(ids)
+    wmap: dict[tuple[int, int], float] = {}
+    for r in arcs.collect():
+        wmap[(int(r["src"]), int(r["dst"]))] = float(r["w"])
+    if any(
+        (u, v) not in wmap
+        for i, u in enumerate(ids)
+        for v in ids[i + 1 :]
+    ):
+        raise NetworkXError("G must be a complete graph.")
+    if n in (0, 1):
+        raise NetworkXError("G must have at least two nodes")
+
+    # 1. distributed MST
+    tree = [
+        (int(r["src"]), int(r["dst"]))
+        for r in minimum_spanning_edges(g, weight=weight)
+        .select("src", "dst")
+        .collect()
+    ]
+    # 2. odd-degree vertices of the tree
+    deg: dict[int, int] = {}
+    for u, v in tree:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    odd = sorted(u for u in ids if deg.get(u, 0) % 2 == 1)
+    # 3. min-weight perfect matching on the induced complete subgraph
+    match: list[tuple[int, int]] = []
+    if odd:
+        odd_set = set(odd)
+        sub_edges = g.spark.createDataFrame(
+            [
+                (u, v, wmap[(u, v)])
+                for i, u in enumerate(odd)
+                for v in odd[i + 1 :]
+            ],
+            "src long, dst long, weight double",
+        )
+        sub = SparkGraph(
+            sub_edges,
+            vertices=g.spark.createDataFrame([(u,) for u in odd], "id long"),
+            directed=False,
+            coalesce_edges=False,
+        )
+        match = [
+            (int(r["src"]), int(r["dst"]))
+            for r in min_weight_matching(sub).collect()
+        ]
+        if 2 * len(match) != len(odd_set):
+            raise NetworkXError("internal: matching is not perfect")
+    # 4. Euler circuit of the MST + matching MULTIGRAPH (driver Hierholzer
+    #    over n-1 + |odd|/2 edges — the tour is an O(n) object by contract)
+    multi: dict[int, list[int]] = {u: [] for u in ids}
+    for u, v in tree + match:
+        multi[u].append(v)
+        multi[v].append(u)
+    for u in multi:
+        multi[u].sort(reverse=True)  # pop() walks ascending neighbors
+    used: dict[tuple[int, int], int] = {}
+    for u, v in tree + match:
+        k = (min(u, v), max(u, v))
+        used[k] = used.get(k, 0) + 1
+    start = ids[0]
+    stack = [start]
+    circuit = []
+    while stack:
+        u = stack[-1]
+        while multi[u]:
+            v = multi[u][-1]
+            k = (min(u, v), max(u, v))
+            if used.get(k, 0) > 0:
+                break
+            multi[u].pop()
+        if multi[u]:
+            v = multi[u].pop()
+            k = (min(u, v), max(u, v))
+            used[k] -= 1
+            stack.append(v)
+        else:
+            circuit.append(stack.pop())
+    # 5. shortcut repeated visits
+    seen = set()
+    tour = []
+    for u in circuit:
+        if u not in seen:
+            seen.add(u)
+            tour.append(u)
+    tour.append(tour[0])
+    return g.spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(tour)], "order int, id bigint"
+    )

@@ -114,3 +114,40 @@ def test_greedy_tsp_matches_nx(spark):
     assert path == want
     with pytest.raises(NetworkXError):
         linkgraph.greedy_tsp(_graph(spark, nx.path_graph(4)))  # incomplete
+
+
+def test_christofides_guarantee_and_validity(spark):
+    import itertools
+
+    rng = random.Random(13)
+    for n, seed in [(7, 1), (8, 2), (2, 3), (3, 4)]:
+        # metric instance: random points on a line -> triangle inequality
+        pts = sorted(rng.uniform(0, 100) for _ in range(n))
+        G = nx.complete_graph(n)
+        for u, v in G.edges():
+            G[u][v]["weight"] = abs(pts[u] - pts[v]) + 1.0
+        g = _graph(spark, G, weighted=True)
+        tour = [r["id"] for r in linkgraph.christofides(g).orderBy("order").collect()]
+        assert tour[0] == tour[-1] and sorted(tour[:-1]) == sorted(G.nodes())
+        cost = sum(G[u][v]["weight"] for u, v in zip(tour, tour[1:]))
+        if n <= 8:
+            opt = min(
+                sum(
+                    G[a][b]["weight"]
+                    for a, b in zip((0,) + p, p + (0,))
+                )
+                for p in itertools.permutations(range(1, n))
+            ) if n > 2 else 2 * G[0][1]["weight"]
+            assert cost <= 1.5 * opt + 1e-9, (n, cost, opt)
+        # same contract class as the reference implementation
+        ref = nx.algorithms.approximation.christofides(G)
+        ref_cost = sum(G[u][v]["weight"] for u, v in zip(ref, ref[1:]))
+        assert cost <= 1.5001 * ref_cost
+
+
+def test_christofides_incomplete_raises(spark):
+    G = nx.path_graph(4)
+    for u, v in G.edges():
+        G[u][v]["weight"] = 1.0
+    with pytest.raises(NetworkXError):
+        linkgraph.christofides(_graph(spark, G, weighted=True))
