@@ -364,6 +364,7 @@ from linkgraph.algos.dfs import (
 from linkgraph.algos import approximation
 from linkgraph.algos.approximation import (
     christofides,
+    treewidth_min_degree,
     diameter_2sweep,
     randomized_partitioning,
     one_exchange,
@@ -506,6 +507,7 @@ __all__ = [
     "randomized_partitioning",
     "one_exchange",
     "greedy_tsp",
+    "treewidth_min_degree",
     "communicability",
     "communicability_exp",
     "subgraph_centrality",

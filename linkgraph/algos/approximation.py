@@ -33,6 +33,7 @@ __all__ = [
     "randomized_partitioning",
     "one_exchange",
     "greedy_tsp",
+    "treewidth_min_degree",
 ]
 
 
@@ -355,3 +356,84 @@ def christofides(
     return g.spark.createDataFrame(
         [(i, int(v)) for i, v in enumerate(tour)], "order int, id bigint"
     )
+
+
+def treewidth_min_degree(
+    g: SparkGraph, *, max_driver_edges: int = 5_000_000
+) -> tuple[int, DataFrame, DataFrame]:
+    """(width, bags, tree): an upper-bound tree decomposition by the
+    min-degree elimination heuristic
+    (``approximation/treewidth.py`` ``treewidth_min_degree``).
+
+    Elimination ordering is sequential by definition (each elimination
+    rewires the remaining graph), so the kernel is driver-gated like the
+    reference's own in-memory loop; ties break by ascending node id (the
+    engine's determinism rule, where the reference's heap order is an
+    implementation accident). Returns the relational form of the
+    reference's frozenset-node decomposition graph: ``bags`` is
+    ``(bag BIGINT, id BIGINT)`` membership rows, ``tree`` is
+    ``(src BIGINT, dst BIGINT)`` over bag numbers, and
+    ``width = max |bag| − 1``. The decomposition contract (every edge
+    inside some bag; the bags containing any node form a subtree) is
+    pinned in tests, plus exact widths on the closed-form families
+    (trees → 1, cycles → 2, K_n → n−1)."""
+    arcs = (
+        g.symmetric_edges().select("src", "dst").distinct()
+        if not g.directed
+        else g.edges.select("src", "dst")
+    )
+    m = arcs.count()
+    if m > max_driver_edges:
+        raise NetworkXError(
+            f"treewidth elimination is sequential; {m} arcs > "
+            f"max_driver_edges={max_driver_edges}."
+        )
+    adj: dict[int, set] = {}
+    for r in arcs.collect():
+        u, v = int(r["src"]), int(r["dst"])
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    ids = sorted(int(r["id"]) for r in g.vertices.select("id").collect())
+    for u in ids:
+        adj.setdefault(u, set())
+
+    # eliminate min-degree first; record each node's bag = {v} ∪ N(v)
+    order: list[tuple[int, frozenset]] = []
+    alive = set(ids)
+    while alive:
+        v = min(alive, key=lambda x: (len(adj[x]), x))
+        nbrs = set(adj[v])
+        order.append((v, frozenset(nbrs | {v})))
+        for a in nbrs:
+            for b in nbrs:
+                if a < b:
+                    adj[a].add(b)
+                    adj[b].add(a)
+        for a in nbrs:
+            adj[a].discard(v)
+        del adj[v]
+        alive.remove(v)
+
+    # stitch the decomposition: connect each bag to the bag of the
+    # eliminated node's first later-eliminated neighbor (standard
+    # elimination-tree construction; single node -> a lone bag)
+    pos = {v: i for i, (v, _) in enumerate(order)}
+    bag_rows = []
+    tree_rows = []
+    for i, (v, bag) in enumerate(order):
+        for u in sorted(bag):
+            bag_rows.append((i, u))
+        later = [u for u in bag if u != v]
+        if later:
+            parent = min(later, key=lambda u: pos[u])
+            tree_rows.append((i, pos[parent]))
+    width = max((len(b) for _, b in order), default=1) - 1
+    spark = g.spark
+    bags = spark.createDataFrame(bag_rows or [(0, 0)], "bag long, id long")
+    if not bag_rows:
+        bags = bags.limit(0)
+    tree = spark.createDataFrame(tree_rows or [(0, 0)], "src long, dst long")
+    if not tree_rows:
+        tree = tree.limit(0)
+    return int(width), bags, tree

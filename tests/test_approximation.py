@@ -151,3 +151,47 @@ def test_christofides_incomplete_raises(spark):
         G[u][v]["weight"] = 1.0
     with pytest.raises(NetworkXError):
         linkgraph.christofides(_graph(spark, G, weighted=True))
+
+
+def _check_decomposition(G, width, bags_df, tree_df):
+    bags = {}
+    for r in bags_df.collect():
+        bags.setdefault(r["bag"], set()).add(r["id"])
+    tree = [(r["src"], r["dst"]) for r in tree_df.collect()]
+    # width matches the bags
+    assert width == max((len(b) for b in bags.values()), default=1) - 1
+    # every node and edge is covered by some bag
+    covered = set().union(*bags.values()) if bags else set()
+    assert covered == set(G.nodes())
+    for u, v in G.edges():
+        assert any(u in b and v in b for b in bags.values()), (u, v)
+    # running intersection: bags containing each node form a subtree
+    T = nx.Graph(tree)
+    T.add_nodes_from(bags)
+    if bags:
+        assert nx.is_tree(T) or nx.is_forest(T)
+    for v in G.nodes():
+        holding = [k for k, b in bags.items() if v in b]
+        assert nx.is_connected(T.subgraph(holding)), v
+
+
+def test_treewidth_closed_forms(spark):
+    for G, want in [
+        (nx.random_labeled_tree(15, seed=4), 1),
+        (nx.cycle_graph(9), 2),
+        (nx.complete_graph(6), 5),
+        (nx.path_graph(2), 1),
+    ]:
+        g = _graph(spark, G)
+        width, bags, tree = linkgraph.treewidth_min_degree(g)
+        assert width == want, G
+        _check_decomposition(G, width, bags, tree)
+
+
+def test_treewidth_random_validity_and_bound(spark):
+    G = nx.gnp_random_graph(25, 0.2, seed=11)
+    g = _graph(spark, G)
+    width, bags, tree = linkgraph.treewidth_min_degree(g)
+    _check_decomposition(G, width, bags, tree)
+    ref_width, _ = nx.algorithms.approximation.treewidth_min_degree(G)
+    assert width <= ref_width + 2  # same heuristic, tie-breaks differ
