@@ -120,6 +120,7 @@ from linkgraph.algos.setops import (
     descendants,
     ancestors,
     descendants_at_distance,
+    ego_graph,
     disjoint_union,
     full_join,
     union_all,
@@ -338,6 +339,18 @@ from linkgraph.algos.degrees import (
     is_k_regular,
 )
 from linkgraph.algos.walks import number_of_walks
+from linkgraph.algos.summarization import dedensify, snap_aggregation
+from linkgraph.algos.line import line_graph, line_graph_edges
+from linkgraph.algos.time_dependent import cd_index, cd_index_table
+from linkgraph.algos.timeseries import visibility_graph, visibility_graph_edges
+from linkgraph.algos.graphical import (
+    is_graphical,
+    is_valid_degree_sequence_erdos_gallai,
+    is_valid_degree_sequence_havel_hakimi,
+    is_multigraphical,
+    is_pseudographical,
+    is_digraphical,
+)
 from linkgraph.algos.dseparation import is_d_separator, find_minimal_d_separator
 from linkgraph.algos.density import densest_subgraph, densest_subgraph_rounds
 from linkgraph.algos.steiner import steiner_tree
@@ -479,6 +492,21 @@ __all__ = [
     "is_regular",
     "is_k_regular",
     "number_of_walks",
+    "dedensify",
+    "snap_aggregation",
+    "line_graph",
+    "line_graph_edges",
+    "ego_graph",
+    "cd_index",
+    "cd_index_table",
+    "visibility_graph",
+    "visibility_graph_edges",
+    "is_graphical",
+    "is_valid_degree_sequence_erdos_gallai",
+    "is_valid_degree_sequence_havel_hakimi",
+    "is_multigraphical",
+    "is_pseudographical",
+    "is_digraphical",
     "dfs_edges",
     "dfs_tree",
     "dfs_preorder_nodes",

@@ -311,6 +311,39 @@ def bfs_tree(g: SparkGraph, source, *, depth_limit=None) -> SparkGraph:
     return SparkGraph(e, v, directed=True, coalesce_edges=False)
 
 
+def ego_graph(
+    g: SparkGraph,
+    n,
+    radius=1,
+    *,
+    center: bool = True,
+    undirected: bool = False,
+    distance=None,
+) -> SparkGraph:
+    """Induced subgraph of nodes within ``radius`` of ``n``
+    (``networkx/generators/ego.py:10``).
+
+    ``distance=<edge attr / Column / SQL expression>`` measures the radius
+    by weighted shortest-path length (the reference's
+    ``single_source_dijkstra`` arm; here the Bellman-Ford relaxation loop
+    whose distances are identical). ``undirected=True`` expands over both
+    arc directions of a directed graph; the induced subgraph keeps the
+    original orientation, exactly like the reference's
+    ``G.subgraph(sp)``.
+    """
+    base = g.undirected_view() if (undirected and g.directed) else g
+    if distance is not None:
+        from linkgraph.algos.sssp import weighted_shortest_path_lengths
+
+        d = weighted_shortest_path_lengths(base, [n], weight=distance)
+        reach = d.filter(F.col("distance") <= radius).select("id")
+    else:
+        reach = shortest_path_lengths(base, [n], max_depth=int(radius)).select("id")
+    if not center:
+        reach = reach.filter(F.col("id") != int(n))
+    return g.subgraph(reach)
+
+
 def descendants_at_distance(g: SparkGraph, source, distance: int) -> DataFrame:
     """Nodes at exactly `distance` from source
     (``breadth_first_search.py:540``)."""
