@@ -2510,6 +2510,103 @@ def q_copurchase_dedensify(spark, sf_dir):
     )
 
 
+def _ring0_unit(spark, sf_dir):
+    """Min-nation undirected unit-capacity customer ring + (lo, hi)."""
+    from linkgraph.graph import SparkGraph
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k0 = c.agg(F.min("c_nationkey")).first()[0]
+    ring = c.filter(F.col("c_nationkey") == k0).select("c_custkey")
+    e = (
+        DS.customer_ring_edges(spark, sf_dir)
+        .join(ring.select(F.col("c_custkey").alias("src")), "src", "left_semi")
+        .join(ring.select(F.col("c_custkey").alias("dst")), "dst", "left_semi")
+    )
+    g = SparkGraph(
+        e.withColumn("capacity", F.lit(1.0)),
+        ring.select(F.col("c_custkey").alias("id")),
+        directed=False,
+        coalesce_edges=False,
+    )
+    lo, hi = ring.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    return g, int(lo), int(hi)
+
+
+def q_ring0_disjoint_paths(spark, sf_dir):
+    # Menger on the nation-0 ring: between any two distinct ring nodes
+    # there are exactly 2 edge-disjoint and 2 internally node-disjoint
+    # paths (the two arcs of the cycle) — closed-form oracle. Drives the
+    # Dinitz flow decomposition (disjoint_paths.py:141,26).
+    from linkgraph.algos.flow import edge_disjoint_paths, node_disjoint_paths
+
+    g, lo, hi = _ring0_unit(spark, sf_dir)
+    ep = edge_disjoint_paths(g, lo, hi)
+    np_ = node_disjoint_paths(g, lo, hi)
+    # the two path lengths sum to the ring length (every ring edge is used)
+    return spark.createDataFrame(
+        [
+            (
+                len(ep),
+                len(np_),
+                int(sum(len(p) - 1 for p in ep)),
+                int(sum(len(p) - 1 for p in np_)),
+            )
+        ],
+        "n_edge_disjoint long, n_node_disjoint long, "
+        "edge_paths_len long, node_paths_len long",
+    )
+
+
+def q_nation_ring_gomory_hu(spark, sf_dir):
+    # Gomory-Hu tree (flow/gomoryhu.py:17, Gusfield) of the unit NATION
+    # ring (25 nodes at every sf — the per-node cut loop is sequential, so
+    # the fixture is the fixed-size ring): every pairwise min cut of a
+    # cycle is 2, so the tree is n-1 edges of weight 2 — the sorted weight
+    # multiset is the closed-form oracle.
+    from linkgraph.algos.flow import gomory_hu_tree
+    from linkgraph.graph import SparkGraph
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    w = Window.orderBy("n_nationkey")
+    ranked = n.select(
+        F.col("n_nationkey").alias("src"),
+        F.lead("n_nationkey").over(w).alias("dst"),
+    )
+    lo_hi = n.agg(
+        F.min("n_nationkey").alias("lo"), F.max("n_nationkey").alias("hi")
+    ).first()
+    wrap = spark.createDataFrame(
+        [(int(lo_hi["hi"]), int(lo_hi["lo"]))], "src long, dst long"
+    )
+    ring = ranked.filter(F.col("dst").isNotNull()).unionByName(wrap)
+    g = SparkGraph(
+        ring.withColumn("capacity", F.lit(1.0)),
+        vertices=n.select(F.col("n_nationkey").alias("id")),
+        directed=False,
+        coalesce_edges=False,
+    )
+    t = gomory_hu_tree(g, "capacity")
+    return t.select(F.col("weight").cast("double")).orderBy("weight")
+
+
+def q_ring_k_edge_components(spark, sf_dir):
+    # k_edge_components (edge_kcomponents.py:37) at k=2 on the undirected
+    # per-nation rings: every ring is 2-edge-connected, so the classes are
+    # exactly the nations (label = min custkey per nation) — same closed
+    # form as connected components, but through the bridge-deletion path.
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.flow import k_edge_components
+
+    e = DS.customer_ring_edges(spark, sf_dir)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id")
+    )
+    g = SparkGraph(e, c, directed=False, coalesce_edges=False)
+    return k_edge_components(g, 2).select(
+        F.col("id").cast("long"), F.col("component").cast("long")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver checks the first ~50 entries, so new or
     # not-yet-driver-verified operators come FIRST; entries already green in
@@ -2578,6 +2675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_visibility": q_acctbal_visibility,
         "event_cd_index": q_event_cd_index,
         "copurchase_dedensify": q_copurchase_dedensify,
+        "ring0_disjoint_paths": q_ring0_disjoint_paths,
+        "nation_ring_gomory_hu": q_nation_ring_gomory_hu,
+        "ring_k_edge_components": q_ring_k_edge_components,
         # rows-only contracts (driver records a weaker rows-only row; the
         # 50 slots above all carry DuckDB oracles, so these yield the window)
         "copurchase_louvain_sizes": q_copurchase_louvain_sizes,
@@ -4723,6 +4823,31 @@ FROM rk WHERE r <= 10"""
         "SELECT nn.x AS event_type, "
         "ROUND(COALESCE(num.num, 0.0) / nn.n, 6) AS cd_index "
         "FROM nn LEFT JOIN num ON num.x = nn.x WHERE nn.n > 0"
+    )
+
+    # Menger counts + path-length sums on the min-nation ring (closed form:
+    # 2 disjoint paths whose lengths sum to the ring size).
+    sqls["ring0_disjoint_paths"] = (
+        "WITH n0 AS (SELECT COUNT(*) AS n FROM customer "
+        "WHERE c_nationkey = (SELECT MIN(c_nationkey) FROM customer)) "
+        "SELECT CAST(2 AS BIGINT) AS n_edge_disjoint, "
+        "CAST(2 AS BIGINT) AS n_node_disjoint, "
+        "CAST(n AS BIGINT) AS edge_paths_len, "
+        "CAST(n AS BIGINT) AS node_paths_len FROM n0"
+    )
+
+    # Gomory-Hu weights of the unit nation ring: n-1 edges of cut value 2.
+    sqls["nation_ring_gomory_hu"] = (
+        "SELECT CAST(2.0 AS DOUBLE) AS weight FROM ("
+        "SELECT ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation) "
+        "WHERE rn > 1"
+    )
+
+    # k=2 edge components of the per-nation rings = the nations.
+    sqls["ring_k_edge_components"] = (
+        "SELECT CAST(c_custkey AS BIGINT) AS id, "
+        "CAST(MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS BIGINT) "
+        "AS component FROM customer"
     )
 
     # dedensify invariants at threshold 12: signature groups in SQL.

@@ -151,8 +151,45 @@ from linkgraph.algos.flow import (
     maximum_flow,
     maximum_flow_value,
     minimum_cut,
+    minimum_edge_cut,
+    minimum_node_cut,
+    edge_disjoint_paths,
+    node_disjoint_paths,
+    gomory_hu_tree,
+    k_edge_components,
     NetworkXUnbounded,
 )
+from linkgraph.algos.fiedler import (
+    algebraic_connectivity,
+    fiedler_vector,
+    spectral_ordering,
+    spectral_bisection,
+)
+from linkgraph.algos.paths import (
+    shortest_path_tree,
+    shortest_path,
+    single_source_shortest_path_length,
+    all_pairs_shortest_path_length,
+    bidirectional_shortest_path,
+    dijkstra_path,
+    dijkstra_path_length,
+    bellman_ford_path,
+    bellman_ford_path_length,
+    predecessor,
+    bfs_predecessors,
+    bfs_successors,
+)
+from linkgraph.algos.covering import (
+    is_matching,
+    is_maximal_matching,
+    is_perfect_matching,
+    min_edge_cover,
+    is_edge_cover,
+)
+from linkgraph.algos.cycles import eulerize
+from linkgraph.algos.setops import contracted_nodes, contracted_edge, identified_nodes
+from linkgraph.algos.chains import chain_decomposition, prefix_tree
+from linkgraph.algos.matrices import google_matrix, number_of_spanning_trees
 from linkgraph.algos.distance import (
     incremental_closeness_centrality,
     eccentricity,
@@ -507,6 +544,41 @@ __all__ = [
     "is_multigraphical",
     "is_pseudographical",
     "is_digraphical",
+    "minimum_edge_cut",
+    "minimum_node_cut",
+    "edge_disjoint_paths",
+    "node_disjoint_paths",
+    "gomory_hu_tree",
+    "k_edge_components",
+    "algebraic_connectivity",
+    "fiedler_vector",
+    "spectral_ordering",
+    "spectral_bisection",
+    "shortest_path_tree",
+    "shortest_path",
+    "single_source_shortest_path_length",
+    "all_pairs_shortest_path_length",
+    "bidirectional_shortest_path",
+    "dijkstra_path",
+    "dijkstra_path_length",
+    "bellman_ford_path",
+    "bellman_ford_path_length",
+    "predecessor",
+    "bfs_predecessors",
+    "bfs_successors",
+    "is_matching",
+    "is_maximal_matching",
+    "is_perfect_matching",
+    "min_edge_cover",
+    "is_edge_cover",
+    "eulerize",
+    "contracted_nodes",
+    "contracted_edge",
+    "identified_nodes",
+    "chain_decomposition",
+    "prefix_tree",
+    "google_matrix",
+    "number_of_spanning_trees",
     "dfs_edges",
     "dfs_tree",
     "dfs_preorder_nodes",

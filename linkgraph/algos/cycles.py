@@ -526,3 +526,70 @@ def _undirected_cycles(adj: dict) -> list:
             stack.pop()
             on_path.discard(path.pop())
     return cycles
+
+
+def eulerize(g: SparkGraph, *, max_odd_nodes: int = 500) -> "SparkMultiGraph":
+    """Duplicate shortest paths between odd-degree nodes until every degree
+    is even (``networkx/algorithms/euler.py:396`` ``eulerize``, the Chinese
+    Postman construction).
+
+    Distributed shape: the odd-degree scan is one aggregation; the
+    pairwise distances come from ONE batched multi-source BFS (every odd
+    node relaxing simultaneously); only the min-weight matching over the
+    odd nodes (|odd| ≤ ``max_odd_nodes``, inherently sequential blossom)
+    and the path walks (|odd|/2 paths) run on the driver. Returns a
+    multigraph, like the reference.
+    """
+    from linkgraph.multigraph import SparkMultiGraph
+    from linkgraph.algos.degrees import degrees
+    from linkgraph.algos.components import is_connected
+    from linkgraph.algos.matching_weight import _blossom_kernel
+    from linkgraph.algos.paths import shortest_path
+
+    if g.directed:
+        raise ValueError("eulerize is defined on undirected graphs")
+    n = g.number_of_nodes()
+    if n == 0:
+        raise ValueError("Cannot Eulerize null graph")
+    if not is_connected(g):
+        raise ValueError("G is not connected")
+    odd = sorted(
+        r["id"]
+        for r in degrees(g).filter(F.col("degree") % 2 == 1).collect()
+    )
+    base_edges = g.edges.select("src", "dst")
+    if not odd:
+        return SparkMultiGraph(base_edges, g.vertices.select("id"), directed=False)
+    if len(odd) > max_odd_nodes:
+        raise ValueError(
+            f"eulerize matches odd nodes sequentially; {len(odd)} odd nodes "
+            f"> max_odd_nodes={max_odd_nodes}"
+        )
+    # batched multi-source BFS: distances from every odd node at once
+    from linkgraph.algos.sssp import all_pairs_bellman_ford_path_lengths
+
+    odf = g.spark.createDataFrame([(int(x),) for x in odd], "id long")
+    dist = (
+        all_pairs_bellman_ford_path_lengths(g, odf, weight=F.lit(1.0))
+        .join(odf.withColumnRenamed("id", "source"), "source", "left_semi")
+        .join(odf, "id", "left_semi")
+        .collect()
+    )
+    d = {(r["source"], r["id"]): r["distance"] for r in dist}
+    # the reference's weight: (n+1) - path length, then MAX-weight matching
+    idx = {v: i for i, v in enumerate(odd)}
+    edges = []
+    for i, u in enumerate(odd):
+        for v in odd[i + 1 :]:
+            if (u, v) in d:
+                edges.append((idx[u], idx[v], (n + 1) - (d[(u, v)] + 1)))
+    mate = _blossom_kernel(len(odd), edges, False)
+    dup_rows = []
+    for i, p in enumerate(mate):
+        if p >= 0 and i < p:
+            path = shortest_path(g, odd[i], odd[p])
+            dup_rows.extend((int(a), int(b)) for a, b in zip(path, path[1:]))
+    dup = g.spark.createDataFrame(dup_rows, "src long, dst long")
+    return SparkMultiGraph(
+        base_edges.unionByName(dup), g.vertices.select("id"), directed=False
+    )

@@ -649,3 +649,394 @@ def stoer_wagner(
     part_set = set(part)
     rest = sorted(u for u in groups[next(iter(groups))] if u not in part_set)
     return float(best_value), (part, rest)
+
+
+def _unit_graph(g: SparkGraph) -> SparkGraph:
+    return SparkGraph(
+        g.edges.select("src", "dst", F.lit(1.0).alias("capacity")),
+        g.vertices.select("id"),
+        directed=g.directed,
+        coalesce_edges=False,
+    )
+
+
+def minimum_edge_cut(g: SparkGraph, s: int = None, t: int = None) -> DataFrame:
+    """The minimum-cardinality edge cut as a DataFrame ``(src, dst)`` of
+    original edge rows (``networkx/algorithms/connectivity/cuts.py:302``
+    ``minimum_edge_cut``).
+
+    With (s, t): the crossing edges of the residual-reachability partition
+    of a unit-capacity Dinitz run (Menger). With neither: whole-graph —
+    undirected via the Stoer–Wagner partition (zero flow calls), directed
+    via Even's cyclic scheme keeping the argmin pair (n Dinitz runs, the
+    reference's own schedule).
+    """
+    spark = g.spark
+    if (s is None) != (t is None):
+        raise ValueError("Both source and target must be specified.")
+    if s is not None:
+        _, (reach, _) = minimum_cut(_unit_graph(g), int(s), int(t), "capacity")
+        return _crossing_edges(g, reach)
+    from linkgraph.algos.components import is_connected
+    from linkgraph.algos.strongly_connected import is_strongly_connected
+
+    if g.number_of_nodes() < 2:
+        raise ValueError("Expected a graph with at least two nodes")
+    if g.directed:
+        if not is_strongly_connected(g):
+            return g.edges.select("src", "dst").limit(0)
+        ids = sorted(r["id"] for r in g.vertices.select("id").collect())
+        best_pair, best = None, None
+        for u, v in zip(ids, ids[1:] + ids[:1]):
+            cur = edge_connectivity(g, u, v)
+            if best is None or cur < best:
+                best, best_pair = cur, (u, v)
+            if best == 0:
+                break
+        _, (reach, _) = minimum_cut(_unit_graph(g), *best_pair, "capacity")
+        return _crossing_edges(g, reach)
+    if not is_connected(g):
+        return g.edges.select("src", "dst").limit(0)
+    _, (part, _) = stoer_wagner(g, weight=None, _unit=True)
+    reach = spark.createDataFrame([(int(p),) for p in part], "id long")
+    return _crossing_edges(g, reach)
+
+
+def _crossing_edges(g: SparkGraph, side: DataFrame) -> DataFrame:
+    """Edges of g with exactly one endpoint in ``side`` (directed: arcs
+    leaving ``side``) — the cut set induced by a partition."""
+    sdf = side.select(F.col(side.columns[0]).alias("id")).distinct()
+    e = g.edges.select("src", "dst")
+    in_s = sdf.withColumnRenamed("id", "src")
+    in_t = sdf.withColumnRenamed("id", "dst")
+    if g.directed:
+        return e.join(in_s, "src", "left_semi").join(in_t, "dst", "left_anti")
+    a = e.join(in_s, "src", "left_semi").join(in_t, "dst", "left_anti")
+    b = e.join(in_t, "dst", "left_semi").join(in_s, "src", "left_anti")
+    return a.unionByName(b)
+
+
+def _st_node_cut_df(g: SparkGraph, s: int, t: int) -> DataFrame:
+    """Minimum (s, t) vertex cut via the split-graph residual partition:
+    cut nodes are those whose in-copy is residual-reachable but whose
+    out-copy is not (the saturated unit internal arcs)."""
+    n = g.number_of_nodes()
+    big = float(n)
+    arcs = g.symmetric_edges() if not g.directed else g.edges
+    cross = arcs.select(
+        (F.col("src") * 2 + 1).alias("src"),
+        (F.col("dst") * 2).alias("dst"),
+        F.lit(big).alias("capacity"),
+    )
+    internal = g.vertices.select(
+        (F.col("id") * 2).alias("src"),
+        (F.col("id") * 2 + 1).alias("dst"),
+        F.when(F.col("id").isin(int(s), int(t)), big)
+        .otherwise(1.0)
+        .alias("capacity"),
+    )
+    split = SparkGraph(
+        cross.unionByName(internal), directed=True, coalesce_edges=False
+    )
+    _, (reach, _) = minimum_cut(split, int(s) * 2 + 1, int(t) * 2, "capacity")
+    r = reach.select(F.col("id").alias("sid"))
+    in_reach = r.filter(F.col("sid") % 2 == 0).select(
+        (F.col("sid") / 2).cast("long").alias("id")
+    )
+    out_reach = r.filter(F.col("sid") % 2 == 1).select(
+        ((F.col("sid") - 1) / 2).cast("long").alias("id")
+    )
+    return (
+        in_reach.join(out_reach, "id", "left_anti")
+        .filter(~F.col("id").isin(int(s), int(t)))
+    )
+
+
+def minimum_node_cut(g: SparkGraph, s: int = None, t: int = None) -> DataFrame:
+    """The minimum vertex cut as a DataFrame ``(id)``
+    (``connectivity/cuts.py:174`` ``minimum_node_cut``).
+
+    With (s, t): the saturated split nodes of the vertex-splitting Dinitz
+    run (raises for adjacent endpoints, like the reference). With
+    neither: the reference's minimum-degree-pivot schedule
+    (``cuts.py:231``), keeping the smallest cut seen.
+    """
+    if (s is None) != (t is None):
+        raise ValueError("Both source and target must be specified.")
+    if s is not None:
+        adjacent = not (
+            g.symmetric_edges()
+            .filter((F.col("src") == s) & (F.col("dst") == t))
+            .isEmpty()
+        )
+        if adjacent:
+            raise ValueError(
+                "node cut is undefined for adjacent source and target"
+            )
+        return _st_node_cut_df(g, s, t)
+
+    from linkgraph.algos.components import is_connected
+    from linkgraph.algos.strongly_connected import is_strongly_connected
+
+    n = g.number_of_nodes()
+    if n < 2:
+        raise ValueError("Expected a graph with at least two nodes")
+    if g.directed:
+        if not is_strongly_connected(g):
+            return g.vertices.select("id").limit(0)
+    elif not is_connected(g):
+        return g.vertices.select("id").limit(0)
+
+    sym = g.symmetric_edges().select("src", "dst").distinct()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    v = deg.orderBy("deg", "id").first()
+    pivot = int(v["id"])
+    out_nbrs = {
+        r["dst"]
+        for r in (g.edges if g.directed else sym)
+        .filter(F.col("src") == pivot)
+        .select("dst")
+        .collect()
+    }
+    in_nbrs = (
+        {
+            r["src"]
+            for r in g.edges.filter(F.col("dst") == pivot).select("src").collect()
+        }
+        if g.directed
+        else out_nbrs
+    )
+    ids = sorted(r["id"] for r in g.vertices.select("id").collect())
+    adj_pairs = {(r["src"], r["dst"]) for r in sym.collect()}
+
+    best_rows, best_size = None, None
+
+    def consider(a, b):
+        nonlocal best_rows, best_size
+        cut = _st_node_cut_df(g, a, b)
+        rows = sorted(r["id"] for r in cut.collect())
+        if best_size is None or len(rows) < best_size:
+            best_rows, best_size = rows, len(rows)
+
+    for w in ids:
+        if best_size is not None and best_size <= 1:
+            break
+        if w != pivot and w not in out_nbrs:
+            consider(pivot, w)
+    if g.directed:
+        for w in ids:
+            if best_size is not None and best_size <= 1:
+                break
+            if w != pivot and w not in in_nbrs:
+                consider(w, pivot)
+    nbrs = sorted(out_nbrs | in_nbrs)
+    for i, x in enumerate(nbrs):
+        if best_size is not None and best_size <= 1:
+            break
+        for y in nbrs[i + 1 :]:
+            if (x, y) not in adj_pairs:
+                consider(x, y)
+                if best_size is not None and best_size <= 1:
+                    break
+    rows = best_rows or []
+    return g.spark.createDataFrame([(int(x),) for x in rows], "id long")
+
+
+def _decompose_unit_flow(flow_rows, s: int, t: int):
+    """Greedy path decomposition of a unit flow (driver-side over the
+    positive-flow arcs — k·O(path) work on a k-path flow)."""
+    out: dict = {}
+    for u, v in flow_rows:
+        out.setdefault(u, []).append(v)
+    # cancel opposite unit pairs (residual bookkeeping can leave both)
+    for u in list(out):
+        for v in list(out.get(u, [])):
+            if v in out and u in out.get(v, []) and u != v:
+                out[u].remove(v)
+                out[v].remove(u)
+    paths = []
+    while out.get(s):
+        path = [s]
+        seen_at = {s: 0}
+        cur = s
+        while cur != t:
+            nxt = out[cur].pop()
+            if nxt in seen_at:
+                # drop the internal cycle, keep walking
+                k = seen_at[nxt]
+                for dead in path[k + 1 :]:
+                    seen_at.pop(dead, None)
+                path = path[: k + 1]
+            else:
+                path.append(nxt)
+                seen_at[nxt] = len(path) - 1
+            cur = nxt
+        paths.append(path)
+    return paths
+
+
+def edge_disjoint_paths(g: SparkGraph, s: int, t: int) -> "list[list[int]]":
+    """A maximum set of edge-disjoint s→t paths
+    (``connectivity/disjoint_paths.py:141``): unit-capacity Dinitz +
+    driver-side flow decomposition (the flow support is k paths — tiny
+    next to the graph)."""
+    s, t = int(s), int(t)
+    _, flow = maximum_flow(_unit_graph(g), s, t, "capacity")
+    rows = [(r["u"], r["v"]) for r in flow.filter(F.col("flow") > 0.5).collect()]
+    return _decompose_unit_flow(rows, s, t)
+
+
+def node_disjoint_paths(g: SparkGraph, s: int, t: int) -> "list[list[int]]":
+    """A maximum set of internally node-disjoint s→t paths
+    (``disjoint_paths.py:26``): the vertex-splitting reduction, then flow
+    decomposition mapped back through the split ids."""
+    s, t = int(s), int(t)
+    adjacent = not (
+        g.symmetric_edges()
+        .filter((F.col("src") == s) & (F.col("dst") == t))
+        .isEmpty()
+    )
+    n = g.number_of_nodes()
+    big = float(n)
+    arcs = g.symmetric_edges() if not g.directed else g.edges
+    cross = arcs.select(
+        (F.col("src") * 2 + 1).alias("src"),
+        (F.col("dst") * 2).alias("dst"),
+        F.lit(1.0 if adjacent else big).alias("capacity"),
+    )
+    # adjacent endpoints: cap edge arcs at 1 so each parallel route is a
+    # distinct path, matching the reference's behavior of returning the
+    # direct edge plus the disjoint detours
+    internal = g.vertices.select(
+        (F.col("id") * 2).alias("src"),
+        (F.col("id") * 2 + 1).alias("dst"),
+        F.when(F.col("id").isin(s, t), big).otherwise(1.0).alias("capacity"),
+    )
+    split = SparkGraph(
+        cross.unionByName(internal), directed=True, coalesce_edges=False
+    )
+    _, flow = maximum_flow(split, s * 2 + 1, t * 2, "capacity")
+    rows = [(r["u"], r["v"]) for r in flow.filter(F.col("flow") > 0.5).collect()]
+    split_paths = _decompose_unit_flow(rows, s * 2 + 1, t * 2)
+    out = []
+    for p in split_paths:
+        nodes = [x // 2 for x in p]
+        dedup = [nodes[0]]
+        for x in nodes[1:]:
+            if x != dedup[-1]:
+                dedup.append(x)
+        out.append(dedup)
+    return out
+
+
+def gomory_hu_tree(
+    g: SparkGraph,
+    capacity: str = "capacity",
+    *,
+    max_nodes: int = 2000,
+) -> DataFrame:
+    """Gomory–Hu cut tree as a DataFrame ``(u, v, weight)``
+    (``networkx/algorithms/flow/gomoryhu.py:17`` ``gomory_hu_tree``,
+    Gusfield's simplification): n−1 distributed min-cut runs on the
+    ORIGINAL graph, a driver loop re-parenting nodes on the source side
+    of each cut. The tree's min-weight path edge equals every pair's
+    minimum cut value — the invariant the parity tests pin.
+
+    The per-node loop is inherently sequential (each cut depends on the
+    re-parented tree), so the node count is guarded by ``max_nodes``; each
+    cut itself is the distributed Dinitz kernel, so the GRAPH can be
+    arbitrarily large — the guard is on n, not m.
+    """
+    if g.directed:
+        raise ValueError("gomory_hu_tree is defined on undirected graphs")
+    from linkgraph.algos.components import is_connected
+
+    n = g.number_of_nodes()
+    if n == 0:
+        raise ValueError("Empty Graph.")
+    if n > max_nodes:
+        raise ValueError(
+            f"gomory_hu_tree re-parents nodes sequentially; {n} nodes > "
+            f"max_nodes={max_nodes}."
+        )
+    if n > 1 and not is_connected(g):
+        raise ValueError("graph is not connected.")
+    ids = sorted(r["id"] for r in g.vertices.select("id").collect())
+    root = ids[0]
+    parent = {v: root for v in ids if v != root}
+    weight = {}
+    for s_node in ids[1:]:
+        t_node = parent[s_node]
+        val, (reach, _) = minimum_cut(g, s_node, t_node, capacity)
+        side = {r["id"] for r in reach.collect()}
+        weight[s_node] = val
+        for v in ids:
+            if v != s_node and parent.get(v) == t_node and v in side:
+                parent[v] = s_node
+        gp = parent.get(t_node)
+        if gp is not None and gp in side:
+            parent[s_node] = gp
+            parent[t_node] = s_node
+            weight[s_node] = weight[t_node]
+            weight[t_node] = val
+    rows = [(int(v), int(p), float(weight[v])) for v, p in parent.items()]
+    return g.spark.createDataFrame(rows, "u long, v long, weight double")
+
+
+def k_edge_components(g: SparkGraph, k: int) -> DataFrame:
+    """(id, component): maximal sets with pairwise local edge connectivity
+    >= k (``connectivity/edge_kcomponents.py:37`` ``k_edge_components``;
+    label = min member id).
+
+    k=1 is connected components (distributed large-star/small-star); k=2
+    is the bridge-deletion form (distributed); k>=3 uses the Gomory–Hu
+    tree on unit capacities — λ(u, v) >= k is an equivalence relation
+    (λ(u,v) >= min(λ(u,w), λ(w,v))), and the GH tree realizes every λ, so
+    the classes are the components of the tree minus its light edges.
+    """
+    if g.directed:
+        raise ValueError("k_edge_components: undirected graphs only")
+    if k < 1:
+        raise ValueError(f"k cannot be less than 1; k={k}")
+    from linkgraph.algos.components import connected_components
+
+    if k == 1:
+        return connected_components(g)
+    if k == 2:
+        from linkgraph.algos.bridges import two_edge_connected_components
+
+        return two_edge_connected_components(g)
+    spark = g.spark
+    # per connected component, GH tree on unit capacities
+    cc = connected_components(g).persist()
+    comps = [r["component"] for r in cc.select("component").distinct().collect()]
+    all_rows = []
+    for comp in comps:
+        member_df = cc.filter(F.col("component") == comp).select("id")
+        members = {r["id"] for r in member_df.collect()}
+        if len(members) == 1:
+            (only,) = members
+            all_rows.append((int(only), int(only)))
+            continue
+        sub = g.subgraph(member_df)
+        tree = gomory_hu_tree(_unit_graph(sub), "capacity")
+        heavy = [
+            (r["u"], r["v"]) for r in tree.filter(F.col("weight") >= k).collect()
+        ]
+        # union-find over the heavy tree edges (tree-sized, driver-side)
+        lead = {m: m for m in members}
+
+        def find(x):
+            while lead[x] != x:
+                lead[x] = lead[lead[x]]
+                x = lead[x]
+            return x
+
+        for u, v in heavy:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                lo, hi = min(ru, rv), max(ru, rv)
+                lead[hi] = lo
+        all_rows.extend((int(m), int(find(m))) for m in members)
+    cc.unpersist()
+    return spark.createDataFrame(all_rows, "id long, component long")

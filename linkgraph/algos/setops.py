@@ -414,3 +414,41 @@ def quotient_graph(g: SparkGraph, partition: DataFrame) -> SparkGraph:
         ).agg(F.sum("weight").alias("weight"))
     v = part.select(F.col("block").alias("id")).distinct()
     return SparkGraph(e, vertices=v, directed=g.directed, coalesce_edges=False)
+
+
+def contracted_nodes(
+    g: SparkGraph, u: int, v: int, *, self_loops: bool = True
+) -> SparkGraph:
+    """Identify node v into node u
+    (``networkx/algorithms/minors/contraction.py:431`` ``contracted_nodes``):
+    every edge endpoint v is rewritten to u; edges between u and v become
+    self-loops on u when ``self_loops`` (dropped otherwise). Pure column
+    rewriting — one select, no join."""
+    u, v = int(u), int(v)
+    e = g.edges.select(
+        F.when(F.col("src") == v, F.lit(u)).otherwise(F.col("src")).alias("src"),
+        F.when(F.col("dst") == v, F.lit(u)).otherwise(F.col("dst")).alias("dst"),
+        "weight",
+    )
+    if not self_loops:
+        e = e.filter(~((F.col("src") == u) & (F.col("dst") == u)))
+    verts = g.vertices.select("id").filter(F.col("id") != v)
+    return SparkGraph(e, verts, directed=g.directed, coalesce_edges=False)
+
+
+# the reference's alias (contraction.py:560)
+identified_nodes = contracted_nodes
+
+
+def contracted_edge(
+    g: SparkGraph, u: int, v: int, *, self_loops: bool = True
+) -> SparkGraph:
+    """Contract the edge (u, v) (``contraction.py:575``); raises when the
+    edge does not exist, like the reference."""
+    u, v = int(u), int(v)
+    probe = g.symmetric_edges().filter(
+        (F.col("src") == u) & (F.col("dst") == v)
+    )
+    if probe.limit(1).count() == 0:
+        raise ValueError(f"Edge ({u}, {v}) does not exist in the graph")
+    return contracted_nodes(g, u, v, self_loops=self_loops)

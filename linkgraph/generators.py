@@ -383,3 +383,454 @@ def powerlaw_cluster_graph(
     return SparkGraph(
         e, vertices=_vertices(spark, n), directed=False, coalesce_edges=False
     )
+
+
+# --------------------------------------------------------------------- #
+# classic closed-form generators (round-4 second continuation)
+# --------------------------------------------------------------------- #
+
+
+def wheel_graph(spark: SparkSession, n: int) -> SparkGraph:
+    """``classic.py`` ``wheel_graph`` — hub 0 + cycle on 1..n-1 (n nodes;
+    the 2-node rim collapses to one edge, like the reference's C2)."""
+    n = int(n)
+    rim = n - 1
+    spokes = (
+        spark.range(1, n)
+        .select(F.lit(0).cast("long").alias("src"), F.col("id").alias("dst"))
+    )
+    if rim >= 3:
+        ring = spark.range(1, n).select(
+            F.col("id").alias("src"),
+            (F.pmod(F.col("id"), F.lit(rim)) + 1).cast("long").alias("dst"),
+        )
+        e = spokes.unionByName(ring)
+    elif rim == 2:
+        e = spokes.unionByName(
+            spark.createDataFrame([(1, 2)], "src long, dst long")
+        )
+    else:
+        e = spokes
+    return SparkGraph(e, vertices=_vertices(spark, n), directed=False,
+                      coalesce_edges=True)
+
+
+def ladder_graph(spark: SparkSession, n: int) -> SparkGraph:
+    """``classic.py`` ``ladder_graph`` — two n-paths (0..n-1, n..2n-1)
+    plus the n rungs."""
+    n = int(n)
+    rail = spark.range(max(n - 1, 0)).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    rail2 = rail.select(
+        (F.col("src") + n).alias("src"), (F.col("dst") + n).alias("dst")
+    )
+    rungs = spark.range(n).select(
+        F.col("id").alias("src"), (F.col("id") + n).alias("dst")
+    )
+    e = rail.unionByName(rail2).unionByName(rungs)
+    return SparkGraph(e, vertices=_vertices(spark, 2 * n), directed=False,
+                      coalesce_edges=False)
+
+
+def circular_ladder_graph(spark: SparkSession, n: int) -> SparkGraph:
+    """``classic.py`` ``circular_ladder_graph`` — the ladder plus the two
+    closing rail edges."""
+    n = int(n)
+    g = ladder_graph(spark, n)
+    if n < 3:
+        return g
+    closing = spark.createDataFrame(
+        [(0, n - 1), (n, 2 * n - 1)], "src long, dst long"
+    )
+    return SparkGraph(
+        g.edges.select("src", "dst").unionByName(closing),
+        vertices=_vertices(spark, 2 * n),
+        directed=False,
+        coalesce_edges=False,
+    )
+
+
+def barbell_graph(spark: SparkSession, m1: int, m2: int) -> SparkGraph:
+    """``classic.py`` ``barbell_graph`` — K_m1 + m2-path bridge + K_m1."""
+    m1, m2 = int(m1), int(m2)
+    if m1 < 2:
+        raise ValueError("Invalid graph description, m1 should be >=2")
+    if m2 < 0:
+        raise ValueError("Invalid graph description, m2 should be >=0")
+    a = spark.range(m1).select(F.col("id").alias("src"))
+    b = spark.range(m1).select(F.col("id").alias("dst"))
+    left = a.crossJoin(b).filter(F.col("src") < F.col("dst"))
+    right = left.select(
+        (F.col("src") + m1 + m2).alias("src"), (F.col("dst") + m1 + m2).alias("dst")
+    )
+    # path m1-1, m1, ..., m1+m2 (connects the two bells through the bridge)
+    bridge = spark.range(m1 - 1, m1 + m2).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    e = left.unionByName(right).unionByName(bridge)
+    return SparkGraph(e, vertices=_vertices(spark, 2 * m1 + m2), directed=False,
+                      coalesce_edges=True)
+
+
+def full_rary_tree(spark: SparkSession, r: int, n: int) -> SparkGraph:
+    """``classic.py`` ``full_rary_tree`` — node i>0 hangs off parent
+    (i-1)//r; one range scan, zero joins."""
+    r, n = int(r), int(n)
+    e = spark.range(1, n).select(
+        F.floor((F.col("id") - 1) / r).cast("long").alias("src"),
+        F.col("id").alias("dst"),
+    )
+    return SparkGraph(e, vertices=_vertices(spark, n), directed=False,
+                      coalesce_edges=False)
+
+
+def balanced_tree(spark: SparkSession, r: int, h: int) -> SparkGraph:
+    """``classic.py`` ``balanced_tree`` — the full r-ary tree with
+    (r^{h+1}-1)/(r-1) nodes (h+1 for r=1)."""
+    r, h = int(r), int(h)
+    n = h + 1 if r == 1 else (r ** (h + 1) - 1) // (r - 1)
+    return full_rary_tree(spark, r, n)
+
+
+def binomial_tree(spark: SparkSession, n: int) -> SparkGraph:
+    """``classic.py`` ``binomial_tree`` — B_n on 2^n nodes. The recursive
+    two-copy construction collapses to the closed form
+    ``parent(i) = i & (i-1)`` (clear the lowest set bit): one range scan,
+    zero joins, any scale."""
+    n = int(n)
+    size = 2 ** n
+    e = spark.range(1, size).select(
+        F.col("id").bitwiseAND(F.col("id") - 1).cast("long").alias("src"),
+        F.col("id").alias("dst"),
+    )
+    return SparkGraph(e, vertices=_vertices(spark, size), directed=False,
+                      coalesce_edges=False)
+
+
+def complete_multipartite_graph(spark: SparkSession, *sizes: int) -> SparkGraph:
+    """``classic.py`` ``complete_multipartite_graph`` — consecutive blocks
+    of the given sizes; u ~ v iff different blocks. Vertices carry the
+    block index as the ``subset`` attribute column (the reference's
+    ``subset`` node attribute)."""
+    sizes = [int(s) for s in sizes]
+    total = sum(sizes)
+    bounds = []
+    acc = 0
+    for bi, s in enumerate(sizes):
+        bounds.append((acc, acc + s, bi))
+        acc += s
+    block = F.lit(None).cast("long")
+    expr = None
+    for lo, hi, bi in bounds:
+        cond = (F.col("id") >= lo) & (F.col("id") < hi)
+        expr = F.when(cond, bi) if expr is None else expr.when(cond, bi)
+    verts = spark.range(total).select(
+        F.col("id"), expr.cast("long").alias("subset")
+    )
+    a = verts.select(F.col("id").alias("src"), F.col("subset").alias("bs"))
+    b = verts.select(F.col("id").alias("dst"), F.col("subset").alias("bd"))
+    e = (
+        a.crossJoin(b)
+        .filter((F.col("src") < F.col("dst")) & (F.col("bs") != F.col("bd")))
+        .select("src", "dst")
+    )
+    return SparkGraph(e, vertices=verts, directed=False, coalesce_edges=False)
+
+
+def turan_graph(spark: SparkSession, n: int, r: int) -> SparkGraph:
+    """``classic.py`` ``turan_graph`` — the complete multipartite graph
+    with n % r parts of size ceil(n/r) and the rest floor(n/r)."""
+    n, r = int(n), int(r)
+    if not 1 <= r <= n:
+        raise ValueError("Must satisfy 1 <= r <= n")
+    big = n % r
+    # the reference puts the floor-sized parts first, ceil-sized last
+    sizes = [n // r] * (r - big) + [n // r + 1] * big
+    return complete_multipartite_graph(spark, *sizes)
+
+
+def circulant_graph(spark: SparkSession, n: int, offsets) -> SparkGraph:
+    """``classic.py`` ``circulant_graph`` — i ~ i±d (mod n) for each
+    offset d; one range scan per offset."""
+    n = int(n)
+    parts = []
+    for d in offsets:
+        parts.append(
+            spark.range(n).select(
+                F.col("id").alias("src"),
+                F.pmod(F.col("id") + int(d), F.lit(n)).cast("long").alias("dst"),
+            )
+        )
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    return SparkGraph(e, vertices=_vertices(spark, n), directed=False,
+                      coalesce_edges=True)
+
+
+def caveman_graph(spark: SparkSession, l: int, k: int) -> SparkGraph:
+    """``community.py:24`` ``caveman_graph`` — l disjoint K_k cliques
+    (clique i on i*k..(i+1)*k-1)."""
+    l, k = int(l), int(k)
+    ids = spark.range(l * k)
+    a = ids.select(F.col("id").alias("src"))
+    b = ids.select(F.col("id").alias("dst"))
+    e = (
+        a.crossJoin(b)
+        .filter(
+            (F.col("src") < F.col("dst"))
+            & (F.floor(F.col("src") / k) == F.floor(F.col("dst") / k))
+        )
+    )
+    return SparkGraph(e, vertices=_vertices(spark, l * k), directed=False,
+                      coalesce_edges=False)
+
+
+def connected_caveman_graph(spark: SparkSession, l: int, k: int) -> SparkGraph:
+    """``community.py:71`` — each clique's (start, start+1) edge rewired to
+    (start, start-1 mod lk), linking the caves into a ring."""
+    l, k = int(l), int(k)
+    if k < 2:
+        raise ValueError(
+            "The size of cliques in a connected caveman graph must be at least 2."
+        )
+    base = caveman_graph(spark, l, k)
+    starts = spark.range(l).select((F.col("id") * k).alias("start"))
+    removed = starts.select(
+        F.col("start").alias("src"), (F.col("start") + 1).alias("dst")
+    )
+    added = starts.select(
+        F.least(F.col("start"), F.pmod(F.col("start") - 1, F.lit(l * k))).alias("src"),
+        F.greatest(
+            F.col("start"), F.pmod(F.col("start") - 1, F.lit(l * k))
+        ).alias("dst"),
+    )
+    e = (
+        base.edges.select("src", "dst")
+        .join(removed, ["src", "dst"], "left_anti")
+        .unionByName(added.select(F.col("src").cast("long"), F.col("dst").cast("long")))
+    )
+    return SparkGraph(e, vertices=_vertices(spark, l * k), directed=False,
+                      coalesce_edges=True)
+
+
+def ring_of_cliques(spark: SparkSession, num_cliques: int, clique_size: int) -> SparkGraph:
+    """``community.py:389`` — cliques plus the ring edge
+    (i*k+1, (i+1)*k mod num*k) per clique i."""
+    num, k = int(num_cliques), int(clique_size)
+    if num < 2:
+        raise ValueError("A ring of cliques must have at least two cliques")
+    if k < 2:
+        raise ValueError("The cliques must have at least two nodes")
+    base = caveman_graph(spark, num, k)
+    ring = spark.range(num).select(
+        (F.col("id") * k + 1).cast("long").alias("src"),
+        F.pmod((F.col("id") + 1) * k, F.lit(num * k)).cast("long").alias("dst"),
+    )
+    e = base.edges.select("src", "dst").unionByName(ring)
+    return SparkGraph(e, vertices=_vertices(spark, num * k), directed=False,
+                      coalesce_edges=True)
+
+
+def windmill_graph(spark: SparkSession, n: int, k: int) -> SparkGraph:
+    """``community.py:445`` — K_k plus n-1 copies of K_{k-1}, every copy
+    node also joined to node 0."""
+    n, k = int(n), int(k)
+    if n < 2:
+        raise ValueError("A windmill graph must have at least two cliques")
+    if k < 2:
+        raise ValueError("The cliques must have at least two nodes")
+    total = k + (n - 1) * (k - 1)
+    ids = spark.range(total)
+    # blade index: 0 for the first K_k, then 1.. for each K_{k-1} copy
+    blade = F.when(F.col("id") < k, F.lit(0)).otherwise(
+        F.floor((F.col("id") - k) / (k - 1)) + 1
+    )
+    a = ids.select(F.col("id").alias("src"), blade.alias("ba"))
+    b = ids.select(F.col("id").alias("dst"), blade.alias("bb"))
+    intra = (
+        a.crossJoin(b)
+        .filter((F.col("src") < F.col("dst")) & (F.col("ba") == F.col("bb")))
+        .select("src", "dst")
+    )
+    hub = spark.range(k, total).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    e = intra.unionByName(hub)
+    return SparkGraph(e, vertices=_vertices(spark, total), directed=False,
+                      coalesce_edges=True)
+
+
+def mycielskian(g: SparkGraph, iterations: int = 1) -> SparkGraph:
+    """``generators/mycielski.py`` ``mycielskian`` — the Mycielski
+    construction: relabeled original u -> u, shadow u -> n+u, apex 2n;
+    edges = original + {(n+u, v), (n+v, u) per edge} + {(n+u, 2n)}. Pure
+    column arithmetic + one union per iteration."""
+    if g.directed:
+        raise ValueError("mycielskian is defined on undirected graphs")
+    out = g
+    for _ in range(int(iterations)):
+        from linkgraph.graph import convert_node_labels_to_integers
+
+        out, _ = convert_node_labels_to_integers(out)
+        n = out.number_of_nodes()
+        e = out.edges.select("src", "dst")
+        shadow = e.select((F.col("src") + n).alias("src"), F.col("dst")).unionByName(
+            e.select((F.col("dst") + n).alias("src"), F.col("src").alias("dst"))
+        )
+        apex = (
+            out.spark.range(n, 2 * n)
+            .select(F.col("id").alias("src"), F.lit(2 * n).cast("long").alias("dst"))
+        )
+        verts = out.spark.range(2 * n + 1).select("id")
+        out = SparkGraph(
+            e.unionByName(shadow).unionByName(apex),
+            verts,
+            directed=False,
+            coalesce_edges=False,
+        )
+    return out
+
+
+def mycielski_graph(spark: SparkSession, n: int) -> SparkGraph:
+    """``mycielski.py`` ``mycielski_graph`` — M_1 = K_1, M_2 = K_2,
+    M_n = mycielskian(M_{n-1})."""
+    n = int(n)
+    if n < 1:
+        raise ValueError("must satisfy n >= 1")
+    if n == 1:
+        return empty_graph(spark, 1)
+    g = path_graph(spark, 2)
+    return mycielskian(g, n - 2)
+
+
+def expected_degree_graph(
+    spark: SparkSession, w, seed: int = 0, *, selfloops: bool = True
+) -> SparkGraph:
+    """Chung–Lu random graph (``random_graphs.py`` ``expected_degree_graph``):
+    edge (i, j) appears with probability min(w_i w_j / Σw, 1), decided by a
+    deterministic per-pair hash coin (same seed → same graph).
+
+    Scale note: the candidate pair join is O(n²) rows here; the reference's
+    sorted-skip trick is sequential. At web scale use per-node Poisson
+    target sampling (multi-round) — this generator exists for fixtures, so
+    the direct pair-coin form is the honest choice.
+    """
+    rows = [(i, float(x)) for i, x in enumerate(w)]
+    wdf = spark.createDataFrame(rows, "id long, w double")
+    s = sum(x for _, x in rows)
+    if s == 0:
+        return SparkGraph(
+            spark.createDataFrame([], "src long, dst long"),
+            wdf.select("id"),
+            directed=False,
+            coalesce_edges=False,
+        )
+    a = wdf.select(F.col("id").alias("src"), F.col("w").alias("wa"))
+    b = wdf.select(F.col("id").alias("dst"), F.col("w").alias("wb"))
+    cmp = F.col("src") <= F.col("dst") if selfloops else F.col("src") < F.col("dst")
+    pairs = a.crossJoin(b).filter(cmp)
+    p = F.least(F.col("wa") * F.col("wb") / F.lit(float(s)), F.lit(1.0))
+    # self-loop probability halves, as in the reference's Chung-Lu form
+    p = F.when(F.col("src") == F.col("dst"), p / 2.0).otherwise(p)
+    coin = (
+        F.pmod(F.xxhash64("src", "dst", F.lit(int(seed))), F.lit(1_000_000_007))
+        / 1_000_000_007.0
+    )
+    e = pairs.filter(coin < p).select("src", "dst")
+    return SparkGraph(e, wdf.select("id"), directed=False, coalesce_edges=False)
+
+
+def stochastic_block_model(
+    spark: SparkSession,
+    sizes,
+    p,
+    seed: int = 0,
+    *,
+    directed: bool = False,
+    selfloops: bool = False,
+) -> SparkGraph:
+    """``community.py`` ``stochastic_block_model`` — blocks of the given
+    sizes, edge (u, v) with probability p[block(u)][block(v)], hash-coin
+    deterministic per seed. Vertices carry the ``block`` column."""
+    sizes = [int(s) for s in sizes]
+    r = len(sizes)
+    for row in p:
+        if len(row) != r:
+            raise ValueError("'sizes' and 'p' do not match.")
+        for x in row:
+            if not 0 <= x <= 1:
+                raise ValueError("Entries of 'p' not in [0,1].")
+    total = sum(sizes)
+    bounds = []
+    acc = 0
+    for bi, s in enumerate(sizes):
+        bounds.append((acc, acc + s, bi))
+        acc += s
+    expr = None
+    for lo, hi, bi in bounds:
+        cond = (F.col("id") >= lo) & (F.col("id") < hi)
+        expr = F.when(cond, bi) if expr is None else expr.when(cond, bi)
+    verts = spark.range(total).select(F.col("id"), expr.cast("long").alias("block"))
+    prob_rows = [
+        (bi, bj, float(p[bi][bj])) for bi in range(r) for bj in range(r)
+    ]
+    pdf = spark.createDataFrame(prob_rows, "bi long, bj long, pv double")
+    a = verts.select(F.col("id").alias("src"), F.col("block").alias("bi"))
+    b = verts.select(F.col("id").alias("dst"), F.col("block").alias("bj"))
+    if directed:
+        cmp = (
+            F.lit(True) if selfloops else (F.col("src") != F.col("dst"))
+        )
+    else:
+        cmp = (
+            F.col("src") <= F.col("dst") if selfloops else F.col("src") < F.col("dst")
+        )
+    pairs = a.crossJoin(b).filter(cmp).join(F.broadcast(pdf), ["bi", "bj"])
+    coin = (
+        F.pmod(F.xxhash64("src", "dst", F.lit(int(seed))), F.lit(1_000_000_007))
+        / 1_000_000_007.0
+    )
+    e = pairs.filter(coin < F.col("pv")).select("src", "dst")
+    return SparkGraph(e, verts, directed=directed, coalesce_edges=False)
+
+
+def planted_partition_graph(
+    spark: SparkSession,
+    l: int,
+    k: int,
+    p_in: float,
+    p_out: float,
+    seed: int = 0,
+    *,
+    directed: bool = False,
+) -> SparkGraph:
+    """``community.py`` ``planted_partition_graph`` — the SBM special case
+    of l equal groups of size k with within/between probabilities."""
+    l, k = int(l), int(k)
+    probs = [[p_in if i == j else p_out for j in range(l)] for i in range(l)]
+    return stochastic_block_model(
+        spark, [k] * l, probs, seed=seed, directed=directed
+    )
+
+
+def gnm_random_graph(
+    spark: SparkSession, n: int, m: int, seed: int = 0, *, directed: bool = False
+) -> SparkGraph:
+    """``random_graphs.py`` ``gnm_random_graph`` — exactly m edges sampled
+    uniformly without replacement: rank all candidate pairs by a hash and
+    keep the m smallest (one distributed top-m, deterministic per seed)."""
+    n, m = int(n), int(m)
+    a = spark.range(n).select(F.col("id").alias("src"))
+    b = spark.range(n).select(F.col("id").alias("dst"))
+    cmp = F.col("src") != F.col("dst") if directed else F.col("src") < F.col("dst")
+    pairs = a.crossJoin(b).filter(cmp)
+    e = (
+        pairs.withColumn("h", F.xxhash64("src", "dst", F.lit(int(seed))))
+        .orderBy("h")
+        .limit(m)
+        .select("src", "dst")
+    )
+    return SparkGraph(e, vertices=_vertices(spark, n), directed=directed,
+                      coalesce_edges=False)
