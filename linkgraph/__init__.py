@@ -190,6 +190,39 @@ from linkgraph.algos.cycles import eulerize
 from linkgraph.algos.setops import contracted_nodes, contracted_edge, identified_nodes
 from linkgraph.algos.chains import chain_decomposition, prefix_tree
 from linkgraph.algos.matrices import google_matrix, number_of_spanning_trees
+from linkgraph import convert
+from linkgraph import linalg
+from linkgraph.convert import (
+    to_dict_of_dicts,
+    from_dict_of_dicts,
+    to_dict_of_lists,
+    from_dict_of_lists,
+    to_edgelist,
+    to_pandas_edgelist,
+    from_pandas_edgelist,
+    to_pandas_adjacency,
+    from_pandas_adjacency,
+    cytoscape_data,
+    cytoscape_graph,
+    adjacency_data,
+    adjacency_graph,
+    tree_data,
+    tree_graph,
+)
+from linkgraph.linalg import (
+    adjacency_matrix,
+    incidence_matrix,
+    laplacian_matrix,
+    normalized_laplacian_matrix,
+    modularity_matrix,
+    bethe_hessian_matrix,
+    adjacency_spectrum,
+    laplacian_spectrum,
+    normalized_laplacian_spectrum,
+    modularity_spectrum,
+    bethe_hessian_spectrum,
+    non_randomness,
+)
 from linkgraph.algos.distance import (
     incremental_closeness_centrality,
     eccentricity,
@@ -579,6 +612,33 @@ __all__ = [
     "prefix_tree",
     "google_matrix",
     "number_of_spanning_trees",
+    "to_dict_of_dicts",
+    "from_dict_of_dicts",
+    "to_dict_of_lists",
+    "from_dict_of_lists",
+    "to_edgelist",
+    "to_pandas_edgelist",
+    "from_pandas_edgelist",
+    "to_pandas_adjacency",
+    "from_pandas_adjacency",
+    "cytoscape_data",
+    "cytoscape_graph",
+    "adjacency_data",
+    "adjacency_graph",
+    "tree_data",
+    "tree_graph",
+    "adjacency_matrix",
+    "incidence_matrix",
+    "laplacian_matrix",
+    "normalized_laplacian_matrix",
+    "modularity_matrix",
+    "bethe_hessian_matrix",
+    "adjacency_spectrum",
+    "laplacian_spectrum",
+    "normalized_laplacian_spectrum",
+    "modularity_spectrum",
+    "bethe_hessian_spectrum",
+    "non_randomness",
     "dfs_edges",
     "dfs_tree",
     "dfs_preorder_nodes",
