@@ -192,6 +192,25 @@ from linkgraph.algos.chains import chain_decomposition, prefix_tree
 from linkgraph.algos.matrices import google_matrix, number_of_spanning_trees
 from linkgraph import convert
 from linkgraph import linalg
+from linkgraph.algos.flow import k_edge_subgraphs
+from linkgraph.algos.dfs import edge_dfs, edge_bfs
+from linkgraph.algos.dag import (
+    lowest_common_ancestor,
+    all_pairs_lowest_common_ancestor,
+    tree_all_pairs_lowest_common_ancestor,
+)
+from linkgraph.algos.paths import is_path, is_simple_path, path_weight
+from linkgraph.algos.components import node_connected_component
+from linkgraph.algos.selection import is_dominating_set, is_connected_dominating_set
+from linkgraph.algos.assortativity import (
+    node_degree_xy,
+    node_attribute_xy,
+    degree_mixing_dict,
+    attribute_mixing_dict,
+    mixing_dict,
+    degree_mixing_matrix,
+    attribute_mixing_matrix,
+)
 from linkgraph.convert import (
     to_dict_of_dicts,
     from_dict_of_dicts,
@@ -639,6 +658,25 @@ __all__ = [
     "modularity_spectrum",
     "bethe_hessian_spectrum",
     "non_randomness",
+    "k_edge_subgraphs",
+    "edge_dfs",
+    "edge_bfs",
+    "lowest_common_ancestor",
+    "all_pairs_lowest_common_ancestor",
+    "tree_all_pairs_lowest_common_ancestor",
+    "is_path",
+    "is_simple_path",
+    "path_weight",
+    "node_connected_component",
+    "is_dominating_set",
+    "is_connected_dominating_set",
+    "node_degree_xy",
+    "node_attribute_xy",
+    "degree_mixing_dict",
+    "attribute_mixing_dict",
+    "mixing_dict",
+    "degree_mixing_matrix",
+    "attribute_mixing_matrix",
     "dfs_edges",
     "dfs_tree",
     "dfs_preorder_nodes",

@@ -174,3 +174,100 @@ def degree_pearson_correlation_coefficient(g: SparkGraph) -> float:
     """Alias of :func:`degree_assortativity_coefficient` — the reference
     computes the identical Pearson r via scipy (``correlation.py:211``)."""
     return degree_assortativity_coefficient(g)
+
+
+def node_degree_xy(g: SparkGraph) -> DataFrame:
+    """(x, y) degree pairs, one row per arc
+    (``assortativity/pairs.py:118`` ``node_degree_xy``): the long form
+    behind the degree mixing matrix (undirected arcs in both
+    orientations, like the reference generator)."""
+    from linkgraph.algos.degrees import degrees, in_degrees, out_degrees
+
+    if g.directed:
+        dx = out_degrees(g)
+        dy = in_degrees(g)
+        arcs = g.edges.select("src", "dst")
+    else:
+        dx = dy = degrees(g)
+        arcs = g.symmetric_edges().select("src", "dst")
+    return (
+        arcs.join(
+            dx.select(F.col("id").alias("src"), F.col("degree").alias("x")), "src"
+        )
+        .join(dy.select(F.col("id").alias("dst"), F.col("degree").alias("y")), "dst")
+        .select("x", "y")
+    )
+
+
+def node_attribute_xy(g: SparkGraph, attribute: str) -> DataFrame:
+    """(x, y) attribute pairs per arc (``pairs.py:13``)."""
+    return _attr_arcs(g, attribute).select(
+        F.col("xa").alias("x"), F.col("xb").alias("y")
+    )
+
+
+def degree_mixing_dict(g: SparkGraph) -> dict:
+    """{x: {y: count}} (``mixing.py:110`` ``degree_mixing_dict``,
+    normalized=False) — driver dict over the distributed long form."""
+    out: dict = {}
+    for r in degree_mixing(g).collect():
+        out.setdefault(int(r["x"]), {})[int(r["y"])] = int(r["n"])
+    return out
+
+
+def attribute_mixing_dict(g: SparkGraph, attribute: str) -> dict:
+    """{x: {y: count}} (``mixing.py:13`` ``attribute_mixing_dict``)."""
+    out: dict = {}
+    for r in attribute_mixing(g, attribute).collect():
+        out.setdefault(r["x"], {})[r["y"]] = int(r["n"])
+    return out
+
+
+def mixing_dict(xy: DataFrame, *, normalized: bool = False) -> dict:
+    """{x: {y: count-or-probability}} from a two-column pair DataFrame
+    (``mixing.py:223`` ``mixing_dict``)."""
+    a, b = xy.columns[0], xy.columns[1]
+    rows = (
+        xy.groupBy(F.col(a).alias("x"), F.col(b).alias("y"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    tot = float(sum(r["n"] for r in rows)) or 1.0
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["x"], {})[r["y"]] = (
+            r["n"] / tot if normalized else int(r["n"])
+        )
+    return out
+
+
+def degree_mixing_matrix(g: SparkGraph, *, normalized: bool = True):
+    """(matrix, mapping) — dense degree mixing matrix
+    (``mixing.py:147``); mapping = degree value → row index."""
+    import numpy as np
+
+    rows = degree_mixing(g).collect()
+    vals = sorted({int(r["x"]) for r in rows} | {int(r["y"]) for r in rows})
+    idx = {v: i for i, v in enumerate(vals)}
+    M = np.zeros((len(vals), len(vals)))
+    for r in rows:
+        M[idx[int(r["x"])], idx[int(r["y"])]] = r["n"]
+    if normalized and M.sum() > 0:
+        M = M / M.sum()
+    return M, idx
+
+
+def attribute_mixing_matrix(g: SparkGraph, attribute: str, *, normalized: bool = True):
+    """(matrix, mapping) — dense attribute mixing matrix
+    (``mixing.py:61``)."""
+    import numpy as np
+
+    rows = attribute_mixing(g, attribute).collect()
+    vals = sorted({r["x"] for r in rows} | {r["y"] for r in rows})
+    idx = {v: i for i, v in enumerate(vals)}
+    M = np.zeros((len(vals), len(vals)))
+    for r in rows:
+        M[idx[r["x"]], idx[r["y"]]] = r["n"]
+    if normalized and M.sum() > 0:
+        M = M / M.sum()
+    return M, idx

@@ -422,3 +422,92 @@ def sets(g: SparkGraph) -> "tuple[DataFrame, DataFrame]":
         c.filter(F.col("color") == 1).select("id"),
         c.filter(F.col("color") == 0).select("id"),
     )
+
+
+def maximum_matching(g: SparkGraph, top_nodes: DataFrame) -> DataFrame:
+    """Maximum-cardinality bipartite matching as ``(u, v)`` rows (u on the
+    top side) — ``networkx/algorithms/bipartite/matching.py:58``
+    ``hopcroft_karp_matching`` result parity via unit-capacity Dinitz
+    (max matching = max flow through a super source/sink; the blocking-flow
+    phases ARE Hopcroft–Karp's level phases, O(√V) of them).
+    """
+    from linkgraph.algos.flow import maximum_flow
+
+    spark = g.spark
+    top = top_nodes.select(
+        F.col(top_nodes.columns[0]).cast("long").alias("id")
+    ).persist()
+    verts = g.vertices.select("id")
+    bottom = verts.join(top, "id", "left_anti").persist()
+    hi = verts.agg(F.max("id")).collect()[0][0] or 0
+    s, t = int(hi) + 1, int(hi) + 2
+    arcs = g.symmetric_edges().select("src", "dst")
+    tb = arcs.join(top.withColumnRenamed("id", "src"), "src", "left_semi").join(
+        bottom.withColumnRenamed("id", "dst"), "dst", "left_semi"
+    )
+    net = (
+        top.select(F.lit(s).cast("long").alias("src"), F.col("id").alias("dst"))
+        .unionByName(tb.select("src", "dst"))
+        .unionByName(
+            bottom.select(F.col("id").alias("src"), F.lit(t).cast("long").alias("dst"))
+        )
+        .withColumn("capacity", F.lit(1.0))
+    )
+    net_g = SparkGraph(net, directed=True, coalesce_edges=False)
+    _, flow = maximum_flow(net_g, s, t, "capacity")
+    out = (
+        flow.filter((F.col("flow") > 0.5) & (F.col("u") != s) & (F.col("v") != t))
+        .select(F.col("u"), F.col("v"))
+        .join(top.withColumnRenamed("id", "u"), "u", "left_semi")
+    )
+    return out
+
+
+def to_vertex_cover(g: SparkGraph, matching: DataFrame, top_nodes: DataFrame) -> DataFrame:
+    """König's theorem: a minimum vertex cover from a maximum bipartite
+    matching (``bipartite/matching.py:172`` ``to_vertex_cover``):
+    Z = nodes reachable from unmatched top nodes by alternating paths;
+    cover = (top − Z) ∪ (bottom ∩ Z). Alternating reachability is one
+    distributed BFS over (unmatched-direction top→bottom, matched-direction
+    bottom→top) arcs."""
+    from linkgraph.iterutils import SuperstepCache
+
+    spark = g.spark
+    top = top_nodes.select(
+        F.col(top_nodes.columns[0]).cast("long").alias("id")
+    ).persist()
+    verts = g.vertices.select("id")
+    bottom = verts.join(top, "id", "left_anti")
+    m = matching.select(
+        F.col(matching.columns[0]).cast("long").alias("u"),
+        F.col(matching.columns[1]).cast("long").alias("v"),
+    ).persist()
+    arcs = g.symmetric_edges().select("src", "dst")
+    tb = arcs.join(top.withColumnRenamed("id", "src"), "src", "left_semi").join(
+        bottom.withColumnRenamed("id", "dst"), "dst", "left_semi"
+    )
+    unmatched_fwd = tb.join(m.withColumnRenamed("u", "src").withColumnRenamed("v", "dst"), ["src", "dst"], "left_anti")
+    matched_back = m.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    walk = unmatched_fwd.unionByName(matched_back).persist()
+    free_top = top.join(m.select(F.col("u").alias("id")), "id", "left_anti")
+    cache = SuperstepCache(spark)
+    seen = cache.truncate(free_top.select("id"))
+    frontier = seen
+    while True:
+        nxt = cache.truncate(
+            walk.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(seen, "id", "left_anti")
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        seen = cache.truncate(seen.unionByName(nxt))
+        frontier = nxt
+    z = seen.localCheckpoint(eager=True)
+    cache.close(keep_result=True)
+    cover = top.join(z, "id", "left_anti").unionByName(
+        bottom.join(z, "id", "left_semi")
+    )
+    walk.unpersist()
+    return cover

@@ -248,3 +248,14 @@ def is_weakly_connected(g: SparkGraph) -> bool:
         .count()
         == 1
     )
+
+
+def node_connected_component(g: SparkGraph, n: int) -> DataFrame:
+    """(id): the nodes of n's connected component
+    (``components/connected.py:380`` ``node_connected_component``) — one
+    filter over the distributed component labeling."""
+    cc = connected_components(g)
+    lab = cc.filter(F.col("id") == int(n)).select(
+        F.col("component").alias("c")
+    )
+    return cc.join(F.broadcast(lab), cc["component"] == F.col("c")).select("id")

@@ -305,3 +305,43 @@ def lowest_common_ancestors(g: SparkGraph, pairs: DataFrame) -> DataFrame:
         .agg(F.max(F.struct("generation", "lca")).alias("m"))
         .select("u", "v", F.col("m.lca").alias("lca"))
     )
+
+
+def lowest_common_ancestor(g: SparkGraph, node1: int, node2: int):
+    """Single-pair LCA (``lowest_common_ancestors.py:117``); None when the
+    pair has no common ancestor (the reference returns the ``default``)."""
+    p = g.spark.createDataFrame([(int(node1), int(node2))], "u long, v long")
+    rows = lowest_common_ancestors(g, p).collect()
+    return int(rows[0]["lca"]) if rows else None
+
+
+def all_pairs_lowest_common_ancestor(
+    g: SparkGraph, pairs: "Optional[DataFrame]" = None
+) -> DataFrame:
+    """(u, v, lca) for the given pairs, or EVERY ordered pair when
+    ``pairs=None`` (``lowest_common_ancestors.py:29``). The all-pairs
+    default is O(n²) rows by definition; pass ``pairs`` at scale."""
+    if pairs is None:
+        v = g.vertices.select("id")
+        pairs = v.select(F.col("id").alias("u")).crossJoin(
+            v.select(F.col("id").alias("v"))
+        )
+    return lowest_common_ancestors(g, pairs)
+
+
+def tree_all_pairs_lowest_common_ancestor(
+    g: SparkGraph, root=None, pairs: "Optional[DataFrame]" = None
+) -> DataFrame:
+    """Tree-specialized alias (``lowest_common_ancestors.py:167`` —
+    Tarjan's offline LCA): on a tree the generic candidate-join plan gives
+    identical answers, so this validates the tree-rootedness contract and
+    routes to the same kernel."""
+    from linkgraph.algos.degrees import in_degrees
+
+    if root is not None:
+        zero_in = in_degrees(g).filter(
+            (F.col("degree") == 0) & (F.col("id") != int(root))
+        )
+        if zero_in.limit(1).count() > 0:
+            raise ValueError("tree_all_pairs_lca: graph is not rooted at root")
+    return all_pairs_lowest_common_ancestor(g, pairs)

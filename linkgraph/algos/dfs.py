@@ -210,3 +210,83 @@ def dfs_postorder_nodes(
     (``depth_first_search.py:203``). Depth-limit leaves never finish
     (``reverse-depth_limit``), so — like the reference — they are absent."""
     return _order_nodes(g, source, depth_limit, max_driver_edges, "reverse")
+
+
+def edge_dfs(
+    g: SparkGraph,
+    source=None,
+    *,
+    max_driver_edges: int = 5_000_000,
+) -> "list[tuple[int, int]]":
+    """Every EDGE in depth-first order
+    (``networkx/algorithms/traversal/edgedfs.py:12`` ``edge_dfs``,
+    default orientation): unlike ``dfs_edges``, every edge is reported
+    once, including back/cross edges; undirected edges are reported in
+    traversal orientation. Driver-gated like the node DFS family
+    (sequential by definition)."""
+    adj, nodes = _driver_adjacency(g, max_driver_edges)
+    roots = _roots(g, source, nodes)
+    seen_edges: set = set()
+    out = []
+    visited_starts: set = set()
+    for start in roots:
+        if start in visited_starts:
+            continue
+        stack = [start]
+        iters = {start: iter(adj.get(start, ()))}
+        while stack:
+            u = stack[-1]
+            advanced = False
+            for v in iters[u]:
+                key = (u, v) if g.directed else frozenset((u, v)) if u != v else (u, u)
+                if key in seen_edges:
+                    continue
+                seen_edges.add(key)
+                out.append((u, v))
+                # the reference descends into v on EVERY new edge, even a
+                # previously-visited node (edgedfs.py: stack.append(child))
+                if v not in iters:
+                    iters[v] = iter(adj.get(v, ()))
+                stack.append(v)
+                advanced = True
+                break
+            if not advanced:
+                stack.pop()
+        visited_starts.update(iters.keys())
+    return out
+
+
+def edge_bfs(
+    g: SparkGraph,
+    source=None,
+    *,
+    max_driver_edges: int = 5_000_000,
+) -> "list[tuple[int, int]]":
+    """Every edge in breadth-first order (``traversal/edgebfs.py:12``
+    ``edge_bfs``): edges grouped by the BFS level of their tail. The LEVEL
+    structure is the distributed BFS; only the within-level emission order
+    is driver work."""
+    adj, nodes = _driver_adjacency(g, max_driver_edges)
+    roots = _roots(g, source, nodes)
+    from collections import deque
+
+    seen_edges: set = set()
+    out = []
+    queued: set = set()
+    q = deque()
+    for r in roots:
+        if r not in queued:
+            queued.add(r)
+            q.append(r)
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                key = (u, v) if g.directed else frozenset((u, v)) if u != v else (u, u)
+                if key in seen_edges:
+                    continue
+                seen_edges.add(key)
+                out.append((u, v))
+                if v not in queued:
+                    queued.add(v)
+                    q.append(v)
+    return out

@@ -1040,3 +1040,82 @@ def k_edge_components(g: SparkGraph, k: int) -> DataFrame:
         all_rows.extend((int(m), int(find(m))) for m in members)
     cc.unpersist()
     return spark.createDataFrame(all_rows, "id long, component long")
+
+
+def k_edge_subgraphs(g: SparkGraph, k: int) -> DataFrame:
+    """(id, component): maximal node sets whose INDUCED subgraphs are
+    k-edge-connected (``edge_kcomponents.py:115`` ``k_edge_subgraphs``;
+    label = min member id).
+
+    k=1 coincides with connected components; k>=2 runs the standard
+    cut-and-recurse: while some piece's induced subgraph has a global min
+    cut below k, split it along that cut. Each global cut is the
+    driver-gated Stoer–Wagner kernel on the induced piece (unit weights);
+    the recursion depth is at most n. Undirected only.
+    """
+    if g.directed:
+        raise ValueError("k_edge_subgraphs: undirected graphs only")
+    if k < 1:
+        raise ValueError(f"k cannot be less than 1; k={k}")
+    from linkgraph.algos.components import connected_components
+
+    if k == 1:
+        return connected_components(g)
+    spark = g.spark
+    cc = connected_components(g).persist()
+    comps = [r["component"] for r in cc.select("component").distinct().collect()]
+    out_rows = []
+    # driver worklist of node-id frozensets; each piece's cut is distributed
+    work = []
+    for comp in comps:
+        members = frozenset(
+            r["id"] for r in cc.filter(F.col("component") == comp).collect()
+        )
+        work.append(members)
+    cc.unpersist()
+    base = g.edges.select("src", "dst").persist()
+    while work:
+        piece = work.pop()
+        if len(piece) == 1:
+            (only,) = piece
+            out_rows.append((int(only), int(only)))
+            continue
+        pdf = spark.createDataFrame([(int(x),) for x in piece], "id long")
+        sub = SparkGraph(
+            base.join(pdf.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(pdf.withColumnRenamed("id", "dst"), "dst", "left_semi"),
+            pdf,
+            directed=False,
+            coalesce_edges=False,
+        )
+        # a disconnected piece (post-split) breaks into its components
+        from linkgraph.algos.components import connected_components as _cc
+
+        sub_cc = _cc(sub).persist()
+        n_sub = sub_cc.select("component").distinct().count()
+        if n_sub > 1:
+            for comp in [
+                r["component"] for r in sub_cc.select("component").distinct().collect()
+            ]:
+                work.append(
+                    frozenset(
+                        r["id"]
+                        for r in sub_cc.filter(F.col("component") == comp).collect()
+                    )
+                )
+            sub_cc.unpersist()
+            continue
+        sub_cc.unpersist()
+        if sub.number_of_edges() == 0:
+            for x in piece:
+                out_rows.append((int(x), int(x)))
+            continue
+        val, (side_a, side_b) = stoer_wagner(sub, weight=None, _unit=True)
+        if val >= k:
+            lead = min(piece)
+            out_rows.extend((int(x), int(lead)) for x in piece)
+        else:
+            work.append(frozenset(side_a))
+            work.append(frozenset(side_b))
+    base.unpersist()
+    return spark.createDataFrame(out_rows, "id long, component long")

@@ -39,6 +39,9 @@ __all__ = [
     "predecessor",
     "bfs_predecessors",
     "bfs_successors",
+    "is_path",
+    "is_simple_path",
+    "path_weight",
 ]
 
 
@@ -215,3 +218,53 @@ def bfs_successors(g: SparkGraph, source, *, depth_limit=None) -> DataFrame:
         .groupBy(F.col("src").alias("id"))
         .agg(F.sort_array(F.collect_set("dst")).alias("successors"))
     )
+
+
+def is_path(g: SparkGraph, path) -> bool:
+    """True iff consecutive elements are joined by edges
+    (``networkx/classes/function.py`` ``is_path``)."""
+    path = [int(x) for x in path]
+    if not path:
+        return False
+    if len(path) == 1:
+        return g.vertices.filter(F.col("id") == path[0]).limit(1).count() > 0
+    hops = g.spark.createDataFrame(
+        list(zip(path, path[1:])), "src long, dst long"
+    )
+    arcs = g.symmetric_edges() if not g.directed else g.edges
+    missing = hops.join(arcs.select("src", "dst"), ["src", "dst"], "left_anti")
+    return missing.limit(1).count() == 0
+
+
+def is_simple_path(g: SparkGraph, nodes) -> bool:
+    """``networkx/algorithms/simple_paths.py:28`` ``is_simple_path`` —
+    a path with no repeated nodes."""
+    nodes = [int(x) for x in nodes]
+    if len(nodes) != len(set(nodes)):
+        return False
+    return is_path(g, nodes)
+
+
+def path_weight(g: SparkGraph, path, weight="weight") -> float:
+    """Total weight along the path (``function.py`` ``path_weight``);
+    raises when the path is broken, like the reference."""
+    path = [int(x) for x in path]
+    if not is_path(g, path):
+        raise NetworkXError("path is not a valid path in the graph")
+    if len(path) < 2:
+        return 0.0
+    hops = g.spark.createDataFrame(
+        [(i, u, v) for i, (u, v) in enumerate(zip(path, path[1:]))],
+        "i long, src long, dst long",
+    )
+    base = g.symmetric_edges() if not g.directed else g.edges
+    arcs = base.select("src", "dst", resolve_weight_column(base, weight).alias("w"))
+    # parallel edges coalesce to summed weight upstream; one row per hop
+    tot = (
+        hops.join(arcs, ["src", "dst"])
+        .groupBy("i")
+        .agg(F.min("w").alias("w"))
+        .agg(F.sum("w"))
+        .collect()[0][0]
+    )
+    return float(tot)

@@ -320,3 +320,36 @@ def min_vertex_cover_approx(g: SparkGraph, seed: int = 42) -> DataFrame:
         .unionAll(m.select(F.col("v").alias("id")))
         .distinct()
     )
+
+
+def is_dominating_set(g: SparkGraph, nbunch) -> bool:
+    """True iff every node is in the set or adjacent to it
+    (``networkx/algorithms/dominating.py:78``)."""
+    if isinstance(nbunch, DataFrame):
+        s = nbunch.select(F.col(nbunch.columns[0]).cast("long").alias("id"))
+    else:
+        s = g.spark.createDataFrame([(int(x),) for x in nbunch], "id long")
+    s = s.persist()
+    covered = s.unionByName(
+        _sym_arcs(g)
+        .join(s.withColumnRenamed("id", "src"), "src")
+        .select(F.col("dst").alias("id"))
+    ).distinct()
+    return (
+        g.vertices.select("id").join(covered, "id", "left_anti").limit(1).count()
+        == 0
+    )
+
+
+def is_connected_dominating_set(g: SparkGraph, nbunch) -> bool:
+    """True iff dominating and the induced subgraph is connected
+    (``dominating.py:106``)."""
+    if not is_dominating_set(g, nbunch):
+        return False
+    from linkgraph.algos.components import is_connected
+
+    if isinstance(nbunch, DataFrame):
+        s = nbunch.select(F.col(nbunch.columns[0]).cast("long").alias("id"))
+    else:
+        s = g.spark.createDataFrame([(int(x),) for x in nbunch], "id long")
+    return is_connected(g.subgraph(s))
