@@ -2607,6 +2607,62 @@ def q_ring_k_edge_components(spark, sf_dir):
     )
 
 
+def q_nation_ring_fiedler(spark, sf_dir):
+    # Algebraic connectivity of the nation ring via inverse power
+    # iteration on the distributed CG solver (algebraicconnectivity.py:385
+    # twin): lambda_2(C_n) = 2 - 2 cos(2 pi / n), the closed-form oracle.
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.fiedler import algebraic_connectivity
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    w = Window.orderBy("n_nationkey")
+    ranked = n.select(
+        F.col("n_nationkey").alias("src"),
+        F.lead("n_nationkey").over(w).alias("dst"),
+    )
+    lo_hi = n.agg(
+        F.min("n_nationkey").alias("lo"), F.max("n_nationkey").alias("hi")
+    ).first()
+    wrap = spark.createDataFrame(
+        [(int(lo_hi["hi"]), int(lo_hi["lo"]))], "src long, dst long"
+    )
+    ring = ranked.filter(F.col("dst").isNotNull()).unionByName(wrap)
+    g = SparkGraph(
+        ring,
+        vertices=n.select(F.col("n_nationkey").alias("id")),
+        directed=False,
+        coalesce_edges=False,
+    )
+    lam = algebraic_connectivity(g, tol=1e-10, max_iter=200)
+    return spark.createDataFrame(
+        [(round(float(lam), 6),)], "algebraic_connectivity double"
+    )
+
+
+def q_chain_prefix_tree(spark, sf_dir):
+    # Relational trie (generators/trees.py prefix_tree) of the per-nation
+    # customer chains (paths = ascending custkeys per nation). First
+    # elements are distinct across nations, so prefixes never merge:
+    # nodes = customers + root + NIL, edges = customers + nations.
+    from linkgraph.algos.chains import prefix_tree
+
+    paths = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.col("c_custkey").cast("string"))
+            ).alias("path")
+        )
+        .select("path")
+    )
+    g, nodes = prefix_tree(spark, paths)
+    return spark.createDataFrame(
+        [(int(g.number_of_nodes()), int(g.number_of_edges()))],
+        "n_nodes long, n_edges long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver checks the first ~50 entries, so new or
     # not-yet-driver-verified operators come FIRST; entries already green in
@@ -2678,6 +2734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring0_disjoint_paths": q_ring0_disjoint_paths,
         "nation_ring_gomory_hu": q_nation_ring_gomory_hu,
         "ring_k_edge_components": q_ring_k_edge_components,
+        "nation_ring_fiedler": q_nation_ring_fiedler,
+        "chain_prefix_tree": q_chain_prefix_tree,
         # rows-only contracts (driver records a weaker rows-only row; the
         # 50 slots above all carry DuckDB oracles, so these yield the window)
         "copurchase_louvain_sizes": q_copurchase_louvain_sizes,
@@ -4848,6 +4906,20 @@ FROM rk WHERE r <= 10"""
         "SELECT CAST(c_custkey AS BIGINT) AS id, "
         "CAST(MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS BIGINT) "
         "AS component FROM customer"
+    )
+
+    # lambda_2 of the nation ring: 2 - 2 cos(2 pi / n).
+    sqls["nation_ring_fiedler"] = (
+        "SELECT ROUND(2 - 2 * COS(2 * PI() / COUNT(*)), 6) "
+        "AS algebraic_connectivity FROM nation"
+    )
+
+    # trie of the per-nation chains: no shared prefixes across nations.
+    sqls["chain_prefix_tree"] = (
+        "SELECT CAST((SELECT COUNT(*) FROM customer) + 2 AS BIGINT) AS n_nodes, "
+        "CAST((SELECT COUNT(*) FROM customer) "
+        "+ (SELECT COUNT(DISTINCT c_nationkey) FROM customer) AS BIGINT) "
+        "AS n_edges"
     )
 
     # dedensify invariants at threshold 12: signature groups in SQL.

@@ -138,6 +138,15 @@ from linkgraph.algos.cliques import (
     k_clique_count,
     node_clique_counts,
     find_cliques,
+    node_clique_number,
+    number_of_cliques,
+    enumerate_all_cliques,
+    make_max_clique_graph,
+    make_clique_bipartite,
+    max_weight_clique,
+)
+from linkgraph.algos.dag import (
+    lexicographical_topological_sort,
 )
 from linkgraph.algos.cycles import simple_cycles
 from linkgraph.algos.isomorphism import (
@@ -677,6 +686,13 @@ __all__ = [
     "mixing_dict",
     "degree_mixing_matrix",
     "attribute_mixing_matrix",
+    "node_clique_number",
+    "number_of_cliques",
+    "enumerate_all_cliques",
+    "make_max_clique_graph",
+    "make_clique_bipartite",
+    "max_weight_clique",
+    "lexicographical_topological_sort",
     "dfs_edges",
     "dfs_tree",
     "dfs_preorder_nodes",

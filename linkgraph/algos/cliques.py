@@ -201,3 +201,146 @@ def find_cliques(g: SparkGraph, max_size: Optional[int] = None) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     cache.close(keep_result=True)
     return out
+
+
+def node_clique_number(g: SparkGraph, *, max_size: Optional[int] = None) -> DataFrame:
+    """(id, clique_number): the size of the largest maximal clique
+    containing each node (``clique.py:589`` ``node_clique_number``)."""
+    mc = find_cliques(g, max_size=max_size)
+    return (
+        mc.select(F.explode("members").alias("id"), F.size("members").alias("s"))
+        .groupBy("id")
+        .agg(F.max("s").alias("clique_number"))
+    )
+
+
+def number_of_cliques(g: SparkGraph, *, max_size: Optional[int] = None) -> DataFrame:
+    """(id, n_cliques): how many MAXIMAL cliques contain each node
+    (``clique.py:645`` ``number_of_cliques``)."""
+    mc = find_cliques(g, max_size=max_size)
+    return (
+        mc.select(F.explode("members").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_cliques"))
+    )
+
+
+def enumerate_all_cliques(g: SparkGraph, *, max_size: Optional[int] = None) -> DataFrame:
+    """(members array): EVERY clique of every size >= 1, not just maximal
+    ones (``clique.py:41`` ``enumerate_all_cliques``) — the per-size
+    oriented wedge-extension levels unioned (each level is the same join
+    kernel as ``k_cliques``)."""
+    out = g.vertices.select(F.array("id").alias("members"))
+    k = 2
+    while True:
+        lvl = k_cliques(g, k)
+        if lvl.limit(1).count() == 0:
+            break
+        out = out.unionByName(lvl.select("members"))
+        if max_size is not None and k >= max_size:
+            break
+        k += 1
+    return out
+
+
+def make_max_clique_graph(g: SparkGraph) -> "tuple[SparkGraph, DataFrame]":
+    """(clique_graph, cliques): one node per maximal clique, edges between
+    cliques sharing a vertex (``clique.py:23`` ``make_max_clique_graph``).
+    Clique ids are dense ranks over the sorted member arrays
+    (deterministic; the reference numbers by enumeration order)."""
+    from pyspark.sql import Window
+
+    mc = find_cliques(g).select(
+        "members",
+        (F.dense_rank().over(
+            Window.orderBy(F.col("members").cast("string"))
+        ) - 1).cast("long").alias("cid"),
+    ).persist()
+    inc = mc.select(F.col("cid"), F.explode("members").alias("id"))
+    a = inc.select(F.col("id"), F.col("cid").alias("c1"))
+    b = inc.select(F.col("id"), F.col("cid").alias("c2"))
+    e = (
+        a.join(b, "id")
+        .filter(F.col("c1") < F.col("c2"))
+        .select(F.col("c1").alias("src"), F.col("c2").alias("dst"))
+        .distinct()
+    )
+    cg = SparkGraph(
+        e, mc.select(F.col("cid").alias("id")), directed=False,
+        coalesce_edges=False,
+    )
+    return cg, mc
+
+
+def make_clique_bipartite(g: SparkGraph) -> "tuple[SparkGraph, DataFrame]":
+    """(bipartite_graph, cliques): original nodes joined to the maximal
+    cliques containing them (``clique.py:64`` ``make_clique_bipartite``).
+    Clique nodes take ids past max(node id), original ids unchanged."""
+    mc = find_cliques(g)
+    base = g.vertices.agg(F.max("id")).collect()[0][0] or 0
+    from pyspark.sql import Window
+
+    mc = mc.select(
+        "members",
+        (F.lit(int(base) + 1) + F.dense_rank().over(
+            Window.orderBy(F.col("members").cast("string"))
+        ) - 1).cast("long").alias("cid"),
+    ).persist()
+    e = mc.select(F.col("cid").alias("src"), F.explode("members").alias("dst"))
+    verts = g.vertices.select("id").unionByName(mc.select(F.col("cid").alias("id")))
+    bg = SparkGraph(e, verts, directed=False, coalesce_edges=False)
+    return bg, mc
+
+
+def max_weight_clique(
+    g: SparkGraph, weight: Optional[str] = "weight",
+    *, max_driver_edges: int = 5_000_000,
+) -> "tuple[list[int], float]":
+    """(clique, weight): a maximum-weight clique
+    (``networkx/algorithms/clique.py:732`` ``max_weight_clique``;
+    ``weight=None`` = unit weights = maximum clique). Branch-and-bound is
+    sequential by definition, so the kernel is driver-gated under the DFS
+    size guard; the weight is exact (the reference returns an arbitrary
+    optimum too, so parity pins the VALUE plus clique validity)."""
+    from linkgraph.algos.dfs import _driver_adjacency
+
+    if g.directed:
+        raise ValueError("max_weight_clique: undirected graphs only")
+    adj_l, nodes = _driver_adjacency(g, max_driver_edges)
+    adj = {u: set(vs) - {u} for u, vs in adj_l.items()}
+    for n in nodes:
+        adj.setdefault(n, set())
+    if weight is None:
+        w = {n: 1.0 for n in nodes}
+    else:
+        rows = g.vertices.columns
+        if weight in rows:
+            w = {
+                r["id"]: float(r[weight])
+                for r in g.vertices.select("id", weight).collect()
+            }
+        else:
+            w = {n: 1.0 for n in nodes}
+    if any(x <= 0 for x in w.values()):
+        raise ValueError("max_weight_clique requires positive node weights")
+    order = sorted(nodes, key=lambda n: (-w[n], n))
+    best: "list[int]" = []
+    best_w = 0.0
+
+    def expand(cand: "list[int]", cur: "list[int]", cur_w: float):
+        nonlocal best, best_w
+        if not cand:
+            if cur_w > best_w:
+                best, best_w = list(cur), cur_w
+            return
+        bound = cur_w + sum(w[x] for x in cand)
+        if bound <= best_w:
+            return
+        head, rest = cand[0], cand[1:]
+        # include head
+        expand([x for x in rest if x in adj[head]], cur + [head], cur_w + w[head])
+        # exclude head
+        expand(rest, cur, cur_w)
+
+    expand(order, [], 0.0)
+    return sorted(best), float(best_w)

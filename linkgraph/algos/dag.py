@@ -345,3 +345,40 @@ def tree_all_pairs_lowest_common_ancestor(
         if zero_in.limit(1).count() > 0:
             raise ValueError("tree_all_pairs_lca: graph is not rooted at root")
     return all_pairs_lowest_common_ancestor(g, pairs)
+
+
+def lexicographical_topological_sort(
+    g: SparkGraph, *, key=None, max_driver_edges: int = 5_000_000
+) -> "list[int]":
+    """Topological order, smallest available node first
+    (``networkx/algorithms/dag.py:219`` ``lexicographical_topological_sort``):
+    the heap schedule is sequential by definition (each pop depends on all
+    previous pops), so it runs driver-gated like the DFS family; the
+    DISTRIBUTED ordering remains :func:`topological_generations` (Kahn
+    layers). Raises on cycles, like the reference."""
+    import heapq
+
+    from linkgraph.algos.dfs import _driver_adjacency
+
+    _require_directed(g, "lexicographical_topological_sort")
+    adj, nodes = _driver_adjacency(g, max_driver_edges)
+    key = key or (lambda x: x)
+    indeg = {n: 0 for n in nodes}
+    for u, vs in adj.items():
+        for v in vs:
+            indeg[v] += 1
+    heap = [(key(n), n) for n in nodes if indeg[n] == 0]
+    heapq.heapify(heap)
+    out = []
+    while heap:
+        _, u = heapq.heappop(heap)
+        out.append(u)
+        for v in adj.get(u, ()):
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                heapq.heappush(heap, (key(v), v))
+    if len(out) != len(nodes):
+        raise ValueError(
+            "Graph contains a cycle or graph changed during iteration"
+        )
+    return out
