@@ -370,7 +370,9 @@ from linkgraph.algos.tree import (
     is_arborescence,
 )
 from linkgraph.algos.flow import edge_connectivity, node_connectivity, stoer_wagner
-from linkgraph.algos.triads import triadic_census
+from linkgraph.algos.triads import triadic_census, triads_by_type, triad_type, is_triad
+from linkgraph.algos.swap import directed_edge_swap
+from linkgraph.algos.cycles import is_semieulerian
 from linkgraph.algos.dominance import (
     immediate_dominators,
     dominance_frontiers,
@@ -693,6 +695,11 @@ __all__ = [
     "make_clique_bipartite",
     "max_weight_clique",
     "lexicographical_topological_sort",
+    "triads_by_type",
+    "triad_type",
+    "is_triad",
+    "directed_edge_swap",
+    "is_semieulerian",
     "dfs_edges",
     "dfs_tree",
     "dfs_preorder_nodes",

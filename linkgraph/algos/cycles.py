@@ -593,3 +593,9 @@ def eulerize(g: SparkGraph, *, max_odd_nodes: int = 500) -> "SparkMultiGraph":
     return SparkMultiGraph(
         base_edges.unionByName(dup), g.vertices.select("id"), directed=False
     )
+
+
+def is_semieulerian(g) -> bool:
+    """True iff g has an Eulerian path but no Eulerian circuit
+    (``networkx/algorithms/euler.py`` ``is_semieulerian``)."""
+    return has_eulerian_path(g) and not is_eulerian(g)

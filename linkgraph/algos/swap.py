@@ -153,3 +153,108 @@ def double_edge_swap(
         return out
     finally:
         cache.close()
+
+
+def directed_edge_swap(
+    g: SparkGraph, nswap: int = 1, seed: int = 42, max_rounds: int = 200
+) -> SparkGraph:
+    """A new directed :class:`SparkGraph` with (at least) ``nswap``
+    successful directed swaps applied — (u→v, x→y) becomes (u→y, x→v),
+    preserving every in- and out-degree
+    (``networkx/algorithms/swap.py:22`` ``directed_edge_swap``; the
+    reference draws one pair per step, the distributed twin applies a
+    hash-paired batch per round, the same Maslov–Sneppen null model)."""
+    if not g.directed:
+        raise ValueError("directed_edge_swap: directed graphs only")
+    e = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+    )
+    cache = SuperstepCache(g.spark)
+    edges = cache.truncate(e)
+    m = edges.count()
+    if m < 2:
+        cache.close()
+        return SparkGraph(
+            e.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            g.vertices.select("id"),
+            directed=True,
+            coalesce_edges=False,
+        )
+    done = 0
+    rnd = 0
+    try:
+        while done < nswap and rnd < max_rounds:
+            rnd += 1
+            h = F.xxhash64("u", "v", F.lit(seed), F.lit(rnd))
+            n_buckets = max(1, m // 10_000)
+            ranked = edges.select(
+                "u", "v", h.alias("h"), F.pmod(h, F.lit(n_buckets)).alias("b")
+            ).withColumn(
+                "rn", F.row_number().over(Window.partitionBy("b").orderBy("h"))
+            )
+            a = ranked.filter(F.col("rn") % 2 == 1).select(
+                "b", ((F.col("rn") + 1) / 2).cast("long").alias("pair"),
+                F.col("u").alias("u1"), F.col("v").alias("v1"),
+            )
+            bb = ranked.filter(F.col("rn") % 2 == 0).select(
+                "b", (F.col("rn") / 2).cast("long").alias("pair"),
+                F.col("u").alias("u2"), F.col("v").alias("v2"),
+            )
+            prop = (
+                a.join(bb, ["b", "pair"])
+                # replacements (u1→v2), (u2→v1): no self-loops, all
+                # endpoints pairwise distinct enough to avoid collapses
+                .filter(
+                    (F.col("u1") != F.col("v2"))
+                    & (F.col("u2") != F.col("v1"))
+                    & ~((F.col("u1") == F.col("u2")) & (F.col("v1") == F.col("v2")))
+                )
+            )
+            prop = prop.join(
+                edges.select(F.col("u").alias("u1"), F.col("v").alias("v2")),
+                ["u1", "v2"], "left_anti",
+            ).join(
+                edges.select(F.col("u").alias("u2"), F.col("v").alias("v1")),
+                ["u2", "v1"], "left_anti",
+            ).filter(
+                ~((F.col("u1") == F.col("u2")) & (F.col("v2") == F.col("v1")))
+            )
+            news = prop.select(F.col("u1").alias("u"), F.col("v2").alias("v")).unionAll(
+                prop.select(F.col("u2").alias("u"), F.col("v1").alias("v"))
+            )
+            clash = (
+                news.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > 1)
+                .select("u", "v")
+            )
+            ok = prop.join(
+                clash.select(F.col("u").alias("u1"), F.col("v").alias("v2")),
+                ["u1", "v2"], "left_anti",
+            ).join(
+                clash.select(F.col("u").alias("u2"), F.col("v").alias("v1")),
+                ["u2", "v1"], "left_anti",
+            )
+            ok = cache.truncate(ok)
+            n_ok = ok.count()
+            if n_ok == 0:
+                continue
+            olds = ok.select(F.col("u1").alias("u"), F.col("v1").alias("v")).unionAll(
+                ok.select(F.col("u2").alias("u"), F.col("v2").alias("v"))
+            )
+            adds = ok.select(F.col("u1").alias("u"), F.col("v2").alias("v")).unionAll(
+                ok.select(F.col("u2").alias("u"), F.col("v1").alias("v"))
+            )
+            edges = cache.truncate(
+                edges.join(olds, ["u", "v"], "left_anti").unionByName(adds),
+                retire=edges,
+            )
+            done += n_ok
+    finally:
+        out = edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        out = out.localCheckpoint(eager=True)
+        cache.close(keep_result=True)
+    return SparkGraph(
+        out, g.vertices.select("id"), directed=True, coalesce_edges=False
+    )
