@@ -372,6 +372,15 @@ from linkgraph.algos.tree import (
 from linkgraph.algos.flow import edge_connectivity, node_connectivity, stoer_wagner
 from linkgraph.algos.triads import triadic_census, triads_by_type, triad_type, is_triad
 from linkgraph.algos.swap import directed_edge_swap
+from linkgraph.algos.bipartite import (
+    maximum_matching as bipartite_maximum_matching,
+    to_vertex_cover,
+    latapy_clustering,
+    average_bipartite_clustering,
+    robins_alexander_clustering,
+    bipartite_density,
+    bipartite_degrees,
+)
 from linkgraph.algos.cycles import is_semieulerian
 from linkgraph.algos.dominance import (
     immediate_dominators,
@@ -700,6 +709,13 @@ __all__ = [
     "is_triad",
     "directed_edge_swap",
     "is_semieulerian",
+    "bipartite_maximum_matching",
+    "to_vertex_cover",
+    "latapy_clustering",
+    "average_bipartite_clustering",
+    "robins_alexander_clustering",
+    "bipartite_density",
+    "bipartite_degrees",
     "dfs_edges",
     "dfs_tree",
     "dfs_preorder_nodes",

@@ -511,3 +511,118 @@ def to_vertex_cover(g: SparkGraph, matching: DataFrame, top_nodes: DataFrame) ->
     )
     walk.unpersist()
     return cover
+
+
+def latapy_clustering(g: SparkGraph, *, mode: str = "dot") -> DataFrame:
+    """(id, clustering): the Latapy bipartite clustering coefficient
+    (``bipartite/cluster.py:31`` ``latapy_clustering``):
+    c_u = mean over second-order neighbors v of c_uv, with c_uv the
+    dot/min/max common-neighbor ratio. Three joins: wedges u–w–v give the
+    common counts, a degree join gives the denominators, one groupBy
+    averages — no per-node Python."""
+    if mode not in ("dot", "min", "max"):
+        raise ValueError(f"Mode for bipartite clustering must be: dot, min or max")
+    from linkgraph.algos.degrees import degrees
+
+    arcs = g.symmetric_edges().select("src", "dst")
+    deg = degrees(g).persist()
+    a = arcs.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    b = arcs.select(F.col("dst").alias("w"), F.col("src").alias("v"))
+    common = (
+        a.join(b, "w")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("degree").alias("dv"))
+    pairs = common.join(du, "u").join(dv, "v")
+    if mode == "dot":
+        cc = F.col("c") / (F.col("du") + F.col("dv") - F.col("c"))
+    elif mode == "min":
+        cc = F.col("c") / F.least("du", "dv")
+    else:
+        cc = F.col("c") / F.greatest("du", "dv")
+    per_u = pairs.groupBy(F.col("u").alias("id")).agg(
+        (F.sum(cc) / F.count(F.lit(1))).alias("clustering")
+    )
+    out = g.vertices.select("id").join(per_u, "id", "left").select(
+        "id", F.coalesce("clustering", F.lit(0.0)).alias("clustering")
+    )
+    return out
+
+
+def average_bipartite_clustering(g: SparkGraph, nodes: "Optional[DataFrame]" = None,
+                                 *, mode: str = "dot") -> float:
+    """Mean Latapy clustering (``bipartite/cluster.py:153``
+    ``average_clustering``), optionally over one node set."""
+    cl = latapy_clustering(g, mode=mode)
+    if nodes is not None:
+        cl = cl.join(
+            nodes.select(F.col(nodes.columns[0]).cast("long").alias("id")),
+            "id",
+            "left_semi",
+        )
+    return float(cl.agg(F.avg("clustering")).collect()[0][0])
+
+
+def robins_alexander_clustering(g: SparkGraph) -> float:
+    """4·C₄ / L₃ (``bipartite/cluster.py:218``
+    ``robins_alexander_clustering``): C₄ from same-side common-neighbor
+    pairs (Σ C(c_uv, 2) / 2 — each square is seen from both sides), L₃
+    from per-edge degree products (bipartite graphs are triangle-free, so
+    Σ_(u,v)∈E (d_u−1)(d_v−1) counts 3-edge paths exactly)."""
+    from linkgraph.algos.degrees import degrees
+
+    if g.number_of_nodes() < 4 or g.number_of_edges() < 3:
+        return 0.0
+    deg = degrees(g).persist()
+    e = g.edges.select("src", "dst")
+    l3 = (
+        e.join(deg.select(F.col("id").alias("src"), F.col("degree").alias("du")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("dv")), "dst")
+        .agg(F.sum((F.col("du") - 1) * (F.col("dv") - 1)))
+        .collect()[0][0]
+    )
+    if not l3:
+        return 0.0
+    arcs = g.symmetric_edges().select("src", "dst")
+    a = arcs.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    b = arcs.select(F.col("dst").alias("w"), F.col("src").alias("v"))
+    sq = (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2))
+        .collect()[0][0]
+    ) or 0
+    c4 = float(sq) / 2.0
+    return float(4.0 * c4 / float(l3))
+
+
+def bipartite_density(g: SparkGraph, nodes: DataFrame) -> float:
+    """Bipartite density (``bipartite/basic.py:226`` ``density``)."""
+    n = g.number_of_nodes()
+    m = g.number_of_edges()
+    nb = nodes.select(
+        F.col(nodes.columns[0]).cast("long").alias("id")
+    ).distinct().count()
+    nt = n - nb
+    if m == 0:
+        return 0.0
+    if g.directed:
+        return float(m) / (2.0 * nb * nt)
+    return float(m) / (nb * nt)
+
+
+def bipartite_degrees(g: SparkGraph, nodes: DataFrame, *, weight=None):
+    """(degrees of the opposite set, degrees of ``nodes``) —
+    ``bipartite/basic.py:279`` ``degrees``."""
+    from linkgraph.algos.degrees import degrees
+
+    d = degrees(g, weight is not None, weight=weight)
+    side = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+    bottom = d.join(side, "id", "left_semi")
+    top = d.join(side, "id", "left_anti")
+    return top, bottom
