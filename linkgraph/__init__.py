@@ -918,3 +918,86 @@ __all__ = [
     "overlap_weighted_projected_graph",
     "birank",
 ]
+
+# ---- round-4 continuation: min-cost flow, named path surface, utilities ----
+from linkgraph.algos.mincost import (
+    network_simplex,
+    min_cost_flow,
+    min_cost_flow_cost,
+    cost_of_flow,
+    max_flow_min_cost,
+    capacity_scaling,
+    NetworkXUnfeasible,
+)
+from linkgraph.algos.paths import (
+    single_source_shortest_path,
+    single_source_dijkstra,
+    single_source_dijkstra_path,
+    single_source_dijkstra_path_length,
+    single_source_bellman_ford,
+    single_source_bellman_ford_path,
+    single_source_bellman_ford_path_length,
+    multi_source_dijkstra,
+    multi_source_dijkstra_path,
+    multi_source_dijkstra_path_length,
+    single_target_shortest_path,
+    single_target_shortest_path_length,
+    all_pairs_shortest_path,
+    all_pairs_dijkstra,
+    all_pairs_dijkstra_path,
+    all_pairs_dijkstra_path_length,
+    all_pairs_bellman_ford_path,
+    all_pairs_bellman_ford_path_length,
+    dijkstra_predecessor_and_distance,
+    bellman_ford_predecessor_and_distance,
+    bidirectional_dijkstra,
+    johnson,
+    goldberg_radzik,
+    negative_edge_cycle,
+    find_negative_cycle,
+    all_shortest_paths,
+    single_source_all_shortest_paths,
+    all_pairs_all_shortest_paths,
+    reconstruct_path,
+    bfs_beam_edges,
+)
+from linkgraph.algos.cycles import find_cycle, NetworkXNoCycle
+from linkgraph.algos.dag import transitive_closure_dag, dag_longest_path
+from linkgraph.algos.components import number_weakly_connected_components
+from linkgraph.algos.strongly_connected import (
+    kosaraju_strongly_connected_components,
+)
+from linkgraph.algos.degrees import in_degree_centrality, out_degree_centrality
+from linkgraph.algos.mst import maximum_spanning_edges
+from linkgraph.algos.isomorphism import (
+    fast_could_be_isomorphic,
+    faster_could_be_isomorphic,
+    vf2pp_is_isomorphic,
+)
+from linkgraph.algos.pagerank import stochastic_graph
+from linkgraph.function import (
+    all_neighbors,
+    non_neighbors,
+    common_neighbors,
+    create_empty_copy,
+    add_star,
+    add_path,
+    add_cycle,
+    induced_subgraph,
+    reverse_view,
+    nodes_with_selfloops,
+    is_weighted,
+    is_negatively_weighted,
+    is_isolate,
+    number_of_isolates,
+    get_node_attributes,
+    set_node_attributes,
+    get_edge_attributes,
+    set_edge_attributes,
+    remove_node_attributes,
+    remove_edge_attributes,
+    freeze,
+    is_frozen,
+    equivalence_classes,
+    is_empty,
+)

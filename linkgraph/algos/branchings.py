@@ -254,3 +254,41 @@ def maximum_spanning_arborescence(g: SparkGraph, *, root=None) -> DataFrame:
     """``branchings.py`` ``maximum_spanning_arborescence`` — weight-negated
     twin of the minimum variant."""
     return _spanning_arborescence(g, root, maximize=True)
+
+
+def _branching(g: SparkGraph, maximize: bool) -> DataFrame:
+    """Optimum branching (in-degree <= 1, acyclic, no spanning
+    requirement): the virtual-root reduction with ZERO-weight virtual
+    arcs — a real arc joins the solution iff it beats "no arc at all",
+    which is exactly the reference's Edmonds style='branching'
+    (``branchings.py:837``)."""
+    if not g.directed:
+        raise NotImplementedForDirected(
+            "branching: not implemented for undirected type"
+        )
+    spark = g.spark
+    edges = _prep(g, maximize)
+    n = g.number_of_nodes()
+    if n == 0:
+        return spark.createDataFrame([], "src long, dst long, weight double")
+    varcs = g.vertices.select(
+        F.lit(_VROOT).cast("long").alias("src"),
+        F.col("id").cast("long").alias("dst"),
+        F.lit(0.0).alias("w"),
+        F.lit(0.0).alias("ow"),
+    )
+    sel = _rooted(edges.unionByName(varcs), n + 1, _VROOT, spark)
+    return sel.filter(F.col("src") != _VROOT)
+
+
+def maximum_branching(g: SparkGraph) -> DataFrame:
+    """``branchings.py`` ``maximum_branching`` — arcs (src, dst, weight)
+    of a maximum-total-weight branching (only arcs with positive weight
+    can help, so the result never spans unless profitable)."""
+    return _branching(g, maximize=True)
+
+
+def minimum_branching(g: SparkGraph) -> DataFrame:
+    """``branchings.py`` ``minimum_branching`` — minimum-weight twin
+    (only negative-weight arcs lower the total)."""
+    return _branching(g, maximize=False)

@@ -259,3 +259,13 @@ def node_connected_component(g: SparkGraph, n: int) -> DataFrame:
         F.col("component").alias("c")
     )
     return cc.join(F.broadcast(lab), cc["component"] == F.col("c")).select("id")
+
+
+def number_weakly_connected_components(g: SparkGraph) -> int:
+    """``weakly_connected.py:109`` — distinct WCC labels."""
+    return (
+        weakly_connected_components(g)
+        .select("component")
+        .distinct()
+        .count()
+    )

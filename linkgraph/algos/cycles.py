@@ -599,3 +599,128 @@ def is_semieulerian(g) -> bool:
     """True iff g has an Eulerian path but no Eulerian circuit
     (``networkx/algorithms/euler.py`` ``is_semieulerian``)."""
     return has_eulerian_path(g) and not is_eulerian(g)
+
+
+class NetworkXNoCycle(Exception):
+    """No cycle found (``nx.exception.NetworkXNoCycle``)."""
+
+
+def find_cycle(
+    g: SparkGraph,
+    source=None,
+    orientation=None,
+    *,
+    max_driver_edges: int = 5_000_000,
+) -> list:
+    """One cycle reachable from ``source`` (or anywhere when None) —
+    ``networkx/algorithms/cycles.py`` ``find_cycle``.
+
+    ``orientation``: None follows arc direction (undirected graphs walk
+    both ways); ``'original'``/``'reverse'``/``'ignore'`` traverse
+    forward-only / backward-only / both, returning (u, v, direction)
+    triples like the reference. The DFS walk is driver-side over a
+    size-guarded arc list (visit order is sequential by definition — see
+    ``dfs.py``); neighbors ascend by id, the only order a column store can
+    promise. Raises :class:`NetworkXNoCycle` when acyclic from the given
+    roots.
+    """
+    from linkgraph.algos.dfs import _driver_adjacency
+
+    if orientation not in (None, "original", "reverse", "ignore"):
+        raise ValueError(f"invalid orientation: {orientation!r}")
+
+    # build the (possibly direction-tagged) adjacency
+    arcs = (
+        (g.edges if g.directed else g.symmetric_edges())
+        .select("src", "dst")
+        .distinct()
+    )
+    m = arcs.count()
+    if m > max_driver_edges:
+        raise ValueError(
+            f"find_cycle walks sequentially on the driver; {m} arcs > "
+            f"max_driver_edges={max_driver_edges}. For cycle EXISTENCE at "
+            "scale use is_directed_acyclic_graph / girth (distributed)."
+        )
+    rows = arcs.collect()
+    adj: "dict[int, list[tuple[int, str]]]" = {}
+    directed = g.directed
+    tagged = orientation is not None and directed
+    for r in rows:
+        u, v = r["src"], r["dst"]
+        if not directed:
+            adj.setdefault(u, []).append((v, "forward"))
+        else:
+            if orientation in (None, "original", "ignore"):
+                adj.setdefault(u, []).append((v, "forward"))
+            if orientation in ("reverse", "ignore"):
+                adj.setdefault(v, []).append((u, "reverse"))
+    for lst in adj.values():
+        lst.sort()
+    nodes = sorted(rr["id"] for rr in g.vertices.select("id").collect())
+    roots = [int(source)] if source is not None else nodes
+
+    def _emit(u, v, d):
+        if not directed:
+            return (u, v)
+        return (u, v, d) if tagged else (u, v)
+
+    explored: set = set()
+    for start in roots:
+        if start in explored:
+            continue
+        # edge-DFS from start: path of (u, v, dir) with an on-path node set
+        stack = [(None, start, None)]
+        path_edges: list = []
+        on_path: dict = {start: None}
+        seen_here: set = {start}
+        it_stack = [iter(adj.get(start, ()))]
+        node_stack = [start]
+        found = None
+        prev_edge: list = [None]
+        while it_stack and found is None:
+            u = node_stack[-1]
+            advanced = False
+            for v, d in it_stack[-1]:
+                # don't walk straight back over the same underlying edge
+                # (undirected graphs, and 'ignore' orientation where each
+                # arc is traversable both ways)
+                if path_edges:
+                    pu, pv, pd = path_edges[-1]
+                    if not directed and {u, v} == {pu, pv}:
+                        continue
+                    if orientation == "ignore":
+                        prev_und = (pu, pv) if pd == "forward" else (pv, pu)
+                        cand_und = (u, v) if d == "forward" else (v, u)
+                        if prev_und == cand_und:
+                            continue
+                if v in on_path:
+                    # cycle: suffix of path_edges from v, plus closing edge
+                    cyc = []
+                    for e in path_edges:
+                        if cyc or e[0] == v:
+                            cyc.append(e)
+                    cyc.append((u, v, d))
+                    found = [_emit(*e) for e in cyc]
+                    break
+                if v in seen_here or v in explored:
+                    continue
+                seen_here.add(v)
+                on_path[v] = u
+                path_edges.append((u, v, d))
+                node_stack.append(v)
+                it_stack.append(iter(adj.get(v, ())))
+                advanced = True
+                break
+            if found is not None:
+                break
+            if not advanced:
+                it_stack.pop()
+                done = node_stack.pop()
+                on_path.pop(done, None)
+                if path_edges:
+                    path_edges.pop()
+        if found is not None:
+            return found
+        explored |= seen_here
+    raise NetworkXNoCycle("No cycle found.")

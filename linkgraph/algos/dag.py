@@ -382,3 +382,89 @@ def lexicographical_topological_sort(
             "Graph contains a cycle or graph changed during iteration"
         )
     return out
+
+
+def transitive_closure_dag(g: SparkGraph, topo_order=None) -> SparkGraph:
+    """``dag.py:829`` — same closure; the reference's DAG-ordered variant
+    is a schedule optimization, the squaring kernel's result is identical.
+    Raises on cycles like the reference (via topological_generations)."""
+    topological_generations(g)  # cycle check
+    return transitive_closure(g, reflexive=False)
+
+
+def dag_longest_path(
+    g: SparkGraph,
+    *,
+    weighted: bool = False,
+    default_weight: float = 1.0,
+    max_driver_nodes: int = 5_000_000,
+) -> "list[int]":
+    """``dag.py:842`` — one longest path as a node list. The DP is the
+    distributed max-relaxation of :func:`dag_longest_path_length` with a
+    parent column; extraction is a size-guarded driver walk."""
+    _require_directed(g, "dag_longest_path")
+    gens = topological_generations(g)
+    depth = gens.agg(F.max("generation")).first()[0]
+    if depth is None:
+        row = g.vertices.orderBy("id").first()
+        return [row["id"]] if row else []
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    w = F.col("weight") if weighted else F.lit(float(default_weight))
+    arcs = g.edges.select("src", "dst", w.alias("w")).persist()
+    dist = cache.truncate(
+        g.vertices.select(
+            "id", F.lit(0.0).alias("dist"), F.lit(None).cast("long").alias("parent")
+        )
+    )
+    for _ in range(int(depth)):
+        cand = (
+            arcs.join(
+                dist.select(F.col("id").alias("src"), F.col("dist").alias("pd")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            # max by (dist, -src) => deterministic min-id parent on ties
+            .agg(
+                F.max(
+                    F.struct(
+                        (F.col("pd") + F.col("w")).alias("d"),
+                        (-F.col("src")).alias("negsrc"),
+                    )
+                ).alias("best")
+            )
+            .select(
+                "id",
+                F.col("best.d").alias("cand"),
+                (-F.col("best.negsrc")).alias("cand_parent"),
+            )
+        )
+        dist = cache.truncate(
+            dist.join(cand, "id", "left").select(
+                "id",
+                F.greatest("dist", F.coalesce("cand", F.col("dist"))).alias("dist"),
+                F.when(
+                    F.col("cand").isNotNull() & (F.col("cand") >= F.col("dist")),
+                    F.col("cand_parent"),
+                )
+                .otherwise(F.col("parent"))
+                .alias("parent"),
+            )
+        )
+    n = dist.count()
+    if n > max_driver_nodes:
+        cache.close()
+        raise ValueError(
+            f"dag_longest_path extraction needs the {n}-row parent map on "
+            f"the driver > max_driver_nodes={max_driver_nodes}; use "
+            "dag_longest_path_length (fully distributed) instead"
+        )
+    rows = dist.collect()
+    arcs.unpersist()
+    best = max(rows, key=lambda r: (r["dist"], -r["id"]))
+    parent = {r["id"]: r["parent"] for r in rows}
+    path = [best["id"]]
+    while parent.get(path[-1]) is not None:
+        path.append(parent[path[-1]])
+    cache.close(keep_result=False)
+    return list(reversed(path))

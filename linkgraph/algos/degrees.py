@@ -179,3 +179,21 @@ def is_k_regular(g: SparkGraph, k: int) -> bool:
     return (
         degrees(g).filter(F.col("degree") != int(k)).limit(1).count() == 0
     )
+
+
+def in_degree_centrality(g: SparkGraph) -> DataFrame:
+    """(id, centrality) = in_degree/(n-1) (``degree_alg.py:69``)."""
+    n = g.number_of_nodes()
+    s = 1.0 / (n - 1) if n > 1 else 1.0
+    return in_degrees(g).select(
+        "id", (F.col("degree") * F.lit(s)).alias("centrality")
+    )
+
+
+def out_degree_centrality(g: SparkGraph) -> DataFrame:
+    """(id, centrality) = out_degree/(n-1) (``degree_alg.py:114``)."""
+    n = g.number_of_nodes()
+    s = 1.0 / (n - 1) if n > 1 else 1.0
+    return out_degrees(g).select(
+        "id", (F.col("degree") * F.lit(s)).alias("centrality")
+    )

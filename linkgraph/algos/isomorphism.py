@@ -441,3 +441,45 @@ def is_isomorphic(
         return backtrack(0)
     finally:
         _sys.setrecursionlimit(old)
+
+
+def fast_could_be_isomorphic(g1: SparkGraph, g2: SparkGraph) -> bool:
+    """``isomorph.py:117`` — (degree, triangle-count) joint sequence
+    equality; both sides are one distributed agg each."""
+    from linkgraph.algos.triangles import triangles
+
+    if g1.directed != g2.directed:
+        return False
+
+    def sig(g):
+        from linkgraph.algos.degrees import degrees
+
+        base = g.undirected_view() if g.directed else g
+        d = degrees(base)
+        t = triangles(base)
+        return sorted(
+            (r["degree"], r["triangles"])
+            for r in d.join(t, "id", "left")
+            .fillna(0, subset=["triangles"])
+            .select("degree", "triangles")
+            .collect()
+        )
+
+    return sig(g1) == sig(g2)
+
+
+def faster_could_be_isomorphic(g1: SparkGraph, g2: SparkGraph) -> bool:
+    """``isomorph.py:156`` — degree-sequence equality only."""
+    from linkgraph.algos.degrees import degrees
+
+    if g1.directed != g2.directed:
+        return False
+    d1 = sorted(r["degree"] for r in degrees(g1).collect())
+    d2 = sorted(r["degree"] for r in degrees(g2).collect())
+    return d1 == d2
+
+
+def vf2pp_is_isomorphic(g1: SparkGraph, g2: SparkGraph, **kwargs) -> bool:
+    """``vf2pp.py:30`` — same boolean as :func:`is_isomorphic` (the
+    engine's color-refined backtracking kernel)."""
+    return is_isomorphic(g1, g2, **kwargs)

@@ -173,3 +173,10 @@ def maximum_spanning_tree(
         directed=False,
         coalesce_edges=False,
     )
+
+
+def maximum_spanning_edges(g: SparkGraph, *, weight=None, max_rounds: int = 50) -> DataFrame:
+    """``mst.py`` ``maximum_spanning_edges`` — the max-weight forest."""
+    return minimum_spanning_edges(
+        g, weight=weight, max_rounds=max_rounds, maximum=True
+    )

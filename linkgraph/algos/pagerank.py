@@ -427,3 +427,23 @@ def top_pagerank(g: SparkGraph, k: int = 20, **kwargs) -> DataFrame:
     """Top-k nodes by rank — Catalyst compiles orderBy+limit to
     TakeOrderedAndProject (true distributed top-k, SURVEY.md §2.H)."""
     return pagerank(g, **kwargs).orderBy(F.desc("rank"), "id").limit(k)
+
+
+def stochastic_graph(g: SparkGraph, *, weight="weight") -> SparkGraph:
+    """``networkx/generators/stochastic.py:17`` — right-stochastic copy:
+    each out-edge weight divided by the source's out-weight sum (the same
+    normalization the pagerank kernel applies inline). Directed graphs
+    only, like the reference."""
+    if not g.directed:
+        raise ValueError("stochastic_graph: directed graphs only")
+    from linkgraph.graph import resolve_weight_column
+
+    e = g.edges
+    w = resolve_weight_column(e, weight)
+    arcs = e.select("src", "dst", w.alias("weight"))
+    out_w = arcs.groupBy("src").agg(F.sum("weight").alias("_ow"))
+    norm = (
+        arcs.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("_ow")).alias("weight"))
+    )
+    return SparkGraph(norm, g._vertices, directed=True, coalesce_edges=False)

@@ -304,3 +304,10 @@ def is_aperiodic(g: SparkGraph) -> bool:
     for row in vals:
         out = gcd(out, int(row["r"]))
     return out == 1
+
+
+def kosaraju_strongly_connected_components(g: SparkGraph) -> DataFrame:
+    """``strongly_connected.py:145`` — identical partition; Kosaraju's
+    two-DFS schedule is sequential, the min-label forward/backward
+    fixpoint returns the same components."""
+    return strongly_connected_components(g)

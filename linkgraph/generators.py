@@ -834,3 +834,154 @@ def gnm_random_graph(
     )
     return SparkGraph(e, vertices=_vertices(spark, n), directed=directed,
                       coalesce_edges=False)
+
+
+# --------------------------------------------------------------------- #
+# round-4 continuation: classic tail
+# --------------------------------------------------------------------- #
+
+
+def null_graph(spark: SparkSession) -> SparkGraph:
+    """``classic.py`` ``null_graph`` — 0 nodes."""
+    return empty_graph(spark, 0)
+
+
+def trivial_graph(spark: SparkSession) -> SparkGraph:
+    """``classic.py`` ``trivial_graph`` — 1 node, 0 edges."""
+    return empty_graph(spark, 1)
+
+
+def tadpole_graph(spark: SparkSession, m: int, n: int) -> SparkGraph:
+    """``classic.py`` ``tadpole_graph`` — an m-cycle (m >= 3) with an
+    n-path tail attached at node 0."""
+    m, n = int(m), int(n)
+    if m < 3:
+        raise ValueError("tadpole_graph: cycle size m must be >= 3")
+    cyc = spark.range(m).select(
+        F.col("id").alias("src"),
+        F.pmod(F.col("id") + 1, F.lit(m)).cast("long").alias("dst"),
+    )
+    tail = spark.range(n).select(
+        F.when(F.col("id") == 0, F.lit(0))
+        .otherwise(F.col("id") + m - 1)
+        .cast("long")
+        .alias("src"),
+        (F.col("id") + m).cast("long").alias("dst"),
+    )
+    e = cyc.unionByName(tail).withColumn("weight", F.lit(1.0))
+    return SparkGraph(e, vertices=_vertices(spark, m + n), directed=False,
+                      coalesce_edges=False)
+
+
+def complete_bipartite_graph(spark: SparkSession, n1: int, n2: int) -> SparkGraph:
+    """``classic.py`` ``complete_bipartite_graph`` — K_{n1,n2}; left part
+    is 0..n1-1, right part n1..n1+n2-1 (the reference's labeling). One
+    crossJoin, no driver list."""
+    n1, n2 = int(n1), int(n2)
+    a = spark.range(n1).select(F.col("id").alias("src"))
+    b = spark.range(n2).select((F.col("id") + n1).alias("dst"))
+    e = a.crossJoin(b).withColumn("weight", F.lit(1.0))
+    return SparkGraph(e, vertices=_vertices(spark, n1 + n2), directed=False,
+                      coalesce_edges=False)
+
+
+def hypercube_graph(spark: SparkSession, n: int) -> SparkGraph:
+    """``lattice.py`` ``hypercube_graph`` — Q_n on integer labels
+    0..2^n - 1 (the reference uses bit-tuples; ``id``'s binary digits are
+    that tuple). Edges = one bit flip: range × bit-positions explode,
+    fully distributed."""
+    n = int(n)
+    size = 1 << n
+    bits = F.array(*[F.lit(1 << b) for b in range(n)])
+    e = (
+        spark.range(size)
+        .select(F.col("id").alias("src"), F.explode(bits).alias("bit"))
+        .select("src", F.col("src").bitwiseXOR(F.col("bit")).alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .withColumn("weight", F.lit(1.0))
+    )
+    return SparkGraph(e, vertices=_vertices(spark, size), directed=False,
+                      coalesce_edges=False)
+
+
+def grid_graph(spark: SparkSession, dims: "list[int]") -> SparkGraph:
+    """``lattice.py`` ``grid_graph`` — n-dimensional lattice. The
+    reference's nodes are coordinate tuples; here ``id`` is the mixed-radix
+    encoding (last dimension fastest), one arc set per dimension, all pure
+    expressions over ``spark.range``."""
+    dims = [int(d) for d in dims]
+    total = 1
+    for d in dims:
+        total *= d
+    strides = []
+    s = 1
+    for d in reversed(dims):
+        strides.append(s)
+        s *= d
+    strides = list(reversed(strides))  # strides[i] for dims[i]
+    base = spark.range(total)
+    parts = []
+    for i, d in enumerate(dims):
+        st = strides[i]
+        coord = F.floor(F.col("id") / F.lit(st)) % F.lit(d)
+        parts.append(
+            base.filter(coord < d - 1).select(
+                F.col("id").alias("src"),
+                (F.col("id") + st).alias("dst"),
+            )
+        )
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    e = e.withColumn("weight", F.lit(1.0))
+    return SparkGraph(e, vertices=_vertices(spark, total), directed=False,
+                      coalesce_edges=False)
+
+
+def generalized_petersen_graph(spark: SparkSession, n: int, k: int) -> SparkGraph:
+    """GP(n, k): outer n-cycle (0..n-1), spokes to inner nodes
+    (n..2n-1), inner star polygon step k. ``petersen_graph`` = GP(5, 2)
+    (isomorphic to the reference's fixture; labels differ, parity tests
+    check isomorphism)."""
+    n, k = int(n), int(k)
+    r = spark.range(n)
+    outer = r.select(
+        F.col("id").alias("src"),
+        F.pmod(F.col("id") + 1, F.lit(n)).cast("long").alias("dst"),
+    )
+    spoke = r.select(F.col("id").alias("src"), (F.col("id") + n).alias("dst"))
+    inner = r.select(
+        (F.col("id") + n).alias("src"),
+        (F.pmod(F.col("id") + k, F.lit(n)) + n).cast("long").alias("dst"),
+    )
+    e = outer.unionByName(spoke).unionByName(inner).withColumn(
+        "weight", F.lit(1.0)
+    )
+    return SparkGraph(e, vertices=_vertices(spark, 2 * n), directed=False,
+                      coalesce_edges=False)
+
+
+def kneser_graph(spark: SparkSession, n: int, k: int) -> SparkGraph:
+    """``classic.py`` ``kneser_graph`` — k-subsets of [n], adjacent iff
+    disjoint. Node id = bitmask of the subset (the reference uses
+    frozensets; parity is by isomorphism). The subset table is built once
+    (C(n, k) rows) and the disjointness join is ``src & dst == 0`` —
+    distributed, never all-pairs python."""
+    from itertools import combinations
+
+    n, k = int(n), int(k)
+    masks = [
+        sum(1 << i for i in c) for c in combinations(range(n), k)
+    ]
+    mdf = spark.createDataFrame([(m,) for m in masks], "m long")
+    e = (
+        mdf.select(F.col("m").alias("src"))
+        .crossJoin(mdf.select(F.col("m").alias("dst")))
+        .filter(
+            (F.col("src") < F.col("dst"))
+            & (F.col("src").bitwiseAND(F.col("dst")) == 0)
+        )
+        .withColumn("weight", F.lit(1.0))
+    )
+    v = mdf.select(F.col("m").alias("id"))
+    return SparkGraph(e, vertices=v, directed=False, coalesce_edges=False)
