@@ -1001,3 +1001,121 @@ from linkgraph.function import (
     equivalence_classes,
     is_empty,
 )
+from linkgraph.small_graphs import (
+    LCF_graph,
+    petersen_graph,
+    bull_graph,
+    diamond_graph,
+    tetrahedral_graph,
+    octahedral_graph,
+    cubical_graph,
+    icosahedral_graph,
+    dodecahedral_graph,
+    desargues_graph,
+    heawood_graph,
+    moebius_kantor_graph,
+    pappus_graph,
+    frucht_graph,
+    truncated_tetrahedron_graph,
+    krackhardt_kite_graph,
+    sedgewick_maze_graph,
+    paley_graph,
+)
+from linkgraph.generators import (
+    null_graph,
+    trivial_graph,
+    tadpole_graph,
+    complete_bipartite_graph,
+    hypercube_graph,
+    grid_graph,
+    generalized_petersen_graph,
+    kneser_graph,
+)
+from linkgraph.random_graphs import (
+    erdos_renyi_graph,
+    binomial_graph,
+    fast_gnp_random_graph,
+    dense_gnm_random_graph,
+    newman_watts_strogatz_graph,
+    connected_watts_strogatz_graph,
+    random_geometric_graph,
+    geometric_edges,
+    soft_random_geometric_graph,
+    waxman_graph,
+    margulis_gabber_galil_graph,
+    chordal_cycle_graph,
+    random_partition_graph,
+    gaussian_random_partition_graph,
+    relaxed_caveman_graph,
+    configuration_model,
+    havel_hakimi_graph,
+    random_regular_graph,
+    random_labeled_tree,
+    from_prufer_sequence,
+    to_prufer_sequence,
+    degree_sequence_tree,
+    gn_graph,
+    gnr_graph,
+    gnc_graph,
+    random_lobster,
+    interval_graph,
+)
+from linkgraph.layout import (
+    random_layout,
+    circular_layout,
+    shell_layout,
+    spiral_layout,
+    spectral_layout,
+    spring_layout,
+    fruchterman_reingold_layout,
+    bipartite_layout,
+    multipartite_layout,
+    rescale_layout,
+)
+from linkgraph.io.textforms import (
+    parse_edgelist,
+    generate_edgelist,
+    write_weighted_edgelist,
+    parse_adjlist,
+    generate_adjlist,
+    parse_gml,
+    generate_gml,
+    parse_graphml,
+    generate_graphml,
+    write_graphml_xml,
+    write_graphml_lxml,
+    parse_pajek,
+    generate_pajek,
+    generate_gexf,
+    read_multiline_adjlist,
+    write_multiline_adjlist,
+    parse_multiline_adjlist,
+    generate_multiline_adjlist,
+)
+from linkgraph.algos.betweenness import load_centrality, edge_load_centrality
+from linkgraph.algos.walks import generate_random_paths, panther_similarity
+from linkgraph.algos.branchings import maximum_branching, minimum_branching
+from linkgraph.algos.regularity import (
+    is_strongly_regular,
+    intersection_array,
+    is_distance_regular,
+    global_parameters,
+    hyper_wiener_index,
+)
+from linkgraph.algos.chordal import (
+    chordal_graph_cliques,
+    chordal_graph_treewidth,
+    find_induced_nodes,
+    NetworkXTreewidthBoundExceeded,
+)
+from linkgraph.algos.dfs import dfs_predecessors, dfs_successors
+from linkgraph.algos.flow import average_node_connectivity, is_k_edge_connected
+from linkgraph.algos.resistance import effective_graph_resistance
+from linkgraph.algos.centrality import (
+    eigenvector_centrality_numpy,
+    katz_centrality_numpy,
+)
+from linkgraph.algos.betweenness import (
+    betweenness_centrality_subset,
+    edge_betweenness_centrality_subset,
+)

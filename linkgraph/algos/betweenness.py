@@ -474,3 +474,351 @@ def percolation_centrality(
     st.unpersist()
     cache.close(keep_result=True)
     return out
+
+
+def load_centrality(
+    g: SparkGraph,
+    normalized: bool = True,
+    *,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """Newman load centrality (``centrality/load.py:12``): like
+    betweenness but a unit reaching w splits EQUALLY among w's
+    shortest-path predecessors (not proportionally to path counts), i.e.
+    delta(p) = Σ_w (1 + delta(w)) / |preds(w)|. Same batched multi-source
+    BFS + level-by-level backward fold as the Brandes kernel; only the
+    split rule differs. Raw (unnormalized) values count both directions
+    on undirected graphs, exactly like the reference; normalization is
+    1/((n-1)(n-2))."""
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    vertices = g.vertices.select("id").persist()
+    n = vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], "id long, load double")
+    arcs = (
+        (g.edges if g.directed else g.symmetric_edges())
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    levels = _forward_levels(vertices, arcs, cache, max_rounds)
+
+    acc = None
+    delta_next = None
+    for d in range(len(levels) - 1, 0, -1):
+        lvl = levels[d]
+        if delta_next is not None:
+            lvl = lvl.join(delta_next, ["s", "v"], "left").select(
+                "s", "v", F.coalesce("delta", F.lit(0.0)).alias("delta")
+            )
+        else:
+            lvl = lvl.select("s", "v", F.lit(0.0).alias("delta"))
+        prev = levels[d - 1].select("s", F.col("v").alias("p"))
+        # DAG predecessor pairs (s, w, p): arc p -> w with p one level up
+        pairs = (
+            lvl.withColumnRenamed("v", "w")
+            .join(
+                arcs.select(F.col("src").alias("p"), F.col("dst").alias("w")),
+                "w",
+            )
+            .join(prev, ["s", "p"], "left_semi")
+        )
+        npred = pairs.groupBy("s", "w").agg(F.count(F.lit(1)).alias("np"))
+        contrib = (
+            pairs.join(npred, ["s", "w"])
+            .select(
+                "s",
+                F.col("p").alias("v"),
+                ((F.lit(1.0) + F.col("delta")) / F.col("np")).alias("c"),
+            )
+            .groupBy("s", "v")
+            .agg(F.sum("c").alias("delta"))
+        )
+        new_delta = cache.truncate(contrib)
+        if delta_next is not None:
+            cache.release(delta_next)
+        cache.release(levels[d])
+        levels[d] = None
+        delta_next = new_delta
+        lvl_load = (
+            new_delta.filter(F.col("s") != F.col("v"))
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("delta").alias("b"))
+        )
+        if acc is None:
+            acc = cache.truncate(lvl_load)
+        else:
+            folded = cache.truncate(
+                acc.unionByName(lvl_load).groupBy("id").agg(F.sum("b").alias("b"))
+            )
+            cache.release(acc)
+            acc = folded
+
+    scale = 1.0 / ((n - 1) * (n - 2)) if (normalized and n > 2) else 1.0
+    if acc is None:
+        out = vertices.select("id", F.lit(0.0).alias("load"))
+    else:
+        out = vertices.join(acc, "id", "left").select(
+            "id", (F.coalesce("b", F.lit(0.0)) * F.lit(scale)).alias("load")
+        )
+    out = out.persist()
+    out.count()
+    arcs.unpersist()
+    vertices.unpersist()
+    cache.close(keep_result=True)
+    return out
+
+
+def edge_load_centrality(g: SparkGraph, *, max_rounds: int = 10_000) -> DataFrame:
+    """``centrality/load.py`` ``edge_load_centrality`` — the per-edge form
+    of the equal-split flow: edge (p, w) carries (1 + delta(w))/|preds(w)|
+    per source. Unnormalized (the reference exposes no normalization)."""
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    vertices = g.vertices.select("id").persist()
+    arcs = (
+        (g.edges if g.directed else g.symmetric_edges())
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    levels = _forward_levels(vertices, arcs, cache, max_rounds)
+    acc = None
+    delta_next = None
+    for d in range(len(levels) - 1, 0, -1):
+        lvl = levels[d]
+        if delta_next is not None:
+            lvl = lvl.join(delta_next, ["s", "v"], "left").select(
+                "s", "v", F.coalesce("delta", F.lit(0.0)).alias("delta")
+            )
+        else:
+            lvl = lvl.select("s", "v", F.lit(0.0).alias("delta"))
+        prev = levels[d - 1].select("s", F.col("v").alias("p"))
+        pairs = (
+            lvl.withColumnRenamed("v", "w")
+            .join(
+                arcs.select(F.col("src").alias("p"), F.col("dst").alias("w")),
+                "w",
+            )
+            .join(prev, ["s", "p"], "left_semi")
+        )
+        npred = pairs.groupBy("s", "w").agg(F.count(F.lit(1)).alias("np"))
+        flows = pairs.join(npred, ["s", "w"]).select(
+            "s", "p", "w",
+            ((F.lit(1.0) + F.col("delta")) / F.col("np")).alias("f"),
+        )
+        # materialize BOTH consumers of `flows` before releasing the level
+        # tables they read from (release after would truncate live lineage)
+        edge_lvl = cache.truncate(
+            flows.groupBy(F.col("p").alias("u"), F.col("w").alias("v")).agg(
+                F.sum("f").alias("b")
+            )
+        )
+        contrib = flows.groupBy("s", F.col("p").alias("v")).agg(
+            F.sum("f").alias("delta")
+        )
+        new_delta = cache.truncate(contrib)
+        if delta_next is not None:
+            cache.release(delta_next)
+        cache.release(levels[d])
+        levels[d] = None
+        delta_next = new_delta
+        if acc is None:
+            acc = cache.truncate(edge_lvl)
+        else:
+            folded = cache.truncate(
+                acc.unionByName(edge_lvl)
+                .groupBy("u", "v")
+                .agg(F.sum("b").alias("b"))
+            )
+            cache.release(acc)
+            acc = folded
+    if acc is None:
+        out = spark.createDataFrame([], "u long, v long, load double")
+    else:
+        if not g.directed:
+            # the reference reports each undirected edge's TOTAL two-way
+            # flow (same value on both orientations); one canonical row
+            # here, u < v
+            acc = (
+                acc.select(
+                    F.least("u", "v").alias("u"),
+                    F.greatest("u", "v").alias("v"),
+                    "b",
+                )
+                .groupBy("u", "v")
+                .agg(F.sum("b").alias("b"))
+            )
+        out = acc.select("u", "v", F.col("b").alias("load")).persist()
+        out.count()
+    arcs.unpersist()
+    vertices.unpersist()
+    cache.close(keep_result=True)
+    return out
+
+
+def _subset_betweenness(
+    g: SparkGraph,
+    sources,
+    targets,
+    normalized: bool,
+    *,
+    edges_out: bool,
+    max_rounds: int = 10_000,
+):
+    """Shared Brandes-subset kernel: dependencies seeded only at target
+    nodes (δ picks up +1 at w iff w ∈ targets), summed over the given
+    sources (``betweenness_subset.py:96`` ``_single_source_shortest_
+    path_basic`` + ``_accumulate_subset``)."""
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    vertices = g.vertices.select("id").persist()
+    n = vertices.count()
+    src_df = spark.createDataFrame(
+        [(int(x),) for x in sources], "id long"
+    ).join(vertices, "id", "left_semi")
+    tgt_df = spark.createDataFrame(
+        [(int(x),) for x in targets], "id long"
+    ).select(F.col("id").alias("v")).distinct()
+    arcs = (
+        (g.edges if g.directed else g.symmetric_edges())
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    levels = _forward_levels(src_df, arcs, cache, max_rounds)
+
+    acc = None  # nodes: (id, b); edges: (u, v, b)
+    delta_next = None
+    for d in range(len(levels) - 1, 0, -1):
+        lvl = levels[d]
+        if delta_next is not None:
+            lvl = lvl.join(delta_next, ["s", "v"], "left").select(
+                "s", "v", "sigma",
+                F.coalesce("delta", F.lit(0.0)).alias("delta"),
+            )
+        else:
+            lvl = lvl.select("s", "v", "sigma", F.lit(0.0).alias("delta"))
+        # target seed: w contributes (t_hit + delta)
+        lvl = lvl.join(
+            tgt_df.withColumn("_t", F.lit(1.0)), "v", "left"
+        ).select(
+            "s", "v", "sigma",
+            (F.col("delta") + F.coalesce("_t", F.lit(0.0))).alias("load"),
+        )
+        pred = (
+            lvl.withColumnRenamed("v", "w")
+            .join(arcs.withColumnRenamed("dst", "w"), "w")
+            .select("s", F.col("src").alias("v"), "sigma", "load", "w")
+        )
+        prev = levels[d - 1].select("s", "v", F.col("sigma").alias("sigma_p"))
+        flows = pred.join(prev, ["s", "v"]).select(
+            "s", "v", "w",
+            (F.col("sigma_p") / F.col("sigma") * F.col("load")).alias("c"),
+        )
+        if edges_out:
+            edge_lvl = cache.truncate(
+                flows.groupBy(F.col("v").alias("u"), F.col("w").alias("vv"))
+                .agg(F.sum("c").alias("b"))
+                .select(F.col("u"), F.col("vv").alias("v"), "b")
+            )
+        contrib = flows.groupBy("s", "v").agg(F.sum("c").alias("delta"))
+        new_delta = cache.truncate(contrib)
+        if delta_next is not None:
+            cache.release(delta_next)
+        cache.release(levels[d])
+        levels[d] = None
+        delta_next = new_delta
+        if edges_out:
+            lvl_acc = edge_lvl
+            keys = ["u", "v"]
+        else:
+            lvl_acc = (
+                new_delta.filter(F.col("s") != F.col("v"))
+                .groupBy(F.col("v").alias("id"))
+                .agg(F.sum("delta").alias("b"))
+            )
+            keys = ["id"]
+        if acc is None:
+            acc = cache.truncate(lvl_acc)
+        else:
+            folded = cache.truncate(
+                acc.unionByName(lvl_acc).groupBy(*keys).agg(F.sum("b").alias("b"))
+            )
+            cache.release(acc)
+            acc = folded
+
+    # rescale: the subset forms reuse the standard _rescale/_rescale_e —
+    # nodes: 1/((n-1)(n-2)) normalized; edges: 1/(n(n-1)); undirected
+    # unnormalized halves in both
+    if normalized:
+        if edges_out:
+            scale = 1.0 / (n * (n - 1)) if n > 1 else None
+        else:
+            scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else None
+    else:
+        scale = None if g.directed else 0.5
+    if edges_out:
+        if acc is None:
+            out = spark.createDataFrame([], "u long, v long, betweenness double")
+        else:
+            res = acc
+            if not g.directed:
+                res = (
+                    res.select(
+                        F.least("u", "v").alias("u"),
+                        F.greatest("u", "v").alias("v"),
+                        "b",
+                    )
+                    .groupBy("u", "v")
+                    .agg(F.sum("b").alias("b"))
+                )
+                # both orientations were accumulated; the reference reports
+                # the per-edge total once (no halving in its edge-subset
+                # rescale beyond the explicit scale)
+            out = res.select(
+                "u", "v",
+                (F.col("b") * F.lit(scale if scale is not None else 1.0)).alias(
+                    "betweenness"
+                ),
+            )
+    else:
+        if acc is None:
+            out = vertices.select("id", F.lit(0.0).alias("betweenness"))
+        else:
+            out = vertices.join(acc, "id", "left").select(
+                "id",
+                (
+                    F.coalesce("b", F.lit(0.0))
+                    * F.lit(scale if scale is not None else 1.0)
+                ).alias("betweenness"),
+            )
+    out = out.persist()
+    out.count()
+    arcs.unpersist()
+    vertices.unpersist()
+    cache.close(keep_result=True)
+    return out
+
+
+def betweenness_centrality_subset(
+    g: SparkGraph, sources, targets, normalized: bool = False
+) -> DataFrame:
+    """``betweenness_subset.py:11`` — betweenness counting only shortest
+    paths from ``sources`` to ``targets``."""
+    return _subset_betweenness(
+        g, sources, targets, normalized, edges_out=False
+    )
+
+
+def edge_betweenness_centrality_subset(
+    g: SparkGraph, sources, targets, normalized: bool = False
+) -> DataFrame:
+    """``betweenness_subset.py:134`` — the per-edge form."""
+    return _subset_betweenness(
+        g, sources, targets, normalized, edges_out=True
+    )

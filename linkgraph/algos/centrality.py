@@ -238,3 +238,15 @@ def katz_centrality(
         return x.select("id", F.col("x").alias("centrality"))
     cache.close()
     raise PowerIterationFailedConvergence(max_iter)
+
+
+def eigenvector_centrality_numpy(g, weight=None, **kwargs):
+    """``eigenvector.py`` ``eigenvector_centrality_numpy`` — the reference
+    offers a dense-solver twin of the iterative form; the engine has one
+    (distributed power-iteration) kernel, same values at convergence."""
+    return eigenvector_centrality(g, weight=weight, **kwargs)
+
+
+def katz_centrality_numpy(g, alpha: float = 0.1, beta: float = 1.0, **kwargs):
+    """``katz.py`` ``katz_centrality_numpy`` — dense twin; same values."""
+    return katz_centrality(g, alpha=alpha, beta=beta, **kwargs)

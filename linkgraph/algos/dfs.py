@@ -290,3 +290,27 @@ def edge_bfs(
                     queued.add(v)
                     q.append(v)
     return out
+
+
+def dfs_predecessors(g: SparkGraph, source=None, depth_limit=None, *,
+                     max_driver_edges: int = 5_000_000) -> DataFrame:
+    """(id, pred) — each visited node's DFS-tree parent
+    (``depth_first_search.py`` ``dfs_predecessors``; root rows absent,
+    like the reference's dict)."""
+    t = dfs_tree(g, source=source, depth_limit=depth_limit,
+                 max_driver_edges=max_driver_edges)
+    return t.edges.select(
+        F.col("dst").alias("id"), F.col("src").alias("pred")
+    )
+
+
+def dfs_successors(g: SparkGraph, source=None, depth_limit=None, *,
+                   max_driver_edges: int = 5_000_000) -> DataFrame:
+    """(id, successors array<long>) — DFS-tree children per expanded node
+    (``depth_first_search.py`` ``dfs_successors``)."""
+    t = dfs_tree(g, source=source, depth_limit=depth_limit,
+                 max_driver_edges=max_driver_edges)
+    return (
+        t.edges.groupBy(F.col("src").alias("id"))
+        .agg(F.sort_array(F.collect_list("dst")).alias("successors"))
+    )

@@ -452,9 +452,21 @@ def node_connectivity(g: SparkGraph, s: int = None, t: int = None) -> int:
         .isEmpty()
     )
     if adjacent:
-        raise ValueError(
-            "node connectivity is undefined for adjacent source and target"
+        # the reference's local form: κ(s, t) with a direct edge = 1 +
+        # κ(s, t) in G minus that edge (the edge is one internally
+        # disjoint path all by itself)
+        if g.directed:
+            keep = ~((F.col("src") == s) & (F.col("dst") == t))
+        else:
+            a, b = (s, t) if s < t else (t, s)
+            keep = ~((F.col("src") == a) & (F.col("dst") == b))
+        reduced = SparkGraph(
+            g.edges.filter(keep),
+            g._vertices if g._vertices is not None else g.vertices,
+            directed=g.directed,
+            coalesce_edges=False,
         )
+        return 1 + node_connectivity(reduced, s, t)
     n = g.number_of_nodes()
     big = float(n)
     arcs = g.symmetric_edges() if not g.directed else g.edges
@@ -1119,3 +1131,61 @@ def k_edge_subgraphs(g: SparkGraph, k: int) -> DataFrame:
             work.append(frozenset(side_b))
     base.unpersist()
     return spark.createDataFrame(out_rows, "id long, component long")
+
+
+def is_k_edge_connected(g: SparkGraph, k: int) -> bool:
+    """``edge_augmentation.py`` ``is_k_edge_connected`` — λ(G) >= k via
+    the whole-graph edge connectivity already built (Stoer-Wagner /
+    Even's scheme)."""
+    k = int(k)
+    if k < 1:
+        raise ValueError("k must be positive")
+    n = g.number_of_nodes()
+    if n < 2:
+        return False
+    if k == 1:
+        return _k1_connected(g)
+    return edge_connectivity(g) >= k
+
+
+def _k1_connected(g: SparkGraph) -> bool:
+    if g.directed:
+        from linkgraph.algos.strongly_connected import is_strongly_connected
+
+        return is_strongly_connected(g)
+    from linkgraph.algos.components import is_connected
+
+    return is_connected(g)
+
+
+def average_node_connectivity(
+    g: SparkGraph, *, max_pairs: int = 2000, seed: int = 0
+) -> float:
+    """``connectivity.py`` ``average_node_connectivity`` — mean local
+    κ(u, v) over distinct node pairs. Each κ is one distributed Dinitz
+    flow; the pair loop is driver-orchestrated and guarded at
+    ``max_pairs`` (beyond that, pairs are hash-sampled deterministically
+    and the mean is the unbiased estimate — the exact full loop is
+    O(n²) flow calls by definition, same as the reference)."""
+    verts = [r["id"] for r in g.vertices.select("id").orderBy("id").collect()]
+    n = len(verts)
+    if n < 2:
+        return 0.0
+    import itertools
+
+    pairs = list(itertools.combinations(verts, 2))
+    if g.directed:
+        pairs = [p for ab in pairs for p in (ab, ab[::-1])]
+    if len(pairs) > max_pairs:
+        import hashlib
+
+        pairs.sort(
+            key=lambda p: hashlib.blake2b(
+                f"{seed}:{p[0]}:{p[1]}".encode(), digest_size=8
+            ).digest()
+        )
+        pairs = pairs[:max_pairs]
+    total = 0
+    for u, v in pairs:
+        total += node_connectivity(g, u, v)
+    return total / len(pairs)

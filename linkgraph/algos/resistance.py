@@ -159,3 +159,39 @@ def resistance_distance(
     deg.unpersist()
     cache.close()
     return float(vals[node_a] - vals[node_b])
+
+
+def effective_graph_resistance(
+    g: SparkGraph, *, weight=None, invert_weight: bool = True,
+    tol: float = 1e-10, max_iter: int = 20_000,
+) -> float:
+    """``resistance_distance`` module's ``effective_graph_resistance`` —
+    Σ over distinct pairs of the resistance distance, via the identity
+    R(G) = n · trace(L⁺): the batched CG solves every L⁺ column at once
+    (the current-flow kernel), the diagonal entries come from centering
+    each column (L⁺'s columns have zero mean), one aggregation total.
+    Infinite when disconnected, like the reference."""
+    from linkgraph.algos.components import is_connected
+    from linkgraph.algos.currentflow import _lplus_columns
+
+    n = g.number_of_nodes()
+    if n < 2:
+        raise NetworkXError("graph must have at least two nodes")
+    if not is_connected(g):
+        return float("inf")
+    wcol = weight
+    if weight is not None and invert_weight:
+        from linkgraph.graph import resolve_weight_column
+
+        wcol = 1.0 / resolve_weight_column(g.edges, weight)
+    sol, arcs, deg = _lplus_columns(g, wcol, tol, max_iter)
+    means = sol.groupBy("s").agg(F.avg("x").alias("mu"))
+    trace = (
+        sol.filter(F.col("s") == F.col("id"))
+        .join(means, "s")
+        .agg(F.sum(F.col("x") - F.col("mu")))
+        .first()[0]
+    )
+    arcs.unpersist()
+    deg.unpersist()
+    return float(n) * float(trace)

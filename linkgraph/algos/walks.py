@@ -58,3 +58,124 @@ def number_of_walks(g: SparkGraph, walk_length: int) -> DataFrame:
     arcs.unpersist()
     cache.close(keep_result=True)
     return out
+
+
+def generate_random_paths(
+    g: SparkGraph,
+    sample_size: int,
+    path_length: int = 5,
+    *,
+    weight="weight",
+    seed: int = 0,
+) -> DataFrame:
+    """``similarity.py`` ``generate_random_paths`` — ``sample_size``
+    weighted random walks of ``path_length`` edges. Fully distributed:
+    the per-source transition table carries cumulative probability
+    intervals (one window over each source's out-arcs, built once) and
+    every step resolves ALL walks with one hash-coin interval join — no
+    sequential RNG stream, identical transition distribution.
+
+    Returns (sample, step, node); walks that hit a sink stop early (the
+    reference indexes into a dense transition matrix, which simply has no
+    row mass there either)."""
+    from pyspark.sql.window import Window
+
+    from linkgraph.graph import resolve_weight_column
+
+    spark = g.spark
+    base = g.symmetric_edges() if not g.directed else g.edges
+    arcs = base.select(
+        "src", "dst", F.abs(resolve_weight_column(base, weight)).alias("w")
+    ).filter(F.col("w") > 0)
+    win = Window.partitionBy("src").orderBy("dst")
+    tot = Window.partitionBy("src")
+    trans = arcs.select(
+        "src",
+        "dst",
+        (F.sum("w").over(win) / F.sum("w").over(tot)).alias("hi"),
+        (
+            (F.sum("w").over(win) - F.col("w")) / F.sum("w").over(tot)
+        ).alias("lo"),
+    ).persist()
+
+    # start nodes: hash-uniform over the vertex table (rank join)
+    verts = g.vertices.select("id")
+    n = verts.count()
+    ranked = verts.select(
+        "id",
+        (F.row_number().over(Window.orderBy("id")) - 1).alias("_r"),
+    )
+    samples = spark.range(int(sample_size)).select(
+        F.col("id").alias("sample"),
+        F.pmod(F.xxhash64("id", F.lit(int(seed))), F.lit(n)).alias("_r"),
+    )
+    state = samples.join(ranked, "_r").select(
+        "sample", F.lit(0).alias("step"), F.col("id").alias("node")
+    )
+    cache = SuperstepCache(spark)
+    out = cache.truncate(state)
+    frontier = out
+    for s in range(1, int(path_length) + 1):
+        coin = (
+            F.pmod(
+                F.xxhash64("sample", F.lit(int(seed) + 1), F.lit(s)),
+                F.lit(1 << 53),
+            )
+            / F.lit(float(1 << 53))
+        )
+        nxt = (
+            frontier.select("sample", F.col("node").alias("src"))
+            .withColumn("u", coin)
+            .join(trans, "src")
+            .filter((F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")))
+            .select("sample", F.lit(s).alias("step"), F.col("dst").alias("node"))
+        )
+        nxt = cache.truncate(nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        out = cache.truncate(out.unionByName(nxt))
+        frontier = nxt
+    trans.unpersist()
+    res = out.localCheckpoint(eager=True)
+    cache.close(keep_result=True)
+    return res
+
+
+def panther_similarity(
+    g: SparkGraph,
+    source,
+    k: int = 5,
+    path_length: int = 5,
+    *,
+    sample_size: int = None,
+    seed: int = 0,
+    weight="weight",
+) -> DataFrame:
+    """``similarity.py`` ``panther_similarity`` (Zhang et al., KDD 2015) —
+    similarity of ``source`` to every node as the fraction of sampled
+    random paths containing BOTH, top-k. The estimator is
+    sampling-identical in distribution to the reference (co-occurrence
+    over R random paths); exact path sets differ (hash RNG vs MT stream),
+    so tests pin invariants, not values. One distributed walk generation +
+    one semi-join + one count — never per-pair."""
+    source = int(source)
+    if sample_size is None:
+        # the reference sizes R from (eps, delta); its default works out
+        # to O(k log n); a deterministic, generous default keeps the
+        # estimator stable
+        n = g.number_of_nodes()
+        import math as _m
+
+        sample_size = max(200, int(_m.ceil(20 * _m.log(max(n, 2)) * k)))
+    paths = generate_random_paths(
+        g, sample_size, path_length, weight=weight, seed=seed
+    )
+    membership = paths.select("sample", "node").distinct()
+    with_src = membership.filter(F.col("node") == source).select("sample")
+    hits = (
+        membership.join(with_src, "sample", "left_semi")
+        .filter(F.col("node") != source)
+        .groupBy(F.col("node").alias("id"))
+        .agg((F.count(F.lit(1)) / F.lit(float(sample_size))).alias("similarity"))
+    )
+    return hits.orderBy(F.col("similarity").desc(), "id").limit(int(k))

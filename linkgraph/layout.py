@@ -1,0 +1,412 @@
+"""Layout family — ``networkx/drawing/layout.py`` re-expressed as
+DataFrame transforms.
+
+The reference returns ``{node: ndarray}``; the columnar twin is a
+DataFrame ``(id, x0, x1, ...)`` — positions are data, so at web scale a
+layout IS a vertex-embedding table (the rendering itself stays out of
+scope, as SURVEY §2 declares for the drawing package). Deterministic
+throughout: hash coins for randomness, rank-by-id for orderings.
+
+- ``random_layout`` — one hash expression per axis, fully distributed.
+- ``circular/shell/spiral_layout`` — rank via ``row_number`` over id (one
+  range-partitioned sort), then pure trigonometry columns.
+- ``spectral_layout`` — the first ``dim`` nontrivial Laplacian
+  eigenvectors from the SAME inverse-power/CG kernel the Fiedler module
+  uses (``algos/fiedler.py``), with Gram-Schmidt deflation against the
+  ones vector and previously extracted axes.
+- ``spring_layout`` — Fruchterman-Reingold; the repulsion term is the
+  all-pairs join the reference also materializes (its numpy matrix is
+  n×n too). O(n² · iterations) by definition — the docstring says to use
+  ``spectral_layout`` at scale.
+- ``bipartite_layout`` / ``multipartite_layout`` — per-subset columns.
+- ``rescale_layout`` — center + max-abs scale, one agg + one projection.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from linkgraph.exceptions import NetworkXError
+from linkgraph.graph import SparkGraph
+
+__all__ = [
+    "random_layout",
+    "circular_layout",
+    "shell_layout",
+    "spiral_layout",
+    "spectral_layout",
+    "spring_layout",
+    "fruchterman_reingold_layout",
+    "bipartite_layout",
+    "multipartite_layout",
+    "rescale_layout",
+]
+
+_TAU = 2.0 * math.pi
+
+
+def _ranked(verts: DataFrame) -> DataFrame:
+    return verts.select(
+        "id", (F.row_number().over(Window.orderBy("id")) - 1).alias("_r")
+    )
+
+
+def random_layout(g: SparkGraph, dim: int = 2, seed: int = 42) -> DataFrame:
+    """``layout.py`` ``random_layout`` — uniform [0, 1)^dim."""
+    return g.vertices.select(
+        "id",
+        *[
+            (
+                F.pmod(F.xxhash64("id", F.lit(int(seed)), F.lit(d)), F.lit(1 << 53))
+                / F.lit(float(1 << 53))
+            ).alias(f"x{d}")
+            for d in range(int(dim))
+        ],
+    )
+
+
+def circular_layout(g: SparkGraph, scale: float = 1.0) -> DataFrame:
+    """``layout.py`` ``circular_layout`` — nodes evenly on a circle in
+    ascending id order (the reference uses insertion order; a column
+    store's canonical order is the id)."""
+    n = g.number_of_nodes()
+    if n == 0:
+        return g.vertices.select("id", F.lit(0.0).alias("x0"), F.lit(0.0).alias("x1"))
+    if n == 1:
+        return g.vertices.select("id", F.lit(0.0).alias("x0"), F.lit(0.0).alias("x1"))
+    theta = F.col("_r") * F.lit(_TAU / n)
+    return _ranked(g.vertices).select(
+        "id",
+        (F.cos(theta) * F.lit(float(scale))).alias("x0"),
+        (F.sin(theta) * F.lit(float(scale))).alias("x1"),
+    )
+
+
+def shell_layout(
+    g: SparkGraph, nlist: Optional[Sequence[Sequence[int]]] = None,
+    scale: float = 1.0,
+) -> DataFrame:
+    """``layout.py`` ``shell_layout`` — concentric circles; ``nlist`` is
+    the list of shells (defaults to one shell = circular)."""
+    if nlist is None:
+        return circular_layout(g, scale=scale)
+    rows = []
+    nshells = len(nlist)
+    for si, shell in enumerate(nlist):
+        radius = (si + (0.0 if nshells == 1 else 1.0)) / max(nshells - (0 if nshells == 1 else 0), 1)
+        radius = si / max(nshells - 1, 1) if nshells > 1 else 0.0
+        shell = [int(x) for x in shell]
+        k = len(shell)
+        for j, node in enumerate(shell):
+            theta = _TAU * j / max(k, 1)
+            rows.append(
+                (node, radius * math.cos(theta) * float(scale),
+                 radius * math.sin(theta) * float(scale))
+            )
+    pos = g.spark.createDataFrame(rows, "id long, x0 double, x1 double")
+    missing = g.vertices.select("id").join(pos.select("id"), "id", "left_anti")
+    if missing.limit(1).count() > 0:
+        raise NetworkXError("shell_layout: nlist does not cover all nodes")
+    return pos
+
+
+def spiral_layout(
+    g: SparkGraph, scale: float = 1.0, resolution: float = 0.35,
+    equidistant: bool = False,
+) -> DataFrame:
+    """``layout.py`` ``spiral_layout`` — Archimedean spiral by id rank."""
+    ranked = _ranked(g.vertices)
+    if equidistant:
+        theta = F.lit(float(resolution)) * F.sqrt(F.col("_r").cast("double")) * 2.0
+        r = F.sqrt(F.col("_r").cast("double"))
+    else:
+        theta = F.lit(float(resolution)) * F.col("_r").cast("double")
+        r = F.col("_r").cast("double")
+    pos = ranked.select(
+        "id",
+        (r * F.cos(theta)).alias("x0"),
+        (r * F.sin(theta)).alias("x1"),
+    )
+    return rescale_layout(pos, scale=scale)
+
+
+def _deflated_eigvec(g, against: "list[DataFrame]", seed: int,
+                     tol: float, max_iter: int) -> DataFrame:
+    """One more nontrivial Laplacian eigenvector: inverse power iteration
+    (the fiedler CG kernel) orthogonalized against the given unit vectors
+    and the ones vector each step."""
+    from linkgraph.algos.currentflow import _batched_cg_diag
+    from linkgraph.graph import resolve_weight_column
+
+    spark = g.spark
+    wcol = resolve_weight_column(g.edges, None)
+    base = (
+        g.symmetric_edges()
+        .select("src", "dst", F.abs(wcol).alias("c"))
+        .filter((F.col("c") > 0) & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.sum("c").alias("c"))
+        .persist()
+    )
+    verts = g.vertices.select("id").persist()
+    diag = base.groupBy(F.col("src").alias("id")).agg(F.sum("c").alias("d"))
+    diag = verts.join(diag, "id", "left").select(
+        "id", F.coalesce("d", F.lit(0.0)).alias("d")
+    )
+
+    def orthonormalize(df):
+        # remove the mean (the ones direction) and each prior axis
+        mu = df.agg(F.avg("v")).first()[0] or 0.0
+        out = df.select("id", (F.col("v") - F.lit(float(mu))).alias("v"))
+        for vec in against:
+            dot = (
+                out.join(vec.select("id", F.col("v").alias("w")), "id")
+                .agg(F.sum(F.col("v") * F.col("w")))
+                .first()[0]
+                or 0.0
+            )
+            out = (
+                out.join(vec.select("id", F.col("v").alias("w")), "id")
+                .select("id", (F.col("v") - F.lit(float(dot)) * F.col("w")).alias("v"))
+            )
+        nrm = out.agg(F.sqrt(F.sum(F.col("v") * F.col("v")))).first()[0]
+        if not nrm:
+            raise NetworkXError("spectral_layout iteration degenerated")
+        return out.select("id", (F.col("v") / F.lit(float(nrm))).alias("v"))
+
+    x = verts.select(
+        "id",
+        (F.xxhash64("id", F.lit(int(seed))).cast("double") / F.lit(2.0**63)).alias("v"),
+    )
+    x = orthonormalize(x).persist()
+    lam_prev = None
+    for _ in range(max_iter):
+        rhs = x.select(F.lit(0).alias("s"), "id", F.col("v").alias("b"))
+        sol = _batched_cg_diag(
+            spark, verts, base, diag, rhs, tol=min(tol, 1e-10), max_iter=5000
+        )
+        y = sol.select("id", F.col("x").alias("v"))
+        dots = (
+            y.join(x.select("id", F.col("v").alias("xv")), "id")
+            .agg(
+                F.sum(F.col("v") * F.col("xv")).alias("yx"),
+                F.sum(F.col("v") * F.col("v")).alias("yy"),
+            )
+            .first()
+        )
+        lam = float(dots["yx"]) / float(dots["yy"])
+        nxt = orthonormalize(y).persist()
+        x.unpersist()
+        x = nxt
+        if lam_prev is not None and abs(lam - lam_prev) <= tol * max(abs(lam), 1e-30):
+            break
+        lam_prev = lam
+    base.unpersist()
+    verts.unpersist()
+    # deterministic sign: smallest id non-negative
+    head = x.orderBy("id").limit(1).first()["v"]
+    if head < 0:
+        x = x.select("id", (-F.col("v")).alias("v"))
+    return x.localCheckpoint(eager=True)
+
+
+def spectral_layout(
+    g: SparkGraph, dim: int = 2, *, tol: float = 1e-8, max_iter: int = 100,
+    seed: int = 42, scale: float = 1.0,
+) -> DataFrame:
+    """``layout.py`` ``spectral_layout`` — coordinates from the first
+    ``dim`` nontrivial Laplacian eigenvectors (same subspace the
+    reference's dense ``eigh`` uses; the basis may differ by rotation or
+    sign, which is layout-equivalent)."""
+    if g.directed:
+        g = g.to_undirected()
+    axes: "list[DataFrame]" = []
+    for d in range(int(dim)):
+        axes.append(
+            _deflated_eigvec(g, axes, seed=seed + 17 * d, tol=tol,
+                             max_iter=max_iter)
+        )
+    pos = g.vertices.select("id")
+    for d, vec in enumerate(axes):
+        pos = pos.join(vec.select("id", F.col("v").alias(f"x{d}")), "id")
+    return rescale_layout(pos, scale=scale)
+
+
+def spring_layout(
+    g: SparkGraph,
+    k: Optional[float] = None,
+    iterations: int = 50,
+    seed: int = 42,
+    scale: float = 1.0,
+    pos: Optional[DataFrame] = None,
+) -> DataFrame:
+    """``layout.py`` ``spring_layout`` (Fruchterman-Reingold). The
+    repulsion term is an all-pairs join per iteration — the reference's
+    dense numpy path materializes the same n×n matrix, so the cost class
+    matches; at web scale use ``spectral_layout`` (CG solves, no n²).
+    Deterministic per seed."""
+    n = g.number_of_nodes()
+    if n == 0:
+        return g.vertices.select("id", F.lit(0.0).alias("x0"), F.lit(0.0).alias("x1"))
+    if k is None:
+        k = 1.0 / math.sqrt(n)
+    p = pos if pos is not None else random_layout(g, dim=2, seed=seed)
+    p = p.select("id", F.col("x0").cast("double"), F.col("x1").cast("double"))
+    arcs = (
+        g.symmetric_edges().select("src", "dst")
+        if not g.directed
+        else g.edges.select("src", "dst").unionByName(
+            g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    ).distinct().persist()
+    t = 0.1
+    dt = t / (int(iterations) + 1)
+    from linkgraph.iterutils import SuperstepCache
+
+    cache = SuperstepCache(g.spark)
+    p = cache.truncate(p)
+    eps = 1e-9
+    for _ in range(int(iterations)):
+        a = p
+        b = p.select(
+            F.col("id").alias("jid"),
+            F.col("x0").alias("jx0"),
+            F.col("x1").alias("jx1"),
+        )
+        pair = a.join(b, F.col("id") != F.col("jid"))
+        dx = F.col("x0") - F.col("jx0")
+        dy = F.col("x1") - F.col("jx1")
+        dist = F.greatest(F.sqrt(dx * dx + dy * dy), F.lit(eps))
+        rep = pair.groupBy("id").agg(
+            F.sum(dx / dist * (F.lit(k * k) / dist)).alias("fx"),
+            F.sum(dy / dist * (F.lit(k * k) / dist)).alias("fy"),
+        )
+        att_pair = (
+            arcs.join(a.withColumnRenamed("id", "src"), "src")
+            .join(
+                b.withColumnRenamed("jid", "dst"),
+                "dst",
+            )
+        )
+        adx = F.col("x0") - F.col("jx0")
+        ady = F.col("x1") - F.col("jx1")
+        adist = F.greatest(F.sqrt(adx * adx + ady * ady), F.lit(eps))
+        att = att_pair.groupBy(F.col("src").alias("id")).agg(
+            F.sum(-adx / adist * (adist * adist / F.lit(k))).alias("ax"),
+            F.sum(-ady / adist * (adist * adist / F.lit(k))).alias("ay"),
+        )
+        disp = (
+            p.join(rep, "id", "left")
+            .join(att, "id", "left")
+            .select(
+                "id", "x0", "x1",
+                (F.coalesce("fx", F.lit(0.0)) + F.coalesce("ax", F.lit(0.0))).alias("dx"),
+                (F.coalesce("fy", F.lit(0.0)) + F.coalesce("ay", F.lit(0.0))).alias("dy"),
+            )
+        )
+        dlen = F.greatest(
+            F.sqrt(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")),
+            F.lit(eps),
+        )
+        step = F.least(dlen, F.lit(t))
+        p = cache.truncate(
+            disp.select(
+                "id",
+                (F.col("x0") + F.col("dx") / dlen * step).alias("x0"),
+                (F.col("x1") + F.col("dy") / dlen * step).alias("x1"),
+            ),
+            retire=p,
+        )
+        t -= dt
+    arcs.unpersist()
+    out = rescale_layout(p, scale=scale).localCheckpoint(eager=True)
+    cache.close(keep_result=True)
+    return out
+
+
+fruchterman_reingold_layout = spring_layout
+
+
+def bipartite_layout(
+    g: SparkGraph, nodes, align: str = "vertical", scale: float = 1.0,
+    aspect_ratio: float = 4.0 / 3.0,
+) -> DataFrame:
+    """``layout.py`` ``bipartite_layout`` — ``nodes`` (one side) in the
+    left column, the rest in the right."""
+    if isinstance(nodes, DataFrame):
+        left = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+    else:
+        left = g.spark.createDataFrame([(int(x),) for x in nodes], "id long")
+    verts = g.vertices.select("id")
+    tagged = verts.join(left.withColumn("_l", F.lit(1)), "id", "left").select(
+        "id", F.coalesce("_l", F.lit(0)).alias("_l")
+    )
+    w = Window.partitionBy("_l").orderBy("id")
+    cnt = Window.partitionBy("_l")
+    pos = tagged.select(
+        "id",
+        "_l",
+        (F.row_number().over(w) - 1).alias("_r"),
+        F.count(F.lit(1)).over(cnt).alias("_n"),
+    ).select(
+        "id",
+        F.when(F.col("_l") == 1, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("x0"),
+        (
+            (F.col("_r") - (F.col("_n") - 1) / 2.0)
+            / F.greatest(F.col("_n"), F.lit(1))
+            * F.lit(2.0 * float(aspect_ratio))
+        ).alias("x1"),
+    )
+    if align == "horizontal":
+        pos = pos.select("id", F.col("x1").alias("x0"), F.col("x0").alias("x1"))
+    return rescale_layout(pos, scale=scale)
+
+
+def multipartite_layout(
+    g: SparkGraph, subset_key: str = "subset", align: str = "vertical",
+    scale: float = 1.0,
+) -> DataFrame:
+    """``layout.py`` ``multipartite_layout`` — one column per value of the
+    ``subset_key`` vertex attribute column."""
+    if subset_key not in g.vertices.columns:
+        raise NetworkXError(f"multipartite_layout: no vertex column {subset_key!r}")
+    verts = g.vertices.select("id", F.col(subset_key).alias("_s"))
+    w = Window.partitionBy("_s").orderBy("id")
+    cnt = Window.partitionBy("_s")
+    layer = Window.orderBy("_s")
+    pos = verts.select(
+        "id",
+        F.dense_rank().over(layer).alias("_li"),
+        (F.row_number().over(w) - 1).alias("_r"),
+        F.count(F.lit(1)).over(cnt).alias("_n"),
+    ).select(
+        "id",
+        (F.col("_li") - 1).cast("double").alias("x0"),
+        (F.col("_r") - (F.col("_n") - 1) / 2.0).cast("double").alias("x1"),
+    )
+    if align == "horizontal":
+        pos = pos.select("id", F.col("x1").alias("x0"), F.col("x0").alias("x1"))
+    return rescale_layout(pos, scale=scale)
+
+
+def rescale_layout(pos: DataFrame, scale: float = 1.0) -> DataFrame:
+    """``layout.py`` ``rescale_layout`` — translate to the centroid, then
+    scale so the largest coordinate magnitude equals ``scale``."""
+    axes = [c for c in pos.columns if c != "id"]
+    means = pos.agg(*[F.avg(c).alias(c) for c in axes]).first()
+    centered = pos.select(
+        "id", *[(F.col(c) - F.lit(float(means[c] or 0.0))).alias(c) for c in axes]
+    )
+    lim = centered.agg(
+        F.greatest(*[F.max(F.abs(F.col(c))) for c in axes]).alias("m")
+    ).first()["m"]
+    if not lim:
+        return centered
+    s = float(scale) / float(lim)
+    return centered.select(
+        "id", *[(F.col(c) * F.lit(s)).alias(c) for c in axes]
+    )

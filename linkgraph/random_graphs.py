@@ -1,0 +1,819 @@
+"""Random-graph generator tail — the Spark twins of
+``networkx/generators/random_graphs.py``, ``geometric.py``,
+``expanders.py``, ``community.py``, ``degree_seq.py`` and ``trees.py``.
+
+Distribution-parity, not stream-parity: the reference draws from one
+sequential Mersenne-Twister stream, which cannot be replayed across
+partitions. Every generator here is seeded and deterministic via
+PER-ELEMENT hash coins (``xxhash64(seed, ...)``) — the same distribution,
+embarrassingly parallel (the ``gnp_random_graph`` convention of
+``generators.py``). Inherently sequential growth processes (gn/gnr/gnc,
+random_lobster, random_regular pairing retries) run driver-side with a
+seeded ``random.Random`` — they are O(n) scalar recurrences, not data
+jobs; the docstrings say so.
+"""
+
+from __future__ import annotations
+
+import random as _random
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from linkgraph.exceptions import NetworkXError
+from linkgraph.graph import SparkGraph
+from linkgraph.generators import (
+    _vertices,
+    caveman_graph,
+    gnm_random_graph,
+    gnp_random_graph,
+    stochastic_block_model,
+    watts_strogatz_graph,
+)
+
+__all__ = [
+    "erdos_renyi_graph",
+    "binomial_graph",
+    "fast_gnp_random_graph",
+    "dense_gnm_random_graph",
+    "newman_watts_strogatz_graph",
+    "connected_watts_strogatz_graph",
+    "random_geometric_graph",
+    "geometric_edges",
+    "soft_random_geometric_graph",
+    "waxman_graph",
+    "margulis_gabber_galil_graph",
+    "chordal_cycle_graph",
+    "random_partition_graph",
+    "gaussian_random_partition_graph",
+    "relaxed_caveman_graph",
+    "configuration_model",
+    "havel_hakimi_graph",
+    "random_regular_graph",
+    "random_labeled_tree",
+    "from_prufer_sequence",
+    "to_prufer_sequence",
+    "degree_sequence_tree",
+    "gn_graph",
+    "gnr_graph",
+    "gnc_graph",
+    "random_lobster",
+    "interval_graph",
+]
+
+_U53 = float(1 << 53)
+
+
+def _coin(*cols):
+    """Uniform [0, 1) from a hash of the columns — the per-element RNG."""
+    return (F.pmod(F.xxhash64(*cols), F.lit(1 << 53)) / F.lit(_U53))
+
+
+# --------------------------------------------------------------------- #
+# gnp/gnm aliases
+# --------------------------------------------------------------------- #
+
+def erdos_renyi_graph(spark, n, p, seed: int = 0, *, directed=False):
+    """``random_graphs.py`` alias of ``gnp_random_graph``."""
+    return gnp_random_graph(spark, n, p, seed=seed, directed=directed)
+
+
+def binomial_graph(spark, n, p, seed: int = 0, *, directed=False):
+    """``random_graphs.py`` alias of ``gnp_random_graph``."""
+    return gnp_random_graph(spark, n, p, seed=seed, directed=directed)
+
+
+def fast_gnp_random_graph(spark, n, p, seed: int = 0, *, directed=False):
+    """``random_graphs.py:437`` — the reference's O(n+m) skip-sampling is
+    a sequential-stream optimization; the hash-coin kernel is already
+    embarrassingly parallel AND O(candidate pairs) work distributed, so
+    both names share it."""
+    return gnp_random_graph(spark, n, p, seed=seed, directed=directed)
+
+
+def dense_gnm_random_graph(spark, n, m, seed: int = 0):
+    """``random_graphs.py`` — same uniform G(n, m) family."""
+    return gnm_random_graph(spark, n, m, seed=seed)
+
+
+# --------------------------------------------------------------------- #
+# small-world variants
+# --------------------------------------------------------------------- #
+
+def newman_watts_strogatz_graph(
+    spark: SparkSession, n: int, k: int, p: float, seed: int = 0
+) -> SparkGraph:
+    """``random_graphs.py`` ``newman_watts_strogatz_graph`` — ring lattice
+    with k nearest neighbors plus (never instead of) random shortcuts: for
+    each lattice edge, with probability p add a shortcut from its source
+    to a hash-uniform node. Self-loops and duplicates drop, like the
+    reference."""
+    n, k = int(n), int(k)
+    ring = spark.range(n).select(F.col("id").alias("src"))
+    offs = F.array(*[F.lit(j) for j in range(1, k // 2 + 1)])
+    lattice = ring.select(
+        "src", F.explode(offs).alias("o")
+    ).select("src", F.pmod(F.col("src") + F.col("o"), F.lit(n)).cast("long").alias("dst"))
+    shortcuts = (
+        lattice.withColumn("u", _coin(F.lit(int(seed)), "src", "dst", F.lit(1)))
+        .filter(F.col("u") < float(p))
+        .select(
+            "src",
+            F.pmod(
+                F.xxhash64(F.lit(int(seed)), F.col("src"), F.col("dst"), F.lit(2)),
+                F.lit(n),
+            ).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    e = lattice.unionByName(shortcuts).select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    ).distinct().withColumn("weight", F.lit(1.0))
+    return SparkGraph(e, vertices=_vertices(spark, n), directed=False,
+                      coalesce_edges=False)
+
+
+def connected_watts_strogatz_graph(
+    spark: SparkSession, n: int, k: int, p: float, tries: int = 100, seed: int = 0
+) -> SparkGraph:
+    """``random_graphs.py`` ``connected_watts_strogatz_graph`` — retry the
+    seeded WS draw (distinct derived seed per attempt) until connected."""
+    from linkgraph.algos.components import is_connected
+
+    for t in range(int(tries)):
+        g = watts_strogatz_graph(spark, n, k, p, seed=int(seed) + 7919 * t)
+        if is_connected(g):
+            return g
+    raise NetworkXError(f"Maximum number of tries ({tries}) exceeded")
+
+
+# --------------------------------------------------------------------- #
+# geometric family — grid-bucketed distance joins (never all-pairs)
+# --------------------------------------------------------------------- #
+
+def _positions(spark, n, dim, seed):
+    pos = spark.range(int(n)).select(
+        "id",
+        *[
+            _coin(F.lit(int(seed)), F.col("id"), F.lit(d)).alias(f"x{d}")
+            for d in range(dim)
+        ],
+    )
+    return pos
+
+
+def _cell_join(pos, radius, dim):
+    """Candidate pairs whose cells are within one step — the standard
+    fixed-grid spatial join: cell width = radius, so any pair within
+    ``radius`` shares adjacent cells. Shuffle key = cell id, NEVER n²."""
+    cells = pos.select(
+        "*",
+        *[
+            F.floor(F.col(f"x{d}") / F.lit(float(radius))).alias(f"c{d}")
+            for d in range(dim)
+        ],
+    )
+    right = cells.select(
+        *[F.col(c).alias(f"r_{c}") for c in cells.columns]
+    )
+    # neighbor-cell offsets
+    from itertools import product
+
+    conds = [F.col("id") < F.col("r_id")]
+    offs = list(product([-1, 0, 1], repeat=dim))
+    off_pred = None
+    for off in offs:
+        p = None
+        for d in range(dim):
+            c = F.col(f"r_c{d}") == F.col(f"c{d}") + int(off[d])
+            p = c if p is None else (p & c)
+        off_pred = p if off_pred is None else (off_pred | p)
+    left_keyed = cells
+    joined = left_keyed.join(right, conds[0] & off_pred)
+    dist2 = None
+    for d in range(dim):
+        t = (F.col(f"x{d}") - F.col(f"r_x{d}")) ** 2
+        dist2 = t if dist2 is None else dist2 + t
+    return joined.withColumn("_d2", dist2)
+
+
+def random_geometric_graph(
+    spark: SparkSession, n: int, radius: float, dim: int = 2, seed: int = 0
+) -> SparkGraph:
+    """``geometric.py`` ``random_geometric_graph`` — hash-uniform positions
+    in [0,1)^dim, edge iff euclidean distance <= radius. The pair search is
+    a grid-cell bucket join (cell = radius), the canonical spatial-join
+    plan at scale. Positions ride along as vertex columns x0..x{dim-1}
+    (the reference's ``pos`` attribute)."""
+    pos = _positions(spark, n, int(dim), seed).persist()
+    cand = _cell_join(pos, float(radius), int(dim))
+    e = (
+        cand.filter(F.col("_d2") <= float(radius) ** 2)
+        .select(F.col("id").alias("src"), F.col("r_id").alias("dst"))
+        .withColumn("weight", F.lit(1.0))
+    )
+    return SparkGraph(e, vertices=pos, directed=False, coalesce_edges=False)
+
+
+def geometric_edges(g: SparkGraph, radius: float, p: int = 2) -> DataFrame:
+    """``geometric.py`` ``geometric_edges`` — pairs within ``radius`` under
+    the Minkowski-p metric over the graph's position columns x0..xk."""
+    dims = sorted(c for c in g.vertices.columns if c.startswith("x") and c[1:].isdigit())
+    if not dims:
+        raise NetworkXError("geometric_edges: vertices carry no x* position columns")
+    pos = g.vertices.select("id", *dims)
+    k = len(dims)
+    if p == 2:
+        cand = _cell_join(pos, float(radius), k)
+        return (
+            cand.filter(F.col("_d2") <= float(radius) ** 2)
+            .select(F.col("id").alias("u"), F.col("r_id").alias("v"))
+        )
+    # general Minkowski p: same grid join (cells at L2 radius bound Lp too
+    # for p >= 1), exact filter on the Lp sum
+    cand = _cell_join(pos, float(radius), k)
+    lp = None
+    for d in range(k):
+        t = F.abs(F.col(f"x{d}") - F.col(f"r_x{d}")) ** float(p)
+        lp = t if lp is None else lp + t
+    return (
+        cand.filter(lp <= float(radius) ** float(p))
+        .select(F.col("id").alias("u"), F.col("r_id").alias("v"))
+    )
+
+
+def soft_random_geometric_graph(
+    spark: SparkSession,
+    n: int,
+    radius: float,
+    dim: int = 2,
+    seed: int = 0,
+    p_dist=None,
+) -> SparkGraph:
+    """``geometric.py`` ``soft_random_geometric_graph`` — candidate pairs
+    within ``radius`` connect with probability ``p_dist(dist)``
+    (default 1, reducing to the hard RGG). ``p_dist`` is a SQL
+    expression/Column over ``dist`` — the vectorized twin of the
+    reference's callable."""
+    pos = _positions(spark, n, int(dim), seed).persist()
+    cand = _cell_join(pos, float(radius), int(dim)).withColumn(
+        "dist", F.sqrt(F.col("_d2"))
+    )
+    if p_dist is None:
+        keep = F.lit(True)
+    else:
+        prob = F.expr(p_dist) if isinstance(p_dist, str) else p_dist
+        keep = _coin(F.lit(int(seed) + 1), F.col("id"), F.col("r_id")) < prob
+    e = (
+        cand.filter((F.col("_d2") <= float(radius) ** 2) & keep)
+        .select(F.col("id").alias("src"), F.col("r_id").alias("dst"))
+        .withColumn("weight", F.lit(1.0))
+    )
+    return SparkGraph(e, vertices=pos, directed=False, coalesce_edges=False)
+
+
+def waxman_graph(
+    spark: SparkSession,
+    n: int,
+    beta: float = 0.4,
+    alpha: float = 0.1,
+    L: Optional[float] = None,
+    dim: int = 2,
+    seed: int = 0,
+) -> SparkGraph:
+    """``geometric.py`` ``waxman_graph`` — hash-uniform positions, edge
+    probability beta * exp(-d / (alpha * L)). All pairs carry positive
+    probability, so this one IS an O(n²) candidate model by definition
+    (like the reference); the filter is a single vectorized expression."""
+    pos = _positions(spark, n, int(dim), seed).persist()
+    right = pos.select(*[F.col(c).alias(f"r_{c}") for c in pos.columns])
+    pairs = pos.join(right, F.col("id") < F.col("r_id"))
+    dist2 = None
+    for d in range(int(dim)):
+        t = (F.col(f"x{d}") - F.col(f"r_x{d}")) ** 2
+        dist2 = t if dist2 is None else dist2 + t
+    pairs = pairs.withColumn("dist", F.sqrt(dist2))
+    if L is None:
+        L = pairs.agg(F.max("dist")).first()[0] or 1.0
+    prob = F.lit(float(beta)) * F.exp(-F.col("dist") / F.lit(float(alpha) * float(L)))
+    e = (
+        pairs.filter(_coin(F.lit(int(seed) + 3), F.col("id"), F.col("r_id")) < prob)
+        .select(F.col("id").alias("src"), F.col("r_id").alias("dst"))
+        .withColumn("weight", F.lit(1.0))
+    )
+    return SparkGraph(e, vertices=pos, directed=False, coalesce_edges=False)
+
+
+# --------------------------------------------------------------------- #
+# explicit expanders — pure expressions
+# --------------------------------------------------------------------- #
+
+def margulis_gabber_galil_graph(spark: SparkSession, n: int) -> SparkGraph:
+    """``expanders.py`` ``margulis_gabber_galil_graph`` — the 8-regular
+    multigraph expander on Z_n × Z_n; node id = x * n + y. Four generator
+    arcs per vertex, all pure column arithmetic; parallel edges coalesce
+    with multiplicity in ``weight`` (the engine's multigraph convention)."""
+    n = int(n)
+    base = spark.range(n * n).select(
+        F.col("id"),
+        F.floor(F.col("id") / n).alias("x"),
+        F.pmod(F.col("id"), F.lit(n)).alias("y"),
+    )
+    gens = []
+    # (x + 2y, y), (x + 2y + 1, y), (x, y + 2x), (x, y + 2x + 1)
+    gens.append((F.pmod(F.col("x") + 2 * F.col("y"), F.lit(n)), F.col("y")))
+    gens.append((F.pmod(F.col("x") + 2 * F.col("y") + 1, F.lit(n)), F.col("y")))
+    gens.append((F.col("x"), F.pmod(F.col("y") + 2 * F.col("x"), F.lit(n))))
+    gens.append((F.col("x"), F.pmod(F.col("y") + 2 * F.col("x") + 1, F.lit(n))))
+    parts = [
+        base.select(
+            F.col("id").alias("src"),
+            (gx * n + gy).cast("long").alias("dst"),
+        )
+        for gx, gy in gens
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    e = e.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    ).withColumn("weight", F.lit(1.0))
+    # parallel generator applications sum into weight = multiplicity
+    return SparkGraph(e, vertices=_vertices(spark, n * n), directed=False,
+                      coalesce_edges=True)
+
+
+def chordal_cycle_graph(spark: SparkSession, p: int) -> SparkGraph:
+    """``expanders.py`` ``chordal_cycle_graph`` — the 3-regular expander on
+    Z_p (p prime): the cycle plus the chord x ↔ x^{-1} (0 gets a
+    self-loop). The inverse table is p rows computed once via Fermat
+    (x^{p-2} mod p) on the driver and joined in; the cycle arcs are pure
+    expressions."""
+    p = int(p)
+    # the reference adds, PER VERTEX x: (x, x+1), (x, x-1), (x, x^-1) —
+    # so cycle edges carry multiplicity 2 and chords 2 (1 when x is its
+    # own inverse, where the chord is a self-loop: x ∈ {0, 1, p-1})
+    inv = [(x, pow(x, p - 2, p) if x else 0) for x in range(p)]
+    inv_df = spark.createDataFrame(inv, "src long, dst long")
+    fwd = spark.range(p).select(
+        F.col("id").alias("src"),
+        F.pmod(F.col("id") + 1, F.lit(p)).cast("long").alias("dst"),
+    )
+    bwd = spark.range(p).select(
+        F.col("id").alias("src"),
+        F.pmod(F.col("id") - 1, F.lit(p)).cast("long").alias("dst"),
+    )
+    e = (
+        fwd.unionByName(bwd).unionByName(inv_df)
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .withColumn("weight", F.lit(1.0))
+    )
+    return SparkGraph(e, vertices=_vertices(spark, p), directed=False,
+                      coalesce_edges=True)
+
+
+# --------------------------------------------------------------------- #
+# community / partition models — SBM compositions
+# --------------------------------------------------------------------- #
+
+def random_partition_graph(
+    spark: SparkSession, sizes: Sequence[int], p_in: float, p_out: float,
+    seed: int = 0, *, directed: bool = False,
+) -> SparkGraph:
+    """``community.py`` ``random_partition_graph`` — the planted-partition
+    generalization with per-group sizes: exactly the stochastic block
+    model with a 2-level probability matrix."""
+    sizes = [int(s) for s in sizes]
+    k = len(sizes)
+    probs = [
+        [float(p_in) if i == j else float(p_out) for j in range(k)]
+        for i in range(k)
+    ]
+    return stochastic_block_model(
+        spark, sizes, probs, seed=seed, directed=directed
+    )
+
+
+def gaussian_random_partition_graph(
+    spark: SparkSession, n: int, s: float, v: float, p_in: float, p_out: float,
+    seed: int = 0, *, directed: bool = False,
+) -> SparkGraph:
+    """``community.py`` ``gaussian_random_partition_graph`` — group sizes
+    drawn N(s, s/v) on the driver (an O(k) scalar recurrence), then the
+    partition model above."""
+    rng = _random.Random(int(seed))
+    sizes = []
+    total = 0
+    n = int(n)
+    while total < n:
+        sz = max(1, int(rng.gauss(float(s), float(s) / float(v))))
+        sz = min(sz, n - total)
+        sizes.append(sz)
+        total += sz
+    return random_partition_graph(
+        spark, sizes, p_in, p_out, seed=seed, directed=directed
+    )
+
+
+def relaxed_caveman_graph(
+    spark: SparkSession, l: int, k: int, p: float, seed: int = 0
+) -> SparkGraph:
+    """``community.py`` ``relaxed_caveman_graph`` — l cliques of k, then
+    each edge rewired with probability p to a hash-uniform target."""
+    base = caveman_graph(spark, l, k)
+    n = int(l) * int(k)
+    e = base.edges.select("src", "dst")
+    coin = _coin(F.lit(int(seed)), "src", "dst", F.lit(11))
+    tgt = F.pmod(
+        F.xxhash64(F.lit(int(seed)), F.col("src"), F.col("dst"), F.lit(12)),
+        F.lit(n),
+    ).cast("long")
+    rewired = e.select(
+        "src",
+        F.when(coin < float(p), tgt).otherwise(F.col("dst")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    ee = rewired.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    ).distinct().withColumn("weight", F.lit(1.0))
+    return SparkGraph(ee, vertices=_vertices(spark, n), directed=False,
+                      coalesce_edges=False)
+
+
+# --------------------------------------------------------------------- #
+# degree-sequence models
+# --------------------------------------------------------------------- #
+
+def configuration_model(
+    spark: SparkSession, deg_sequence: Iterable[int], seed: int = 0
+) -> SparkGraph:
+    """``degree_seq.py`` ``configuration_model`` — uniform stub matching:
+    every node explodes into deg stubs, stubs get a hash rank, and
+    consecutive ranked stubs pair up. The reference returns a MultiGraph;
+    here parallel edges coalesce with multiplicity in ``weight`` and
+    self-loops survive, so degree sums match exactly.
+
+    Scale note: the rank assignment is a global sort (row_number over the
+    hash order) — one range-partitioned shuffle of 2m stub rows."""
+    from pyspark.sql import Window
+
+    degs = [int(d) for d in deg_sequence]
+    if sum(degs) % 2 != 0:
+        raise NetworkXError("Invalid degree sequence: sum of degrees must be even")
+    ddf = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(degs)], "id long, deg int"
+    )
+    stubs = ddf.select(
+        "id", F.explode(F.sequence(F.lit(0), F.col("deg") - 1)).alias("k")
+    ).filter(F.col("k") >= 0)
+    ranked = stubs.select(
+        "id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.xxhash64(F.lit(int(seed)), F.col("id"), F.col("k")),
+                "id",
+                "k",
+            )
+        )
+        .alias("r"),
+    )
+    pairs = (
+        ranked.withColumn("pair", F.floor((F.col("r") - 1) / 2))
+        .groupBy("pair")
+        .agg(F.min("id").alias("src"), F.max("id").alias("dst"),
+             F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 2)
+        .select("src", "dst")
+        .withColumn("weight", F.lit(1.0))
+    )
+    return SparkGraph(pairs, vertices=_vertices(spark, len(degs)),
+                      directed=False, coalesce_edges=True)
+
+
+def havel_hakimi_graph(spark: SparkSession, deg_sequence: Iterable[int]) -> SparkGraph:
+    """``degree_seq.py`` ``havel_hakimi_graph`` — the deterministic
+    highest-degree-first realization; O(n log n) scalar recurrence on the
+    driver (the reference's loop is the same), edges land as one
+    DataFrame."""
+    import heapq
+
+    degs = [int(d) for d in deg_sequence]
+    if sum(degs) % 2 != 0:
+        raise NetworkXError("Invalid degree sequence")
+    heap = [(-d, i) for i, d in enumerate(degs) if d > 0]
+    heapq.heapify(heap)
+    edges = []
+    while heap:
+        d, u = heapq.heappop(heap)
+        d = -d
+        grabbed = []
+        for _ in range(d):
+            if not heap:
+                raise NetworkXError("Non-graphical degree sequence")
+            dv, v = heapq.heappop(heap)
+            grabbed.append((dv, v))
+            edges.append((min(u, v), max(u, v)))
+        for dv, v in grabbed:
+            if dv + 1 < 0:
+                heapq.heappush(heap, (dv + 1, v))
+            elif dv + 1 > 0:
+                raise NetworkXError("Non-graphical degree sequence")
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+    )
+    return SparkGraph(e, vertices=_vertices(spark, len(degs)),
+                      directed=False, coalesce_edges=False)
+
+
+def random_regular_graph(
+    spark: SparkSession, d: int, n: int, seed: int = 0, *, tries: int = 200
+) -> SparkGraph:
+    """``random_graphs.py`` ``random_regular_graph`` — seeded stub pairing
+    with rejection of self-loops/multi-edges (the standard pairing model;
+    the reference uses a smarter suitable-pair retry, same distribution
+    family). Driver-side recurrence (O(dn) scalars per try)."""
+    d, n = int(d), int(n)
+    if (d * n) % 2 != 0:
+        raise NetworkXError("d * n must be even")
+    if d >= n:
+        raise NetworkXError("d must be < n")
+    rng = _random.Random(int(seed))
+    for _ in range(int(tries)):
+        stubs = [i for i in range(n) for _ in range(d)]
+        rng.shuffle(stubs)
+        pairs = set()
+        ok = True
+        for a, b in zip(stubs[::2], stubs[1::2]):
+            if a == b or (min(a, b), max(a, b)) in pairs:
+                ok = False
+                break
+            pairs.add((min(a, b), max(a, b)))
+        if ok:
+            e = spark.createDataFrame(
+                [(u, v, 1.0) for u, v in sorted(pairs)],
+                "src long, dst long, weight double",
+            )
+            return SparkGraph(e, vertices=_vertices(spark, n),
+                              directed=False, coalesce_edges=False)
+    raise NetworkXError(f"random_regular_graph: no simple pairing in {tries} tries")
+
+
+# --------------------------------------------------------------------- #
+# labeled trees + Prüfer codecs
+# --------------------------------------------------------------------- #
+
+def from_prufer_sequence(spark: SparkSession, sequence: Sequence[int]) -> SparkGraph:
+    """``trees.py`` ``from_prufer_sequence`` — exact decode (deterministic,
+    matches the reference edge-for-edge)."""
+    seq = [int(x) for x in sequence]
+    n = len(seq) + 2
+    deg = [1] * n
+    for x in seq:
+        deg[x] += 1
+    import heapq
+
+    leaves = [i for i in range(n) if deg[i] == 1]
+    heapq.heapify(leaves)
+    edges = []
+    for x in seq:
+        leaf = heapq.heappop(leaves)
+        edges.append((min(leaf, x), max(leaf, x)))
+        deg[x] -= 1
+        if deg[x] == 1:
+            heapq.heappush(leaves, x)
+    u = heapq.heappop(leaves)
+    v = heapq.heappop(leaves)
+    edges.append((min(u, v), max(u, v)))
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    return SparkGraph(e, vertices=_vertices(spark, n), directed=False,
+                      coalesce_edges=False)
+
+
+def to_prufer_sequence(g: SparkGraph, *, max_driver_edges: int = 5_000_000) -> "list[int]":
+    """``trees.py`` ``to_prufer_sequence`` — exact encode; the peel order
+    is sequential by definition, so the (n-1)-edge tree is collected under
+    the usual size guard."""
+    from linkgraph.algos.tree import is_tree
+
+    if not is_tree(g):
+        raise NetworkXError("to_prufer_sequence: input is not a tree")
+    rows = g.edges.select("src", "dst").collect()
+    if len(rows) > max_driver_edges:
+        raise NetworkXError("tree too large for driver encode")
+    adj: dict = {}
+    for r in rows:
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        adj.setdefault(r["dst"], set()).add(r["src"])
+    n = len(adj)
+    import heapq
+
+    leaves = [u for u, s in adj.items() if len(s) == 1]
+    heapq.heapify(leaves)
+    seq = []
+    for _ in range(n - 2):
+        leaf = heapq.heappop(leaves)
+        (nbr,) = adj[leaf]
+        seq.append(nbr)
+        adj[nbr].discard(leaf)
+        del adj[leaf]
+        if len(adj[nbr]) == 1:
+            heapq.heappush(leaves, nbr)
+    return seq
+
+
+def random_labeled_tree(spark: SparkSession, n: int, seed: int = 0) -> SparkGraph:
+    """``trees.py`` ``random_labeled_tree`` — uniform over labeled trees
+    via a seeded Prüfer draw."""
+    n = int(n)
+    if n < 2:
+        from linkgraph.generators import empty_graph
+
+        return empty_graph(spark, n)
+    rng = _random.Random(int(seed))
+    seq = [rng.randrange(n) for _ in range(n - 2)]
+    return from_prufer_sequence(spark, seq)
+
+
+def degree_sequence_tree(spark: SparkSession, deg_sequence: Iterable[int]) -> SparkGraph:
+    """``degree_seq.py`` ``degree_sequence_tree`` — deterministic greedy
+    tree realization (sum deg = 2(n-1) required)."""
+    degs = [int(d) for d in deg_sequence]
+    n = len(degs)
+    if sum(degs) != 2 * (n - 1):
+        raise NetworkXError("Degree sequence invalid for a tree")
+    # node i carries degs[i]; internal nodes (deg >= 2) form a path, then
+    # leaves fill each internal node's remaining capacity in order — the
+    # reference's construction
+    internal = sorted(range(n), key=lambda i: (-degs[i], i))
+    internal = [i for i in internal if degs[i] >= 2]
+    leaves = [i for i in range(n) if degs[i] == 1]
+    if n == 2:
+        e = spark.createDataFrame(
+            [(0, 1, 1.0)], "src long, dst long, weight double"
+        )
+        return SparkGraph(e, vertices=_vertices(spark, 2), directed=False,
+                          coalesce_edges=False)
+    edges = []
+    for a, b in zip(internal, internal[1:]):
+        edges.append((min(a, b), max(a, b)))
+    capacity = {
+        i: degs[i] - (2 if 0 < k < len(internal) - 1 else (1 if len(internal) > 1 else 0))
+        for k, i in enumerate(internal)
+    }
+    li = 0
+    for i in internal:
+        for _ in range(capacity[i]):
+            if li >= len(leaves):
+                break
+            v = leaves[li]
+            li += 1
+            edges.append((min(i, v), max(i, v)))
+    if li != len(leaves):
+        raise NetworkXError("Degree sequence invalid for a tree")
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+    )
+    return SparkGraph(e, vertices=_vertices(spark, n), directed=False,
+                      coalesce_edges=False)
+
+
+# --------------------------------------------------------------------- #
+# growing-network recurrences (driver-side by nature)
+# --------------------------------------------------------------------- #
+
+def gn_graph(spark: SparkSession, n: int, kernel=None, seed: int = 0) -> SparkGraph:
+    """``directed.py`` ``gn_graph`` — growing network: node t attaches to
+    an earlier node with probability proportional to kernel(in_degree + 1)
+    (default linear). Sequential recurrence, driver-side."""
+    rng = _random.Random(int(seed))
+    kernel = kernel or (lambda x: x)
+    n = int(n)
+    edges = []
+    if n > 1:
+        edges.append((1, 0))
+        indeg = [1, 0]
+        weights = [kernel(2), kernel(1)]
+        for t in range(2, n):
+            tot = sum(weights)
+            r = rng.random() * tot
+            acc = 0.0
+            target = 0
+            for i, w in enumerate(weights):
+                acc += w
+                if r < acc:
+                    target = i
+                    break
+            edges.append((t, target))
+            indeg[target] += 1
+            weights[target] = kernel(indeg[target] + 1)
+            indeg.append(0)
+            weights.append(kernel(1))
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+    )
+    return SparkGraph(e, vertices=_vertices(spark, n), directed=True,
+                      coalesce_edges=False)
+
+
+def gnr_graph(spark: SparkSession, n: int, p: float, seed: int = 0) -> SparkGraph:
+    """``directed.py`` ``gnr_graph`` — growing network with redirection:
+    node t picks a uniform earlier node, and with probability p the edge
+    redirects to that node's own target."""
+    rng = _random.Random(int(seed))
+    n = int(n)
+    target_of: "dict[int, int]" = {}
+    edges = []
+    for t in range(1, n):
+        u = rng.randrange(t)
+        if rng.random() < float(p) and u in target_of:
+            u = target_of[u]
+        edges.append((t, u))
+        target_of[t] = u
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    return SparkGraph(e, vertices=_vertices(spark, n), directed=True,
+                      coalesce_edges=False)
+
+
+def gnc_graph(spark: SparkSession, n: int, seed: int = 0) -> SparkGraph:
+    """``directed.py`` ``gnc_graph`` — growing network with copying: node t
+    attaches to a uniform earlier node AND copies all of its out-edges."""
+    rng = _random.Random(int(seed))
+    n = int(n)
+    out: "dict[int, set]" = {0: set()}
+    edges = []
+    for t in range(1, n):
+        u = rng.randrange(t)
+        new = {u} | out[u]
+        out[t] = new
+        for v in sorted(new):
+            edges.append((t, v))
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    return SparkGraph(e, vertices=_vertices(spark, n), directed=True,
+                      coalesce_edges=False)
+
+
+def random_lobster(
+    spark: SparkSession, n: int, p1: float, p2: float, seed: int = 0
+) -> SparkGraph:
+    """``random_graphs.py`` ``random_lobster`` — a backbone path of
+    ~n * (1 + p1) nodes, leaves at distance one (prob p1 each), leaves on
+    leaves (prob p2). Sequential recurrence, driver-side."""
+    rng = _random.Random(int(seed))
+    llen = int(2 * float(p1) * int(n) * rng.random()) + int(n)
+    edges = []
+    nxt = llen
+    for i in range(llen - 1):
+        edges.append((i, i + 1))
+    for i in range(llen):
+        while rng.random() < float(p1):
+            leaf = nxt
+            nxt += 1
+            edges.append((i, leaf))
+            while rng.random() < float(p2):
+                edges.append((leaf, nxt))
+                nxt += 1
+    e = spark.createDataFrame(
+        [(min(u, v), max(u, v), 1.0) for u, v in edges],
+        "src long, dst long, weight double",
+    )
+    return SparkGraph(e, vertices=_vertices(spark, nxt), directed=False,
+                      coalesce_edges=False)
+
+
+def interval_graph(spark: SparkSession, intervals: Sequence) -> SparkGraph:
+    """``interval_graph.py`` — vertices = given intervals (id = position
+    in the input list; the reference keys nodes by the interval tuple),
+    edge iff the closed intervals overlap. One self-join with the overlap
+    predicate — at scale this is the classic interval-overlap range join
+    AQE handles; vertices carry lo/hi columns."""
+    rows = [(i, float(a), float(b)) for i, (a, b) in enumerate(intervals)]
+    for _, a, b in rows:
+        if a > b:
+            raise NetworkXError(f"interval [{a}, {b}] is invalid")
+    iv = spark.createDataFrame(rows, "id long, lo double, hi double")
+    right = iv.select(
+        F.col("id").alias("rid"), F.col("lo").alias("rlo"), F.col("hi").alias("rhi")
+    )
+    e = (
+        iv.join(
+            right,
+            (F.col("id") < F.col("rid"))
+            & (F.col("lo") <= F.col("rhi"))
+            & (F.col("rlo") <= F.col("hi")),
+        )
+        .select(F.col("id").alias("src"), F.col("rid").alias("dst"))
+        .withColumn("weight", F.lit(1.0))
+    )
+    return SparkGraph(e, vertices=iv, directed=False, coalesce_edges=False)

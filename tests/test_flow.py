@@ -161,15 +161,21 @@ def test_node_connectivity(spark):
         ), (s, t)
 
 
-def test_node_connectivity_adjacent_raises(spark):
+def test_node_connectivity_adjacent_parity(spark):
+    # the reference computes adjacent-pair connectivity as 1 + κ with the
+    # direct edge removed (it does NOT raise)
     import networkx as nx
-    import pytest as _pytest
     from linkgraph.graph import from_nx
     from linkgraph.algos.flow import node_connectivity
 
-    G = nx.path_graph(4)
-    with _pytest.raises(ValueError):
-        node_connectivity(from_nx(spark, G), 0, 1)
+    for G, pairs in [
+        (nx.path_graph(4), [(0, 1)]),
+        (nx.cycle_graph(5), [(0, 1)]),
+        (nx.petersen_graph(), [(0, 1)]),
+    ]:
+        g = from_nx(spark, G)
+        for s, t in pairs:
+            assert node_connectivity(g, s, t) == nx.node_connectivity(G, s, t)
 
 
 def test_max_flow_high_value_dinitz(spark):
