@@ -1119,3 +1119,90 @@ from linkgraph.algos.betweenness import (
     betweenness_centrality_subset,
     edge_betweenness_centrality_subset,
 )
+# --- nx-parity top-level surface: exception hierarchy, generator and IO
+# names users reach through the bare package (reference exposes everything
+# flat at `networkx.*`) ---
+from linkgraph.exceptions import (
+    NetworkXException,
+    NetworkXError,
+    NetworkXPointlessConcept,
+    NetworkXAlgorithmError,
+    NetworkXUnfeasible,
+    NetworkXNoPath,
+    NetworkXNoCycle,
+    HasACycle,
+    NetworkXUnbounded,
+    NetworkXNotImplemented,
+    NodeNotFound,
+    AmbiguousSolution,
+    ExceededMaxIterations,
+    NotATree,
+)
+from linkgraph.generators import (
+    balanced_tree,
+    barabasi_albert_graph,
+    barbell_graph,
+    binomial_tree,
+    caveman_graph,
+    circulant_graph,
+    circular_ladder_graph,
+    complete_graph,
+    complete_multipartite_graph,
+    connected_caveman_graph,
+    cycle_graph,
+    empty_graph,
+    expected_degree_graph,
+    full_rary_tree,
+    gnm_random_graph,
+    gnp_random_graph,
+    grid_2d_graph,
+    house_graph,
+    house_x_graph,
+    karate_club_graph,
+    ladder_graph,
+    lollipop_graph,
+    mycielski_graph,
+    mycielskian,
+    path_graph,
+    planted_partition_graph,
+    powerlaw_cluster_graph,
+    ring_of_cliques,
+    star_graph,
+    stochastic_block_model,
+    turan_graph,
+    watts_strogatz_graph,
+    wheel_graph,
+    windmill_graph,
+)
+from linkgraph.function import (
+    degree,
+    density,
+    edges,
+    edge_subgraph,
+    is_directed,
+    isolates,
+    neighbors,
+    nodes,
+    non_edges,
+    number_of_edges,
+    number_of_nodes,
+    number_of_selfloops,
+    restricted_view,
+    selfloop_edges,
+    subgraph,
+    subgraph_view,
+    to_directed,
+    to_undirected,
+)
+from linkgraph.graph import from_edgelist
+from linkgraph.algos.triangles import all_triangles
+from linkgraph.algos.setops import reverse
+from linkgraph.algos.reciprocity import reciprocity
+from linkgraph.algos.neighborhood import efficiency
+from linkgraph.io.json_graph import node_link_data, node_link_graph
+from linkgraph.io.adjlist import read_adjlist, write_adjlist
+from linkgraph.io.edgelist import (
+    read_edgelist,
+    read_weighted_edgelist,
+    write_edgelist,
+)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from linkgraph.exceptions import NetworkXException
 from linkgraph.graph import SparkGraph
 
 __all__ = ["is_chordal"]
@@ -170,7 +171,7 @@ def chordal_graph_treewidth(
     return max((len(c) for c in cliques), default=1) - 1
 
 
-class NetworkXTreewidthBoundExceeded(Exception):
+class NetworkXTreewidthBoundExceeded(NetworkXException):
     """Treewidth bound exceeded during the induced-node search
     (``nx.NetworkXTreewidthBoundExceeded``)."""
 

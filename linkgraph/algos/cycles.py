@@ -601,8 +601,7 @@ def is_semieulerian(g) -> bool:
     return has_eulerian_path(g) and not is_eulerian(g)
 
 
-class NetworkXNoCycle(Exception):
-    """No cycle found (``nx.exception.NetworkXNoCycle``)."""
+from linkgraph.exceptions import NetworkXNoCycle  # noqa: E402 (shared hierarchy)
 
 
 def find_cycle(

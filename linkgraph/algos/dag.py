@@ -30,10 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import SparkGraph
+from linkgraph.exceptions import NetworkXUnfeasible
 from linkgraph.iterutils import SuperstepCache
 
 
-class GraphContainsCycle(Exception):
+class GraphContainsCycle(NetworkXUnfeasible):
     """Mirror of ``networkx.NetworkXUnfeasible`` raised by topological
     ordering on cyclic input (``dag.py:284-287``)."""
 

@@ -45,8 +45,7 @@ from linkgraph.iterutils import SuperstepCache
 _INF = float("inf")
 
 
-class NetworkXUnbounded(Exception):
-    """Infinite-capacity s→t path (``nx.exception.NetworkXUnbounded``)."""
+from linkgraph.exceptions import NetworkXUnbounded  # noqa: E402 (shared hierarchy)
 
 
 def _residual(g: SparkGraph, capacity) -> DataFrame:

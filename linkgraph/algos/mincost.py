@@ -53,8 +53,7 @@ from linkgraph.iterutils import SuperstepCache
 _INF = float("inf")
 
 
-class NetworkXUnfeasible(NetworkXError):
-    """No flow satisfying all demands exists (``nx.NetworkXUnfeasible``)."""
+from linkgraph.exceptions import NetworkXUnfeasible  # noqa: E402 (shared hierarchy)
 
 
 def _arc_table(g: SparkGraph, capacity, weight) -> DataFrame:

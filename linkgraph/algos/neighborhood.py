@@ -345,6 +345,23 @@ def constraint(g: SparkGraph) -> DataFrame:
     return out
 
 
+def efficiency(g: SparkGraph, u, v) -> float:
+    """``efficiency_measures.py`` ``efficiency`` — 1/d(u, v) for one node
+    pair (0 when unreachable, like the reference's ``except`` branch).
+    One bounded BFS from u."""
+    from linkgraph.algos.setops import shortest_path_lengths
+
+    row = (
+        shortest_path_lengths(g, [int(u)])
+        .filter(F.col("id") == int(v))
+        .select("distance")
+        .first()
+    )
+    if row is None or row[0] == 0:
+        return 0.0
+    return 1.0 / float(row[0])
+
+
 def wiener_index(g: SparkGraph) -> float:
     """Sum of shortest-path distances over all (un)ordered pairs
     (``wiener.py:14``); inf when not (strongly) connected, like the

@@ -70,3 +70,21 @@ def node_reciprocity(g: SparkGraph) -> DataFrame:
             ).alias("reciprocity"),
         )
     )
+
+
+def reciprocity(g: SparkGraph, nodes=None):
+    """``reciprocity.py:12`` public dispatch — whole-graph float when
+    ``nodes`` is None, otherwise the per-node DataFrame restricted to
+    ``nodes`` (the reference returns a dict; a scalar for a single node is
+    the caller's one-row read)."""
+    if nodes is None:
+        return overall_reciprocity(g)
+    per = node_reciprocity(g)
+    ids = [int(n) for n in ([nodes] if isinstance(nodes, int) else nodes)]
+    out = per.filter(F.col("id").isin(ids))
+    if isinstance(nodes, int):
+        row = out.first()
+        if row is None or row["reciprocity"] is None:
+            raise ValueError("Not defined for isolated nodes.")
+        return float(row["reciprocity"])
+    return out

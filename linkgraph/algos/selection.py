@@ -48,8 +48,7 @@ __all__ = [
 ]
 
 
-class NetworkXUnfeasible(Exception):
-    """Seed nodes are not an independent set (mirrors the reference)."""
+from linkgraph.exceptions import NetworkXUnfeasible  # noqa: E402 (shared hierarchy)
 
 
 def _sym_arcs(g: SparkGraph) -> DataFrame:

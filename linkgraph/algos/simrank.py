@@ -38,8 +38,7 @@ from linkgraph.graph import SparkGraph
 from linkgraph.iterutils import SuperstepCache
 
 
-class ExceededMaxIterations(Exception):
-    pass
+from linkgraph.exceptions import ExceededMaxIterations  # noqa: E402 (shared hierarchy)
 
 
 @contextmanager

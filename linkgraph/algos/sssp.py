@@ -28,11 +28,12 @@ from typing import Optional
 from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import SparkGraph
+from linkgraph.exceptions import NetworkXUnbounded
 from linkgraph.iterutils import SuperstepCache
 from linkgraph.state import CheckpointStore, IterationMetrics
 
 
-class NegativeCycleError(Exception):
+class NegativeCycleError(NetworkXUnbounded):
     """Mirror of ``networkx.NetworkXUnbounded`` for negative-cost cycles
     reachable from the sources (``weighted.py:1252-1258``)."""
 

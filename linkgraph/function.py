@@ -121,6 +121,33 @@ def common_neighbors(g: SparkGraph, u, v) -> DataFrame:
     return all_neighbors(g, u).join(all_neighbors(g, v), "id", "left_semi")
 
 
+def non_edges(g: SparkGraph) -> DataFrame:
+    """``function.py:non_edges`` — the node pairs NOT joined by an edge, as
+    DataFrame ``(src, dst)``: ordered pairs for directed graphs, unordered
+    (src < dst) for undirected. The anti-join form of
+    :func:`linkgraph.algos.setops.complement`; output is O(n²) minus m by
+    definition — the caller owns that size choice, same as the reference's
+    generator fully consumed."""
+    ids = g.vertices.select("id")
+    pairs = ids.select(F.col("id").alias("src")).crossJoin(
+        ids.select(F.col("id").alias("dst"))
+    )
+    if g.directed:
+        pairs = pairs.filter(F.col("src") != F.col("dst"))
+        present = g.edges.select("src", "dst").distinct()
+    else:
+        pairs = pairs.filter(F.col("src") < F.col("dst"))
+        present = (
+            g.edges.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+    return pairs.join(present, ["src", "dst"], "left_anti")
+
+
 def number_of_nodes(g: SparkGraph) -> int:
     return g.number_of_nodes()
 

@@ -287,6 +287,12 @@ def house_graph(spark: SparkSession, *, with_x: bool = False) -> SparkGraph:
                       coalesce_edges=False)
 
 
+def house_x_graph(spark: SparkSession) -> SparkGraph:
+    """``small.py`` ``house_x_graph`` — the house with both square
+    diagonals (alias for ``house_graph(with_x=True)``)."""
+    return house_graph(spark, with_x=True)
+
+
 #: Zachary's karate club (W. W. Zachary, "An information flow model for
 #: conflict and fission in small groups", J. Anthropol. Res. 33, 452-473,
 #: 1977) — the published 78-edge dataset, node-for-node the reference's
