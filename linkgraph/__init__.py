@@ -1206,3 +1206,29 @@ from linkgraph.io.edgelist import (
     read_weighted_edgelist,
     write_edgelist,
 )
+from linkgraph.algos.simplepaths import (
+    all_simple_edge_paths,
+    shortest_simple_paths,
+)
+from linkgraph.algos.cycles import (
+    chordless_cycles,
+    minimum_cycle_basis,
+    recursive_simple_cycles,
+)
+from linkgraph.algos.sssp import (
+    floyd_warshall_numpy,
+    floyd_warshall_predecessor_and_distance,
+)
+from linkgraph.algos.flow import minimum_cut_value
+from linkgraph.algos.biconnected import biconnected_component_edges
+from linkgraph.algos.strongly_connected import is_attracting_component
+from linkgraph.algos.dseparation import is_minimal_d_separator
+from linkgraph.algos.neighborhood import (
+    local_constraint,
+    group_in_degree_centrality,
+    group_out_degree_centrality,
+)
+from linkgraph.algos.betweenness import (
+    group_betweenness_centrality,
+    prominent_group,
+)

@@ -320,3 +320,11 @@ def is_biconnected(g: SparkGraph) -> bool:
         return covered == n
     finally:
         blocks.unpersist()
+
+
+def biconnected_component_edges(g: SparkGraph) -> DataFrame:
+    """``biconnected.py`` ``biconnected_component_edges`` — the same
+    edge→block labeling :func:`biconnected_components` computes; the
+    reference merely regroups it as per-block edge lists. Alias keeping
+    the engine's flat relational shape (u, v, block)."""
+    return biconnected_components(g)

@@ -723,3 +723,214 @@ def find_cycle(
             return found
         explored |= seen_here
     raise NetworkXNoCycle("No cycle found.")
+
+
+def recursive_simple_cycles(g: SparkGraph, *, max_driver_edges: int = 1_000_000) -> DataFrame:
+    """``cycles.py`` ``recursive_simple_cycles`` — same output contract as
+    unbounded :func:`simple_cycles` (the reference keeps both only because
+    one recurses); alias here."""
+    return simple_cycles(g, None, max_driver_edges=max_driver_edges)
+
+
+def chordless_cycles(
+    g: SparkGraph,
+    length_bound: "int | None" = None,
+    *,
+    max_driver_edges: int = 1_000_000,
+) -> DataFrame:
+    """DataFrame ``(cycle array<BIGINT>)`` — the simple cycles C whose
+    induced (di)graph has exactly ``len(C)`` edges, i.e. no chords
+    (``cycles.py`` ``chordless_cycles``, Dias et al. semantics for simple
+    graphs): self-loops count as 1-cycles; directed 2-cycles are
+    chordless; a longer cycle may not contain a self-looped node.
+
+    The enumeration reuses :func:`simple_cycles` (distributed when
+    ``length_bound`` is given); the chord filter is fully distributed —
+    explode membership, equi-join the arc table on both endpoints, and
+    keep cycles whose induced-arc count equals their length. Never a
+    per-cycle Python loop."""
+    cycles = simple_cycles(
+        g, length_bound, max_driver_edges=max_driver_edges
+    ).withColumn("cid", F.monotonically_increasing_id())
+    loops_out = cycles.filter(F.size("cycle") == 1).select("cycle")
+    multi = cycles.filter(F.size("cycle") > 1)
+    member = multi.select("cid", F.explode("cycle").alias("node")).persist()
+
+    selfloop_ids = (
+        g.edges.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    bad = member.join(selfloop_ids, "node", "left_semi").select("cid").distinct()
+
+    if g.directed:
+        arcs = (
+            g.edges.filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+    else:
+        arcs = (
+            g.edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
+        )
+    induced = (
+        member.withColumnRenamed("node", "src")
+        .join(arcs, "src")
+        .join(
+            member.select("cid", F.col("node").alias("dst")),
+            ["cid", "dst"],
+            "left_semi",
+        )
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("m_induced"))
+    )
+    ok = (
+        multi.join(bad, "cid", "left_anti")
+        .join(induced, "cid")
+        .filter(F.col("m_induced") == F.size("cycle"))
+        .select("cycle")
+    )
+    out = loops_out.unionByName(ok).persist()
+    out.count()
+    member.unpersist()
+    return out
+
+
+def minimum_cycle_basis(
+    g: SparkGraph, weight=None, *, max_driver_edges: int = 1_000_000
+) -> DataFrame:
+    """DataFrame ``(cycle array<BIGINT>)`` — a minimum-weight cycle basis
+    (``cycles.py`` ``minimum_cycle_basis``; de Pina 1995 as in
+    Horton/Amaldi): per connected component, maintain witness edge-sets
+    S_i; round i extracts the minimum-weight cycle having odd intersection
+    with S_i (a shortest path between a vertex's two copies in the
+    parity-lifted double cover) and folds it into the remaining witnesses.
+
+    The witness schedule is sequential by definition (each extracted cycle
+    rewrites the later witnesses), so the kernel runs driver-side under
+    the usual size guard; the basis dimension is m − n + c. ``weight``
+    resolves Spark-side (column / SQL expression)."""
+    import heapq
+
+    from linkgraph.exceptions import NotImplementedForDirected
+    from linkgraph.graph import resolve_weight_column
+
+    if g.directed:
+        raise NotImplementedForDirected(
+            "minimum_cycle_basis: not implemented for directed type"
+        )
+    base = g.edges.filter(F.col("src") != F.col("dst"))
+    if weight is None and "weight" not in base.columns:
+        warcs = base.select("src", "dst", F.lit(1.0).alias("w"))
+    else:
+        warcs = base.select(
+            "src", "dst", resolve_weight_column(base, weight).alias("w")
+        )
+    canon = (
+        warcs.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            F.col("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
+    m = canon.count()
+    if m > max_driver_edges:
+        raise ValueError(
+            f"minimum_cycle_basis' witness schedule is sequential; {m} "
+            f"edges > max_driver_edges={max_driver_edges}"
+        )
+    edges = [(r["u"], r["v"], float(r["w"])) for r in canon.collect()]
+    adj: dict = {}
+    for i, (u, v, w) in enumerate(edges):
+        adj.setdefault(u, []).append((v, w, i))
+        adj.setdefault(v, []).append((u, w, i))
+
+    # spanning forest (BFS) -> non-tree edges are the initial witnesses
+    seen: set = set()
+    tree_edges: set = set()
+    for root in sorted(adj):
+        if root in seen:
+            continue
+        seen.add(root)
+        frontier = [root]
+        while frontier:
+            nxt = []
+            for x in frontier:
+                for y, _, ei in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        tree_edges.add(ei)
+                        nxt.append(y)
+            frontier = nxt
+    nontree = [i for i in range(len(edges)) if i not in tree_edges]
+
+    def min_odd_cycle(S: frozenset):
+        # shortest (v,0) -> (v,1) path in the parity-lifted graph
+        best = None
+        for start in sorted(adj):
+            dist = {(start, 0): 0.0}
+            prev: dict = {}
+            heap = [(0.0, start, 0)]
+            goal = (start, 1)
+            while heap:
+                d, x, p = heapq.heappop(heap)
+                if d > dist.get((x, p), float("inf")):
+                    continue
+                if (x, p) == goal:
+                    break
+                for y, w, ei in adj[x]:
+                    q = p ^ (1 if ei in S else 0)
+                    nd = d + w
+                    if nd < dist.get((y, q), float("inf")):
+                        dist[(y, q)] = nd
+                        prev[(y, q)] = (x, p, ei)
+                        heapq.heappush(heap, (nd, y, q))
+            if goal in dist and (best is None or dist[goal] < best[0]):
+                # walk back the edge ids
+                eids = []
+                cur = goal
+                while cur != (start, 0):
+                    x, p, ei = prev[cur]
+                    eids.append(ei)
+                    cur = (x, p)
+                best = (dist[goal], frozenset(
+                    ei for ei in set(eids) if eids.count(ei) % 2 == 1
+                ), start)
+        return best
+
+    witnesses = [frozenset([i]) for i in nontree]
+    basis_rows = []
+    for i in range(len(witnesses)):
+        got = min_odd_cycle(witnesses[i])
+        if got is None:
+            continue
+        _, cyc_edges, _ = got
+        # node list in cycle order: walk the edge set
+        cadj: dict = {}
+        for ei in cyc_edges:
+            u, v, _w = edges[ei]
+            cadj.setdefault(u, []).append(v)
+            cadj.setdefault(v, []).append(u)
+        start = min(cadj)
+        order = [start]
+        prev_n = None
+        while True:
+            cur = order[-1]
+            nxts = [x for x in cadj[cur] if x != prev_n]
+            nxt = nxts[0] if nxts else prev_n
+            if nxt == start:
+                break
+            order.append(nxt)
+            prev_n = cur
+        basis_rows.append((order,))
+        for j in range(i + 1, len(witnesses)):
+            if len(cyc_edges & witnesses[j]) % 2 == 1:
+                witnesses[j] = witnesses[j] ^ witnesses[i]
+    return g.spark.createDataFrame(basis_rows or [], "cycle array<bigint>")

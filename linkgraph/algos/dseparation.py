@@ -290,3 +290,78 @@ def find_minimal_d_separator(
     z_init.unpersist()
     z_updated.unpersist()
     return out
+
+
+def is_minimal_d_separator(
+    g: SparkGraph,
+    x: DataFrame,
+    y: DataFrame,
+    z: DataFrame,
+    *,
+    included: DataFrame = None,
+    restricted: DataFrame = None,
+) -> bool:
+    """``d_separation.py`` ``is_minimal_d_separator`` — is ``z`` a
+    d-separator of ``x``/``y`` no strict subset of which (respecting
+    ``included`` ⊆ z ⊆ ``restricted``) still separates. Same two
+    REACHABLE closures as :func:`find_minimal_d_separator` (van der
+    Zander & Liśkiewicz 2020), each one distributed Bayes-Ball sweep."""
+    from linkgraph.algos.dag import is_directed_acyclic_graph
+    from linkgraph.algos.setops import shortest_path_lengths
+
+    if not g.directed:
+        raise NotImplementedForDirected(
+            "is_minimal_d_separator: not implemented for undirected type"
+        )
+    if not is_directed_acyclic_graph(g):
+        raise NetworkXError("graph should be directed acyclic")
+    spark = g.spark
+    x, y, z = _ids(x), _ids(y), _ids(z)
+    inc = (
+        _ids(included)
+        if included is not None
+        else spark.createDataFrame([], "id bigint")
+    )
+    rest = _ids(restricted) if restricted is not None else g.vertices.select("id")
+    if inc.join(z, "id", "left_anti").limit(1).count():
+        raise NetworkXError("Included nodes must be in proposed separating set z")
+    if z.join(rest, "id", "left_anti").limit(1).count():
+        raise NetworkXError("Separating set must be contained in restricted set")
+    for a_, b_ in ((x, y), (x, z), (y, z)):
+        if a_.join(b_, "id", "left_semi").limit(1).count():
+            raise NetworkXError("The sets are not disjoint")
+    allv = x.unionAll(y).unionAll(z).unionAll(inc).unionAll(rest).distinct()
+    if allv.join(g.vertices.select("id"), "id", "left_anti").limit(1).count():
+        raise ValueError("The node(s) are not found in G")
+
+    nodeset = x.unionAll(y).unionAll(inc).distinct()
+    anc = (
+        shortest_path_lengths(g.reverse(), nodeset)
+        .select("id")
+        .distinct()
+        .persist()
+    )
+    z = z.persist()
+    x_closure = _reachable(g, x, anc, z)
+    if x_closure.join(y, "id", "left_semi").limit(1).count():
+        anc.unpersist()
+        z.unpersist()
+        return False
+    if z.join(anc, "id", "left_anti").limit(1).count():
+        anc.unpersist()
+        z.unpersist()
+        return False
+    y_closure = _reachable(g, y, anc, z)
+    # every z-node outside `included` must be touched by BOTH closures
+    need = z.join(inc, "id", "left_anti")
+    ok = (
+        need.join(
+            x_closure.join(y_closure, "id", "left_semi"), "id", "left_anti"
+        )
+        .limit(1)
+        .count()
+        == 0
+    )
+    anc.unpersist()
+    z.unpersist()
+    return ok

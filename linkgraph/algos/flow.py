@@ -1188,3 +1188,11 @@ def average_node_connectivity(
     for u, v in pairs:
         total += node_connectivity(g, u, v)
     return total / len(pairs)
+
+
+def minimum_cut_value(
+    g: SparkGraph, s: int, t: int, capacity: str = "capacity"
+) -> float:
+    """``maxflow.py`` ``minimum_cut_value`` — the st-cut capacity without
+    materializing the partition (max-flow = min-cut)."""
+    return maximum_flow_value(g, s, t, capacity)

@@ -40,6 +40,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from linkgraph.exceptions import NotImplementedForDirected
 from linkgraph.graph import SparkGraph
 from linkgraph.algos.degrees import degrees
 from linkgraph.algos.triangles import triangles, _simple_edges
@@ -579,3 +580,70 @@ def group_closeness_centrality(
     return 0.0 if tot == 0 else n_vs / float(tot)
 
 
+
+
+def local_constraint(g: SparkGraph, u, v, weight=None) -> float:
+    """``structuralholes.py:318`` ``local_constraint`` — ℓ(u, v) =
+    (p_uv + Σ_{w∈N(u)} p_uw·p_wv)² with p the source-strength-normalized
+    mutual weight (both arc directions summed on digraphs). One filtered
+    join over the arcs incident to u — never the full pair table."""
+    u, v = int(u), int(v)
+    if g.directed:
+        a = g.edges.filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", "weight" if weight is None else F.col(weight).alias("weight")
+        )
+        sym = (
+            a.unionAll(
+                a.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+                )
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+        )
+    else:
+        base = g.symmetric_edges().filter(F.col("src") != F.col("dst"))
+        sym = base.select(
+            "src", "dst", ("weight" if weight is None else F.col(weight).alias("weight"))
+        )
+    strength = sym.groupBy("src").agg(F.sum("weight").alias("s"))
+    p = sym.join(strength, "src").select(
+        "src", "dst", (F.col("weight") / F.col("s")).alias("p")
+    )
+    p_u = p.filter(F.col("src") == u).persist()  # u's whole neighborhood row
+    drow = p_u.filter(F.col("dst") == v).select("p").first()
+    direct = float(drow["p"]) if drow else 0.0
+    ind_row = (
+        p_u.select(F.col("dst").alias("w"), F.col("p").alias("puw"))
+        .join(
+            p.filter(F.col("dst") == v).select(
+                F.col("src").alias("w"), F.col("p").alias("pwv")
+            ),
+            "w",
+        )
+        .agg(F.sum(F.col("puw") * F.col("pwv")))
+        .first()[0]
+    )
+    p_u.unpersist()
+    return (direct + float(ind_row or 0.0)) ** 2
+
+
+def group_out_degree_centrality(g: SparkGraph, S: DataFrame) -> float:
+    """``group.py`` ``group_out_degree_centrality`` — fraction of
+    non-group members reached by an arc OUT of the group."""
+    if not g.directed:
+        raise NotImplementedForDirected(
+            "group_out_degree_centrality: directed only"
+        )
+    return group_degree_centrality(g, S)
+
+
+def group_in_degree_centrality(g: SparkGraph, S: DataFrame) -> float:
+    """``group.py`` ``group_in_degree_centrality`` — fraction of
+    non-group members with an arc INTO the group (the out form on the
+    reversed view)."""
+    if not g.directed:
+        raise NotImplementedForDirected(
+            "group_in_degree_centrality: directed only"
+        )
+    return group_degree_centrality(g.reverse(), S)

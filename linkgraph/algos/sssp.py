@@ -506,3 +506,66 @@ def astar_path_length(
     """``astar.py:160`` ``astar_path_length`` — the cost of the A* path."""
     _, dist = _astar(g, source, target, heuristic, weight, max_driver_edges)
     return float(dist)
+
+
+def floyd_warshall_predecessor_and_distance(
+    g: SparkGraph, *, weight=None, sources=None, tol: float = 1e-9
+):
+    """``dense.py`` ``floyd_warshall_predecessor_and_distance`` — the same
+    all-pairs table as :func:`floyd_warshall` plus a predecessor relation:
+    ``pred(s, v)`` = the smallest in-neighbor u on a shortest s→v path
+    (deterministic tie-break; the reference keeps whichever u its loop
+    touched last — any valid predecessor reconstructs the same lengths).
+    Returns ``(pred DataFrame (src, dst, pred), dist DataFrame
+    (src, dst, distance))``. One arc⋈distance join over the batched
+    per-source Bellman–Ford state — no dense matrix."""
+    from linkgraph.graph import resolve_weight_column
+
+    d = floyd_warshall(g, weight=weight, sources=sources).persist()
+    base = g.symmetric_edges() if not g.directed else g.edges
+    if weight is None:
+        arcs = base.select("src", "dst", F.lit(1.0).alias("w"))
+    else:
+        arcs = base.select(
+            "src", "dst", resolve_weight_column(base, weight).alias("w")
+        )
+    du = d.select(
+        F.col("src").alias("s"), F.col("dst").alias("u"), F.col("distance").alias("dsu")
+    )
+    dv = d.select(
+        F.col("src").alias("s"), F.col("dst").alias("v"), F.col("distance").alias("dsv")
+    )
+    pred = (
+        arcs.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+        .join(du, "u")
+        .join(dv, ["s", "v"])
+        .filter(F.col("dsu") + F.col("w") <= F.col("dsv") + F.lit(tol))
+        .filter(F.col("dsv") > 0)  # the diagonal has no predecessor
+        .groupBy(F.col("s").alias("src"), F.col("v").alias("dst"))
+        .agg(F.min("u").alias("pred"))
+    )
+    return pred, d
+
+
+def floyd_warshall_numpy(g: SparkGraph, nodelist=None, *, weight=None):
+    """``dense.py`` ``floyd_warshall_numpy`` — the all-pairs distance
+    matrix as a dense numpy array (inf where unreachable), node order =
+    ``nodelist`` or sorted ids. A driver-side bridge over the distributed
+    table (the reference's own cost class is the n² matrix)."""
+    import numpy as np
+
+    ids = (
+        [int(x) for x in nodelist]
+        if nodelist is not None
+        else [r["id"] for r in g.vertices.select("id").orderBy("id").collect()]
+    )
+    pos = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out = np.full((n, n), np.inf)
+    rows = floyd_warshall(g, weight=weight).collect()
+    for r in rows:
+        i, j = pos.get(r["src"]), pos.get(r["dst"])
+        if i is not None and j is not None:
+            out[i, j] = r["distance"]
+    np.fill_diagonal(out, 0.0)
+    return out

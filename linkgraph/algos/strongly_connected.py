@@ -311,3 +311,13 @@ def kosaraju_strongly_connected_components(g: SparkGraph) -> DataFrame:
     two-DFS schedule is sequential, the min-label forward/backward
     fixpoint returns the same components."""
     return strongly_connected_components(g)
+
+
+def is_attracting_component(g: SparkGraph) -> bool:
+    """``components/attracting.py`` ``is_attracting_component`` — the
+    whole graph is one attracting SCC: exactly one attracting component
+    covering every node."""
+    ac = attracting_components(g)
+    return ac.count() == g.number_of_nodes() and (
+        ac.select("component").distinct().count() == 1
+    )
