@@ -1232,3 +1232,14 @@ from linkgraph.algos.betweenness import (
     group_betweenness_centrality,
     prominent_group,
 )
+from linkgraph.algos.kcomponents import (
+    all_node_cuts,
+    k_components,
+    all_pairs_node_connectivity,
+)
+from linkgraph.algos.dag import (
+    all_topological_sorts,
+    antichains,
+    dag_to_branching,
+    root_to_leaf_paths,
+)

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from linkgraph.graph import SparkGraph
-from linkgraph.exceptions import NetworkXUnfeasible
+from linkgraph.exceptions import NetworkXError, NetworkXUnfeasible
 from linkgraph.iterutils import SuperstepCache
 
 
@@ -469,3 +469,209 @@ def dag_longest_path(
         path.append(parent[path[-1]])
     cache.close(keep_result=False)
     return list(reversed(path))
+
+
+def _collect_arcs(g: SparkGraph, max_driver_edges: int):
+    arcs = g.edges.select("src", "dst").distinct()
+    m = arcs.count()
+    if m > max_driver_edges:
+        raise ValueError(
+            f"driver-gated enumeration: {m} arcs > "
+            f"max_driver_edges={max_driver_edges}"
+        )
+    succ: dict = {}
+    pred: dict = {}
+    for r in arcs.collect():
+        succ.setdefault(r["src"], set()).add(r["dst"])
+        pred.setdefault(r["dst"], set()).add(r["src"])
+    for v in (r["id"] for r in g.vertices.select("id").collect()):
+        succ.setdefault(v, set())
+        pred.setdefault(v, set())
+    return succ, pred
+
+
+def all_topological_sorts(g: SparkGraph, *, max_driver_edges: int = 1_000_000):
+    """Generator over EVERY linear extension of the DAG
+    (``dag.py`` ``all_topological_sorts``; Knuth & Szwarcfiter 1974).
+    Output is factorial in the worst case — enumeration itself is the
+    cost, so the backtracking walk runs driver-side under the size guard
+    (ties iterate in ascending id for determinism). Raises
+    ``NetworkXUnfeasible`` on cyclic input like the reference."""
+    if not g.directed:
+        raise NetworkXError(
+            "Topological sort not defined on undirected graphs."
+        )
+    succ, pred = _collect_arcs(g, max_driver_edges)
+
+    def gen():
+        count = {v: len(pred[v]) for v in succ}
+        order: list = []
+        chosen: list = []
+
+        def backtrack():
+            if len(order) == len(succ):
+                yield list(order)
+                return
+            ready = sorted(
+                v for v in succ if count[v] == 0 and v not in chosen_set
+            )
+            if not ready:
+                raise NetworkXUnfeasible("Graph contains a cycle.")
+            for q in ready:
+                order.append(q)
+                chosen_set.add(q)
+                for j in succ[q]:
+                    count[j] -= 1
+                yield from backtrack()
+                for j in succ[q]:
+                    count[j] += 1
+                chosen_set.discard(q)
+                order.pop()
+
+        chosen_set: set = set()
+        if succ and any(count[v] > 0 for v in succ) and not any(
+            count[v] == 0 for v in succ
+        ):
+            raise NetworkXUnfeasible("Graph contains a cycle.")
+        yield from backtrack()
+
+    return gen()
+
+
+def antichains(g: SparkGraph, *, max_driver_edges: int = 1_000_000):
+    """Generator over every antichain of the DAG (``dag.py``
+    ``antichains``): node sets with no two comparable elements, starting
+    with the empty antichain. The enumeration is exponential by
+    definition — driver-gated; comparability comes from a local DFS
+    transitive closure. Order matches the reference's stack schedule over
+    the reverse topological order (ties ascending id)."""
+    if not g.directed:
+        raise NetworkXError("antichains: directed acyclic input required")
+    succ, pred = _collect_arcs(g, max_driver_edges)
+
+    # local topological order (Kahn, min-id ties) + reach closure
+    count = {v: len(pred[v]) for v in succ}
+    import heapq
+
+    heap = [v for v in succ if count[v] == 0]
+    heapq.heapify(heap)
+    topo = []
+    while heap:
+        v = heapq.heappop(heap)
+        topo.append(v)
+        for w in succ[v]:
+            count[w] -= 1
+            if count[w] == 0:
+                heapq.heappush(heap, w)
+    if len(topo) < len(succ):
+        raise NetworkXUnfeasible("antichains: graph contains a cycle")
+    reach: dict = {}
+    for v in reversed(topo):
+        r = set()
+        for w in succ[v]:
+            r.add(w)
+            r |= reach[w]
+        reach[v] = r
+
+    def gen():
+        stacks = [([], list(reversed(topo)))]
+        while stacks:
+            antichain, stack = stacks.pop()
+            yield list(antichain)
+            while stack:
+                x = stack.pop()
+                new_antichain = antichain + [x]
+                new_stack = [
+                    t for t in stack
+                    if t not in reach[x] and x not in reach[t]
+                ]
+                stacks.append((new_antichain, new_stack))
+
+    return gen()
+
+
+def root_to_leaf_paths(
+    g: SparkGraph, *, max_rounds: int = 100_000
+) -> DataFrame:
+    """(path ARRAY<BIGINT>): every path from an in-degree-0 node to an
+    out-degree-0 node of the DAG (``dag.py`` ``root_to_leaf_paths``).
+    Distributed frontier expansion carrying the path array — row volume
+    is the output size, the same cost the reference's generator defers."""
+    _require_directed(g, "root_to_leaf_paths")
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    arcs = cache.truncate(g.edges.select("src", "dst").distinct())
+    roots = (
+        g.vertices.select("id")
+        .join(arcs.select(F.col("dst").alias("id")).distinct(), "id", "left_anti")
+    )
+    leaves_set = (
+        g.vertices.select("id")
+        .join(arcs.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
+    )
+    frontier = cache.truncate(
+        roots.select(F.col("id").alias("head"), F.array("id").alias("path"))
+    )
+    outs = [
+        frontier.join(
+            leaves_set.withColumnRenamed("id", "head"), "head", "left_semi"
+        ).select("path")
+    ]
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError("root_to_leaf_paths exceeded max_rounds")
+        step = cache.truncate(
+            frontier.join(arcs.withColumnRenamed("src", "head"), "head")
+            .select(
+                F.col("dst").alias("head"),
+                F.concat("path", F.array("dst")).alias("path"),
+            )
+        )
+        if step.limit(1).count() == 0:
+            break
+        outs.append(
+            step.join(
+                leaves_set.withColumnRenamed("id", "head"), "head", "left_semi"
+            ).select("path")
+        )
+        frontier = step
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    out = out.persist()
+    out.count()
+    cache.close(keep_result=True)
+    return out
+
+
+def dag_to_branching(g: SparkGraph):
+    """``dag.py`` ``dag_to_branching`` — the branching whose root-to-leaf
+    paths biject with the DAG's, built as the PREFIX TREE of
+    :func:`root_to_leaf_paths` minus the reference's root/NIL sentinels —
+    the same composition the reference uses, with both stages
+    distributed (path expansion + the relational trie). Returns
+    ``(branching SparkGraph, nodes DataFrame (id, source))`` where
+    ``source`` is the original node id each branching node mirrors."""
+    from linkgraph.algos.chains import prefix_tree
+
+    _require_directed(g, "dag_to_branching")
+    paths = root_to_leaf_paths(g).select(
+        F.transform(F.col("path"), lambda x: x.cast("string")).alias("path")
+    )
+    tree, nodes = prefix_tree(g.spark, paths)
+    # strip the synthetic root (id 0, source null) and NIL (-1) sentinels
+    keep = nodes.filter(
+        F.col("source").isNotNull() & (F.col("id") >= 0)
+    ).select("id", F.col("source").cast("long").alias("source"))
+    arcs = tree.edges.join(
+        keep.select(F.col("id").alias("src")), "src", "left_semi"
+    ).join(keep.select(F.col("id").alias("dst")), "dst", "left_semi")
+    branching = SparkGraph(
+        arcs.select("src", "dst", "weight"),
+        keep.select("id"),
+        directed=True,
+        coalesce_edges=False,
+    )
+    return branching, keep
