@@ -1243,3 +1243,18 @@ from linkgraph.algos.dag import (
     dag_to_branching,
     root_to_leaf_paths,
 )
+from linkgraph.algos.treetail import (
+    k_factor,
+    connected_dominating_set,
+    is_connected_dominating_set,
+    tree_broadcast_center,
+    tree_broadcast_time,
+    complete_to_chordal_graph,
+    junction_tree,
+    join_trees,
+    to_nested_tuple,
+    from_nested_tuple,
+    is_perfect_graph,
+    find_asteroidal_triple,
+    is_at_free,
+)
