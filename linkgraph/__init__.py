@@ -1258,3 +1258,11 @@ from linkgraph.algos.treetail import (
     find_asteroidal_triple,
     is_at_free,
 )
+from linkgraph.algos.mst import (
+    EdgePartition,
+    SpanningTreeIterator,
+    partition_spanning_tree,
+    random_spanning_tree,
+)
+from linkgraph.algos.smallworld import lattice_reference, omega
+from linkgraph.algos.swap import connected_double_edge_swap

@@ -180,3 +180,285 @@ def maximum_spanning_edges(g: SparkGraph, *, weight=None, max_rounds: int = 50) 
     return minimum_spanning_edges(
         g, weight=weight, max_rounds=max_rounds, maximum=True
     )
+
+
+class EdgePartition:
+    """``tree/mst.py`` ``EdgePartition`` — edge states for the partition
+    scheme (plain ints so the values round-trip through edge columns)."""
+
+    OPEN = 0
+    INCLUDED = 1
+    EXCLUDED = 2
+
+
+def _collect_weighted(g, weight, max_driver_edges):
+    from linkgraph.graph import resolve_weight_column
+
+    base = g.edges.filter(F.col("src") != F.col("dst"))
+    cols = [
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("v"),
+        resolve_weight_column(base, weight).alias("w"),
+    ]
+    arcs = base.select(*cols).groupBy("u", "v").agg(F.min("w").alias("w"))
+    m = arcs.count()
+    if m > max_driver_edges:
+        raise ValueError(
+            f"driver-gated spanning-tree search: {m} edges > "
+            f"max_driver_edges={max_driver_edges}"
+        )
+    edges = [(r["u"], r["v"], float(r["w"])) for r in arcs.collect()]
+    nodes = sorted(r["id"] for r in g.vertices.select("id").collect())
+    return edges, nodes
+
+
+def _kruskal_partition(edges, nodes, partition, minimum):
+    """Minimum (or maximum) spanning tree respecting a partition dict
+    {(u, v): EdgePartition state}; returns (weight, tree edge list) or
+    None when the constraints admit no spanning tree."""
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    included = [
+        e for e in edges if partition.get((e[0], e[1])) == EdgePartition.INCLUDED
+    ]
+    open_edges = [
+        e for e in edges if partition.get((e[0], e[1]), EdgePartition.OPEN)
+        == EdgePartition.OPEN
+    ]
+    tree = []
+    total = 0.0
+    for u, v, w in included:
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            return None  # forced cycle
+        parent[rv] = ru
+        tree.append((u, v, w))
+        total += w
+    for u, v, w in sorted(
+        open_edges, key=lambda e: (e[2] if minimum else -e[2], e[0], e[1])
+    ):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[rv] = ru
+            tree.append((u, v, w))
+            total += w
+    if len(tree) != len(nodes) - 1:
+        return None
+    return total, tree
+
+
+def partition_spanning_tree(
+    g,
+    minimum: bool = True,
+    weight="weight",
+    partition: str = "partition",
+    *,
+    max_driver_edges: int = 1_000_000,
+):
+    """``tree/mst.py`` ``partition_spanning_tree`` — the min/max spanning
+    tree honoring per-edge INCLUDED/EXCLUDED constraints carried in the
+    ``partition`` edge column (:class:`EdgePartition` values; missing =
+    OPEN). Returns a SparkGraph; raises like the reference when the
+    constraints are unsatisfiable."""
+    from linkgraph.exceptions import NetworkXException
+    from linkgraph.graph import SparkGraph
+
+    edges, nodes = _collect_weighted(g, weight, max_driver_edges)
+    part: dict = {}
+    if partition in g.edges.columns:
+        rows = g.edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            F.col(partition).alias("p"),
+        ).collect()
+        for r in rows:
+            if r["p"] is not None:
+                part[(r["u"], r["v"])] = int(r["p"])
+    got = _kruskal_partition(edges, nodes, part, minimum)
+    if got is None:
+        raise NetworkXException(
+            "Partition does not admit a spanning tree"
+        )
+    _, tree = got
+    e = g.spark.createDataFrame(
+        [(u, v, w) for u, v, w in sorted(tree)] or [],
+        "src long, dst long, weight double",
+    )
+    return SparkGraph(e, g.vertices.select("id"), directed=False,
+                      coalesce_edges=False)
+
+
+class SpanningTreeIterator:
+    """``tree/mst.py`` ``SpanningTreeIterator`` — every spanning tree in
+    nondecreasing (or nonincreasing) weight order via the Janssens–
+    Sörensen partition scheme over a driver-gated Kruskal (each popped
+    partition splits along its tree's open edges). Yields SparkGraphs."""
+
+    def __init__(self, g, weight="weight", minimum: bool = True,
+                 *, max_driver_edges: int = 1_000_000):
+        self.g = g
+        self.minimum = minimum
+        self.edges, self.nodes = _collect_weighted(
+            g, weight, max_driver_edges
+        )
+
+    def __iter__(self):
+        import heapq
+
+        counter = 0
+        heap = []
+        sign = 1.0 if self.minimum else -1.0
+        first = _kruskal_partition(self.edges, self.nodes, {}, self.minimum)
+        if first is not None:
+            heapq.heappush(heap, (sign * first[0], counter, {}))
+            counter += 1
+        while heap:
+            _, _, part = heapq.heappop(heap)
+            got = _kruskal_partition(self.edges, self.nodes, part, self.minimum)
+            total, tree = got
+            yield self._to_graph(tree)
+            # split: for each open tree edge, a partition excluding it and
+            # including the previous ones
+            new_part = part.copy()
+            for u, v, w in tree:
+                if part.get((u, v), EdgePartition.OPEN) != EdgePartition.OPEN:
+                    continue
+                p_exc = new_part.copy()
+                p_exc[(u, v)] = EdgePartition.EXCLUDED
+                got2 = _kruskal_partition(
+                    self.edges, self.nodes, p_exc, self.minimum
+                )
+                if got2 is not None:
+                    heapq.heappush(heap, (sign * got2[0], counter, p_exc))
+                    counter += 1
+                new_part[(u, v)] = EdgePartition.INCLUDED
+
+    def _to_graph(self, tree):
+        from linkgraph.graph import SparkGraph
+
+        e = self.g.spark.createDataFrame(
+            [(u, v, w) for u, v, w in sorted(tree)] or [],
+            "src long, dst long, weight double",
+        )
+        return SparkGraph(e, self.g.vertices.select("id"), directed=False,
+                          coalesce_edges=False)
+
+
+def number_of_weighted_spanning_trees(edges, nodes, multiplicative=True):
+    """Weighted spanning-tree count (Kirchhoff determinant on the reduced
+    weighted Laplacian) — the sampling kernel for
+    :func:`random_spanning_tree`."""
+    import numpy as np
+
+    n = len(nodes)
+    if n <= 1:
+        return 1.0
+    pos = {v: i for i, v in enumerate(nodes)}
+    L = np.zeros((n, n))
+    for u, v, w in edges:
+        i, j = pos[u], pos[v]
+        L[i, j] -= w
+        L[j, i] -= w
+        L[i, i] += w
+        L[j, j] += w
+    return float(np.linalg.det(L[1:, 1:]))
+
+
+def random_spanning_tree(
+    g, weight=None, *, multiplicative: bool = True, seed: int = 42,
+    max_driver_edges: int = 1_000_000,
+):
+    """``tree/mst.py`` ``random_spanning_tree`` — sample a spanning tree
+    with probability proportional to the product (``multiplicative``) or
+    sum (additive) of its edge weights.
+
+    Multiplicative sampling walks the reference's contraction/deletion
+    chain with exact inclusion probabilities w_e·T(G/e)/T(G) from the
+    weighted Kirchhoff determinant; the additive form enumerates trees
+    through :class:`SpanningTreeIterator` and draws by total weight
+    (exact, guarded). Deterministic for a fixed ``seed``."""
+    import random as _random
+
+    from linkgraph.graph import SparkGraph
+
+    rng = _random.Random(seed)
+    if weight is None:
+        edges, nodes = _collect_weighted(g, "1.0", max_driver_edges)
+    else:
+        edges, nodes = _collect_weighted(g, weight, max_driver_edges)
+    if multiplicative:
+        chosen = []
+        cur_edges = list(edges)
+        # union-find over contractions
+        rep = {v: v for v in nodes}
+
+        def find(x):
+            while rep[x] != x:
+                rep[x] = rep[rep[x]]
+                x = rep[x]
+            return x
+
+        def contracted(edge_list):
+            agg: dict = {}
+            for u, v, w in edge_list:
+                ru, rv = find(u), find(v)
+                if ru == rv:
+                    continue
+                key = (min(ru, rv), max(ru, rv))
+                agg[key] = agg.get(key, 0.0) + w
+            return [(u, v, w) for (u, v), w in agg.items()]
+
+        for u, v, w in sorted(edges, key=lambda e: (e[0], e[1])):
+            ru, rv = find(u), find(v)
+            if ru == rv:
+                continue
+            cur = contracted(edges)
+            cur_nodes = sorted({find(x) for x in nodes})
+            total = number_of_weighted_spanning_trees(cur, cur_nodes)
+            # contract (u, v)
+            rep[rv] = ru
+            cur_c = contracted(edges)
+            cur_nodes_c = sorted({find(x) for x in nodes})
+            t_contract = number_of_weighted_spanning_trees(cur_c, cur_nodes_c)
+            p = w * t_contract / total if total > 0 else 0.0
+            if rng.random() < p:
+                chosen.append((u, v, w))
+            else:
+                # undo contraction, delete the edge instead
+                rep[rv] = rv
+                edges = [e for e in edges if not (e[0] == u and e[1] == v)]
+            if len(chosen) == len(nodes) - 1:
+                break
+    else:
+        trees = []
+        weights = []
+        for i, t in enumerate(SpanningTreeIterator(g)):
+            rows = t.edges.collect()
+            tr = [(r["src"], r["dst"], float(r["weight"])) for r in rows]
+            trees.append(tr)
+            weights.append(sum(w for _, _, w in tr))
+            if i > 100_000:
+                raise ValueError(
+                    "additive random_spanning_tree: too many spanning trees"
+                )
+        total = sum(weights)
+        pick = rng.random() * total
+        acc = 0.0
+        chosen = trees[-1]
+        for tr, w in zip(trees, weights):
+            acc += w
+            if pick <= acc:
+                chosen = tr
+                break
+    e = g.spark.createDataFrame(
+        [(u, v, w) for u, v, w in sorted(chosen)] or [],
+        "src long, dst long, weight double",
+    )
+    return SparkGraph(e, g.vertices.select("id"), directed=False,
+                      coalesce_edges=False)

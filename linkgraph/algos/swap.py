@@ -258,3 +258,123 @@ def directed_edge_swap(
     return SparkGraph(
         out, g.vertices.select("id"), directed=True, coalesce_edges=False
     )
+
+
+def connected_double_edge_swap(
+    g: SparkGraph,
+    nswap: int = 1,
+    seed: int = 42,
+    *,
+    max_driver_edges: int = 1_000_000,
+) -> "tuple[SparkGraph, int]":
+    """``swap.py`` ``connected_double_edge_swap`` — degree-preserving
+    swaps that keep the graph connected, undoing any swap that would
+    disconnect it. The reference's windowed schedule is a throughput
+    optimization over the same accept/undo semantics; the engine runs
+    the chain driver-gated with a seeded RNG and a connectivity probe
+    per accepted swap. Returns ``(swapped graph, n_swaps_performed)``."""
+    import random as _random
+    from collections import deque
+
+    from linkgraph.exceptions import NetworkXError
+    from linkgraph.graph import SparkGraph as _SG
+
+    if g.directed:
+        raise NotImplementedForDirected(
+            "connected_double_edge_swap: undirected only"
+        )
+    arcs = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    m = arcs.count()
+    if m > max_driver_edges:
+        raise ValueError(
+            f"connected_double_edge_swap: {m} edges > "
+            f"max_driver_edges={max_driver_edges}"
+        )
+    adj: dict = {}
+    for r in arcs.collect():
+        adj.setdefault(r["u"], set()).add(r["v"])
+        adj.setdefault(r["v"], set()).add(r["u"])
+    nodes = sorted(r["id"] for r in g.vertices.select("id").collect())
+    for x in nodes:
+        adj.setdefault(x, set())
+
+    def connected():
+        if not nodes:
+            return True
+        seen = {nodes[0]}
+        q = deque(seen)
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    q.append(y)
+        return len(seen) == len(nodes)
+
+    if not connected():
+        raise NetworkXError("Graph not connected")
+    if any(len(adj[v]) == 0 for v in nodes):
+        raise NetworkXError("Graph has isolated vertices")
+    rng = _random.Random(seed)
+    degrees = [len(adj[v]) for v in nodes]
+    cum = []
+    s = 0
+    for d in degrees:
+        s += d
+        cum.append(s)
+
+    def draw():
+        x = rng.random() * s
+        lo, hi = 0, len(nodes) - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if cum[mid] < x:
+                lo = mid + 1
+            else:
+                hi = mid
+        return nodes[lo]
+
+    swaps = 0
+    attempts = 0
+    max_attempts = 100 * nswap + 100
+    while swaps < nswap and attempts < max_attempts:
+        attempts += 1
+        u, x = draw(), draw()
+        if u == x or not adj[u] or not adj[x]:
+            continue
+        v = rng.choice(sorted(adj[u]))
+        y = rng.choice(sorted(adj[x]))
+        if v == y or x in (u, v) or y in (u, v):
+            continue
+        if x in adj[u] or y in adj[v]:
+            continue
+        # swap u-v, x-y -> u-x, v-y
+        adj[u].discard(v)
+        adj[v].discard(u)
+        adj[x].discard(y)
+        adj[y].discard(x)
+        adj[u].add(x)
+        adj[x].add(u)
+        adj[v].add(y)
+        adj[y].add(v)
+        if connected():
+            swaps += 1
+        else:
+            adj[u].discard(x)
+            adj[x].discard(u)
+            adj[v].discard(y)
+            adj[y].discard(v)
+            adj[u].add(v)
+            adj[v].add(u)
+            adj[x].add(y)
+            adj[y].add(x)
+    rows = sorted((a, b, 1.0) for a in adj for b in adj[a] if a < b)
+    e = g.spark.createDataFrame(rows or [], "src long, dst long, weight double")
+    return (
+        _SG(e, g.vertices.select("id"), directed=False, coalesce_edges=False),
+        swaps,
+    )
