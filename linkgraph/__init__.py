@@ -1266,3 +1266,20 @@ from linkgraph.algos.mst import (
 )
 from linkgraph.algos.smallworld import lattice_reference, omega
 from linkgraph.algos.swap import connected_double_edge_swap
+from linkgraph.generators import (
+    chvatal_graph,
+    tutte_graph,
+    truncated_cube_graph,
+    hoffman_singleton_graph,
+    dorogovtsev_goltsev_mendes_graph,
+    sudoku_graph,
+    triangular_lattice_graph,
+    hexagonal_lattice_graph,
+    hkn_harary_graph,
+    hnm_harary_graph,
+    triad_graph,
+    florentine_families_graph,
+    davis_southern_women_graph,
+    les_miserables_graph,
+)
+from linkgraph.algos.triads import all_triads

@@ -283,3 +283,50 @@ def triad_type(g: SparkGraph) -> str:
         if r["src"] != r["dst"]
     ]
     return _code_to_name()[_code(arcs)]
+
+
+def all_triads(g: SparkGraph) -> DataFrame:
+    """(u, v, w, arcs ARRAY<STRUCT<src, dst>>): every C(n, 3) node triple
+    with its induced arc list (``triads.py`` ``all_triads`` — the
+    reference yields one subgraph view per triple; the relational twin
+    carries the same information as one row per triple).
+
+    Output is Θ(n³) BY DEFINITION — the caller owns that choice, exactly
+    as consuming the reference's generator would. The induced arcs come
+    from three membership joins, never a per-triple loop."""
+    if not g.directed:
+        raise ValueError("all_triads: not defined for undirected graphs")
+    ids = g.vertices.select("id")
+    t = (
+        ids.select(F.col("id").alias("u"))
+        .join(ids.select(F.col("id").alias("v")), F.col("u") < F.col("v"))
+        .join(ids.select(F.col("id").alias("w")), F.col("v") < F.col("w"))
+        .withColumn("tid", F.monotonically_increasing_id())
+    )
+    member = t.select(
+        "tid", F.explode(F.array("u", "v", "w")).alias("node")
+    )
+    arcs = g.edges.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst"
+    ).distinct()
+    induced = (
+        member.withColumnRenamed("node", "src")
+        .join(arcs, "src")
+        .join(
+            member.select("tid", F.col("node").alias("dst")),
+            ["tid", "dst"],
+            "left_semi",
+        )
+        .groupBy("tid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("src"), F.col("dst")))
+            ).alias("arcs")
+        )
+    )
+    return t.join(induced, "tid", "left").select(
+        "u", "v", "w",
+        F.coalesce(
+            "arcs", F.array().cast("array<struct<src:bigint,dst:bigint>>")
+        ).alias("arcs"),
+    )

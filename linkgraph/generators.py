@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
+from linkgraph.exceptions import NetworkXError
 from linkgraph.graph import SparkGraph
 
 
@@ -991,3 +992,343 @@ def kneser_graph(spark: SparkSession, n: int, k: int) -> SparkGraph:
     )
     v = mdf.select(F.col("m").alias("id"))
     return SparkGraph(e, vertices=v, directed=False, coalesce_edges=False)
+
+
+def _fixed_graph(spark, edges, n):
+    e = spark.createDataFrame(
+        [(int(u), int(v), 1.0) for u, v in sorted(edges)],
+        "src long, dst long, weight double",
+    )
+    return SparkGraph(e, vertices=_vertices(spark, n), directed=False,
+                      coalesce_edges=False)
+
+
+def chvatal_graph(spark: SparkSession) -> SparkGraph:
+    """``small.py`` ``chvatal_graph`` — Chvátal's 12-vertex 4-regular
+    triangle-free graph (published fixed edge list)."""
+    from linkgraph.small_graph_data import CHVATAL_EDGES
+
+    return _fixed_graph(spark, CHVATAL_EDGES, 12)
+
+
+def tutte_graph(spark: SparkSession) -> SparkGraph:
+    """``small.py`` ``tutte_graph`` — Tutte's 46-vertex 3-regular
+    non-Hamiltonian planar graph (published fixed edge list)."""
+    from linkgraph.small_graph_data import TUTTE_EDGES
+
+    return _fixed_graph(spark, TUTTE_EDGES, 46)
+
+
+def truncated_cube_graph(spark: SparkSession) -> SparkGraph:
+    """``small.py`` ``truncated_cube_graph`` (published fixed edge
+    list)."""
+    from linkgraph.small_graph_data import TRUNCATED_CUBE_EDGES
+
+    return _fixed_graph(spark, TRUNCATED_CUBE_EDGES, 24)
+
+
+def hoffman_singleton_graph(spark: SparkSession) -> SparkGraph:
+    """``small.py`` ``hoffman_singleton_graph`` — the unique (50, 7, 0, 1)
+    strongly regular Moore graph, built from the classical
+    pentagon/pentagram construction: vertex j of pentagon P_h joins
+    vertex (h·i + j) mod 5 of pentagram Q_i. Node id = 25·side + 5·block
+    + position (pentagons first)."""
+    edges = set()
+
+    def pid(h, j):
+        return 5 * h + j % 5
+
+    def qid(i, j):
+        return 25 + 5 * i + j % 5
+
+    for h in range(5):
+        for j in range(5):
+            edges.add(tuple(sorted((pid(h, j), pid(h, j + 1)))))
+    for i in range(5):
+        for j in range(5):
+            edges.add(tuple(sorted((qid(i, j), qid(i, j + 2)))))
+    for h in range(5):
+        for i in range(5):
+            for j in range(5):
+                edges.add(tuple(sorted((pid(h, j), qid(i, h * i + j)))))
+    return _fixed_graph(spark, edges, 50)
+
+
+def dorogovtsev_goltsev_mendes_graph(spark: SparkSession, n: int) -> SparkGraph:
+    """``classic.py`` ``dorogovtsev_goltsev_mendes_graph`` — generation n
+    of the DGM recursive construction: start from one edge; each step adds
+    one new vertex per existing edge, joined to that edge's endpoints.
+    Node/edge numbering matches the reference's insertion order."""
+    # adjacency with insertion order preserved, so each generation visits
+    # edges exactly as the reference's G.edges() view does
+    adj: dict = {0: {1: None}, 1: {0: None}}
+
+    def edge_iter():
+        seen = set()
+        for u in adj:
+            for v in adj[u]:
+                if v not in seen:
+                    yield (u, v)
+            seen.add(u)
+
+    def add_edge(u, v):
+        adj.setdefault(u, {})[v] = None
+        adj.setdefault(v, {})[u] = None
+
+    next_node = 2
+    for _ in range(int(n)):
+        for u, v in list(edge_iter()):
+            add_edge(u, next_node)
+            add_edge(v, next_node)
+            next_node += 1
+    edges = {(min(u, v), max(u, v)) for u, v in edge_iter()}
+    return _fixed_graph(spark, edges, next_node)
+
+
+def sudoku_graph(spark: SparkSession, n: int = 3) -> SparkGraph:
+    """``sudoku.py`` ``sudoku_graph`` — the n²×n² Sudoku constraint graph
+    (cells adjacent iff same row, column, or n×n box). Declared as three
+    equi-joins of the cell table on its row/col/box keys — pure DataFrame
+    lineage, no driver edge list (a 10⁶-rank board costs the same to
+    declare)."""
+    n = int(n)
+    if n < 0:
+        raise NetworkXError("The order must be greater than or equal to zero.")
+    n2 = n * n
+    cells = spark.range(n2 * n2).select(
+        F.col("id"),
+        (F.col("id") / n2).cast("long").alias("row"),
+        (F.col("id") % n2).alias("col"),
+    ).withColumn(
+        "box",
+        (F.col("row") / n).cast("long") * n + (F.col("col") / n).cast("long"),
+    )
+    pairs = None
+    for key in ("row", "col", "box"):
+        a = cells.select(F.col("id").alias("src"), F.col(key).alias("k"))
+        b = cells.select(F.col("id").alias("dst"), F.col(key).alias("k"))
+        p = a.join(b, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    e = pairs.distinct().withColumn("weight", F.lit(1.0))
+    return SparkGraph(e, vertices=_vertices(spark, n2 * n2), directed=False,
+                      coalesce_edges=False)
+
+
+def triangular_lattice_graph(
+    spark: SparkSession, m: int, n: int
+) -> SparkGraph:
+    """``lattice.py`` ``triangular_lattice_graph`` (non-periodic) — m rows
+    and n columns of triangles; (i, j) grid nodes relabeled to dense ids
+    in sorted (i, j) order (= the reference after sorted integer
+    relabeling). Returns vertices with (i, j) coordinate columns."""
+    m, n = int(m), int(n)
+    N = (n + 1) // 2
+    nodes = {(i, j) for i in range(N + 1) for j in range(m + 1)}
+    edges = set()
+    for j in range(m + 1):
+        for i in range(N):
+            edges.add(((i, j), (i + 1, j)))
+    for j in range(m):
+        for i in range(N + 1):
+            edges.add(((i, j), (i, j + 1)))
+    for j in range(1, m, 2):
+        for i in range(N):
+            edges.add(((i, j), (i + 1, j + 1)))
+    for j in range(0, m, 2):
+        for i in range(N):
+            edges.add(((i + 1, j), (i, j + 1)))
+    if n % 2:
+        drop = {(N, j) for j in range(1, m + 1, 2)}
+        nodes -= drop
+        edges = {e for e in edges if e[0] not in drop and e[1] not in drop}
+    return _coord_graph(spark, nodes, edges)
+
+
+def hexagonal_lattice_graph(
+    spark: SparkSession, m: int, n: int
+) -> SparkGraph:
+    """``lattice.py`` ``hexagonal_lattice_graph`` (non-periodic) — m rows,
+    n columns of hexagons; same dense sorted-(i, j) relabeling as the
+    triangular form."""
+    m, n = int(m), int(n)
+    M = 2 * m
+    nodes = {(i, j) for i in range(n + 1) for j in range(M + 2)}
+    edges = set()
+    for i in range(n + 1):
+        for j in range(M + 1):
+            edges.add(((i, j), (i, j + 1)))
+    for i in range(n):
+        for j in range(M + 2):
+            if i % 2 == j % 2:
+                edges.add(((i, j), (i + 1, j)))
+    drop = {(0, M + 1), (n, (M + 1) * (n % 2))}
+    nodes -= drop
+    edges = {e for e in edges if e[0] not in drop and e[1] not in drop}
+    return _coord_graph(spark, nodes, edges)
+
+
+def _coord_graph(spark, nodes, edges):
+    order = {c: k for k, c in enumerate(sorted(nodes))}
+    vs = spark.createDataFrame(
+        [(order[c], c[0], c[1]) for c in sorted(nodes)],
+        "id long, i long, j long",
+    )
+    e = spark.createDataFrame(
+        sorted(
+            (min(order[a], order[b]), max(order[a], order[b]), 1.0)
+            for a, b in edges
+        ),
+        "src long, dst long, weight double",
+    )
+    return SparkGraph(e, vertices=vs, directed=False, coalesce_edges=False)
+
+
+def hkn_harary_graph(spark: SparkSession, k: int, n: int) -> SparkGraph:
+    """``harary_graph.py`` ``hkn_harary_graph`` — the Harary graph H_{k,n}:
+    minimum edges for node connectivity k on n nodes (circulant-based,
+    the published case analysis on k/n parity)."""
+    k, n = int(k), int(n)
+    if k < 1:
+        raise NetworkXError("The node connectivity must be >= 1!")
+    if n < k + 1:
+        raise NetworkXError("The number of nodes must be >= k+1 !")
+    edges = set()
+
+    def add(u, v):
+        edges.add((min(u % n, v % n), max(u % n, v % n)))
+
+    if k == 1:
+        return path_graph(spark, n)
+    offset = k // 2
+    for d in range(1, offset + 1):
+        for i in range(n):
+            add(i, i + d)
+    half = n // 2
+    if (k % 2 == 0) or (n % 2 == 0):
+        if k % 2 == 1:  # odd k needs the half-diagonals (n even here)
+            for i in range(half):
+                add(i, i + half)
+    else:
+        for i in range(half + 1):
+            add(i, i + half)
+    return _fixed_graph(spark, edges, n)
+
+
+def hnm_harary_graph(spark: SparkSession, n: int, m: int) -> SparkGraph:
+    """``harary_graph.py`` ``hnm_harary_graph`` — the Harary graph H_{n,m}:
+    maximum node connectivity with n nodes and m edges (the circulant
+    H_{k,n} plus the leftover chords, per the published construction)."""
+    n, m = int(n), int(m)
+    if n < 1:
+        raise NetworkXError("The number of nodes must be >= 1!")
+    if m < n - 1:
+        raise NetworkXError("The number of edges must be >= n - 1 !")
+    if m > n * (n - 1) // 2:
+        raise NetworkXError("The number of edges must be <= n(n-1)/2")
+    edges = set()
+
+    def add(u, v):
+        u, v = u % n, v % n
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+
+    d = 2 * m // n  # floor of the average degree
+    offset = d // 2
+    for dd in range(1, offset + 1):
+        for i in range(n):
+            add(i, i + dd)
+    half = n // 2
+    if (n % 2 == 0) or (d % 2 == 0):
+        if d % 2 == 1:  # odd d needs the half-diagonals (n even here)
+            for i in range(half):
+                add(i, i + half)
+        r = 2 * m % n
+        for i in range(r // 2):
+            add(i, i + offset + 1)
+    else:
+        for i in range(m - n * offset):
+            add(i, i + half)
+    return _fixed_graph(spark, edges, n)
+
+
+_TRIAD_PATTERNS = {
+    "003": [], "012": [(0, 1)], "102": [(0, 1), (1, 0)],
+    "021D": [(1, 0), (1, 2)], "021U": [(0, 1), (2, 1)],
+    "021C": [(0, 1), (1, 2)], "111D": [(0, 2), (1, 2), (2, 0)],
+    "111U": [(0, 2), (2, 0), (2, 1)], "030T": [(0, 1), (0, 2), (2, 1)],
+    "030C": [(0, 2), (1, 0), (2, 1)],
+    "201": [(0, 1), (0, 2), (1, 0), (2, 0)],
+    "120D": [(0, 2), (1, 0), (1, 2), (2, 0)],
+    "120U": [(0, 1), (0, 2), (2, 0), (2, 1)],
+    "120C": [(0, 1), (0, 2), (1, 2), (2, 0)],
+    "210": [(0, 1), (0, 2), (1, 2), (2, 0), (2, 1)],
+    "300": [(0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1)],
+}
+
+
+def triad_graph(spark: SparkSession, triad_name: str) -> SparkGraph:
+    """``triads.py`` ``triad_graph`` — the 3-node digraph of the named
+    triad class (MAN census taxonomy; nodes a/b/c → 0/1/2)."""
+    name = str(triad_name)
+    if name not in _TRIAD_PATTERNS:
+        raise ValueError(
+            f"unknown triad name {name!r}; must be one of "
+            f"{sorted(_TRIAD_PATTERNS)}"
+        )
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in _TRIAD_PATTERNS[name]] or [],
+        "src long, dst long, weight double",
+    )
+    return SparkGraph(e, vertices=_vertices(spark, 3), directed=True,
+                      coalesce_edges=False)
+
+
+def florentine_families_graph(spark: SparkSession) -> SparkGraph:
+    """``social.py`` ``florentine_families_graph`` — Padgett's marriage
+    network; vertices carry the family ``name`` column (ids alphabetical)."""
+    from linkgraph.social_data import FLORENTINE_EDGES, FLORENTINE_FAMILIES
+
+    vs = spark.createDataFrame(
+        list(enumerate(FLORENTINE_FAMILIES)), "id long, name string"
+    )
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in FLORENTINE_EDGES],
+        "src long, dst long, weight double",
+    )
+    return SparkGraph(e, vertices=vs, directed=False, coalesce_edges=False)
+
+
+def davis_southern_women_graph(spark: SparkSession) -> SparkGraph:
+    """``social.py`` ``davis_southern_women_graph`` — the 1941 bipartite
+    club-attendance data; vertices carry ``name`` and ``bipartite``
+    (0 = woman, 1 = event) columns."""
+    from linkgraph.social_data import DAVIS_EDGES, DAVIS_EVENTS, DAVIS_WOMEN
+
+    rows = [(i, n, 0) for i, n in enumerate(DAVIS_WOMEN)] + [
+        (len(DAVIS_WOMEN) + i, n, 1) for i, n in enumerate(DAVIS_EVENTS)
+    ]
+    vs = spark.createDataFrame(rows, "id long, name string, bipartite int")
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in DAVIS_EDGES],
+        "src long, dst long, weight double",
+    )
+    return SparkGraph(e, vertices=vs, directed=False, coalesce_edges=False)
+
+
+def les_miserables_graph(spark: SparkSession) -> SparkGraph:
+    """``social.py`` ``les_miserables_graph`` — Knuth's character
+    co-appearance network (Stanford GraphBase); edge ``weight`` is the
+    co-appearance count, vertices carry the character ``name``."""
+    from linkgraph.social_data import (
+        LES_MISERABLES_CHARACTERS,
+        LES_MISERABLES_EDGES,
+    )
+
+    vs = spark.createDataFrame(
+        list(enumerate(LES_MISERABLES_CHARACTERS)), "id long, name string"
+    )
+    e = spark.createDataFrame(
+        [(u, v, float(w)) for u, v, w in LES_MISERABLES_EDGES],
+        "src long, dst long, weight double",
+    )
+    return SparkGraph(e, vertices=vs, directed=False, coalesce_edges=False)
