@@ -138,6 +138,7 @@ from linkgraph.algos.cliques import (
     k_clique_count,
     node_clique_counts,
     find_cliques,
+    find_cliques_recursive,
     node_clique_number,
     number_of_cliques,
     enumerate_all_cliques,
@@ -187,6 +188,9 @@ from linkgraph.algos.paths import (
     predecessor,
     bfs_predecessors,
     bfs_successors,
+    bfs_edges,
+    generic_bfs_edges,
+    bfs_labeled_edges,
 )
 from linkgraph.algos.covering import (
     is_matching,
@@ -236,6 +240,11 @@ from linkgraph.convert import (
     adjacency_graph,
     tree_data,
     tree_graph,
+    to_networkx_graph,
+    Graph,
+    DiGraph,
+    MultiGraph,
+    MultiDiGraph,
 )
 from linkgraph.linalg import (
     adjacency_matrix,
@@ -638,6 +647,9 @@ __all__ = [
     "predecessor",
     "bfs_predecessors",
     "bfs_successors",
+    "bfs_edges",
+    "generic_bfs_edges",
+    "bfs_labeled_edges",
     "is_matching",
     "is_maximal_matching",
     "is_perfect_matching",
@@ -826,6 +838,12 @@ __all__ = [
     "k_clique_count",
     "node_clique_counts",
     "find_cliques",
+    "find_cliques_recursive",
+    "to_networkx_graph",
+    "Graph",
+    "DiGraph",
+    "MultiGraph",
+    "MultiDiGraph",
     "subgraph_matches",
     "count_subgraph_matches",
     "subgraph_is_isomorphic",

@@ -344,3 +344,11 @@ def max_weight_clique(
 
     expand(order, [], 0.0)
     return sorted(best), float(best_w)
+
+
+def find_cliques_recursive(g, max_size=None):
+    """``networkx/algorithms/clique.py`` ``find_cliques_recursive`` — the
+    reference's recursive Bron-Kerbosch twin of ``find_cliques``; both
+    enumerate the same maximal cliques, so this is the same distributed
+    wedge-extension enumeration."""
+    return find_cliques(g, max_size)

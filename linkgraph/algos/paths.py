@@ -39,6 +39,9 @@ __all__ = [
     "predecessor",
     "bfs_predecessors",
     "bfs_successors",
+    "bfs_edges",
+    "generic_bfs_edges",
+    "bfs_labeled_edges",
     "is_path",
     "is_simple_path",
     "path_weight",
@@ -878,3 +881,211 @@ def bfs_beam_edges(
     edges_acc = edges_acc.localCheckpoint(eager=True)
     cache.close(keep_result=True)
     return edges_acc
+
+
+def _bfs_ranked(
+    g: SparkGraph,
+    sources,
+    *,
+    reverse: bool = False,
+    depth_limit: Optional[int] = None,
+) -> DataFrame:
+    """Exact BFS queue order as data: ``(id, depth, rank, parent)``.
+
+    Reproduces the reference's FIFO discovery order under
+    ``sort_neighbors=sorted`` (``breadth_first_search.py:109``): sources
+    rank in the order given; each next layer orders children by
+    (rank of first discoverer, child id) — exactly the order the queue
+    would pop them. Every layer is one join + one group-by + one ranking.
+
+    Scale note: the within-layer ``row_number`` is a single total order
+    per layer. Exact queue order is inherently a total order — at 100×
+    swap the window for the two-phase sort + zipWithIndex ranking used in
+    ``dag.lexicographical_topological_sort``; layer structure and parents
+    are order-free and stay fully distributed either way.
+    """
+    from pyspark.sql import Window
+
+    spark = g.spark
+    if not isinstance(sources, (list, tuple)):
+        sources = [sources]
+    src_rows = [(int(s), i) for i, s in enumerate(sources)]
+    src_df = spark.createDataFrame(src_rows, "id long, _ord long").join(
+        g.vertices.select("id"), "id", "left_semi"
+    )
+    if g.directed:
+        adj = g.edges.select("src", "dst")
+        if reverse:
+            adj = adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    else:
+        adj = g.symmetric_edges().select("src", "dst")
+    adj = adj.persist()
+
+    from linkgraph.iterutils import SuperstepCache
+
+    cache = SuperstepCache(spark)
+    ranked = cache.truncate(
+        src_df.select(
+            "id",
+            F.lit(0).cast("long").alias("depth"),
+            F.row_number().over(Window.orderBy("_ord")).cast("long").alias("rank"),
+            F.lit(None).cast("long").alias("parent"),
+        )
+    )
+    frontier = ranked
+    offset = ranked.count()
+    depth = 0
+    while True:
+        if depth_limit is not None and depth >= depth_limit:
+            break
+        depth += 1
+        cand = (
+            adj.join(
+                frontier.select(
+                    F.col("id").alias("src"), F.col("rank").alias("_prank")
+                ),
+                "src",
+            )
+            .join(
+                ranked.select("id"),
+                F.col("dst") == F.col("id"),
+                "left_anti",
+            )
+            .groupBy(F.col("dst"))
+            .agg(F.min(F.struct("_prank", "src")).alias("_disc"))
+            .select(
+                F.col("dst").alias("id"),
+                F.col("_disc._prank").alias("_disc_rank"),
+                F.col("_disc.src").alias("parent"),
+            )
+        )
+        nxt = cache.truncate(
+            cand.select(
+                "id",
+                F.lit(depth).cast("long").alias("depth"),
+                (
+                    F.row_number().over(Window.orderBy("_disc_rank", "id"))
+                    + F.lit(offset)
+                ).cast("long").alias("rank"),
+                "parent",
+            )
+        )
+        n = nxt.count()
+        if n == 0:
+            break
+        offset += n
+        ranked = cache.truncate(ranked.unionByName(nxt))
+        frontier = nxt
+    adj.unpersist()
+    cache.close(keep_result=True)
+    return ranked
+
+
+def bfs_edges(
+    g: SparkGraph,
+    source,
+    reverse: bool = False,
+    depth_limit: Optional[int] = None,
+) -> DataFrame:
+    """``breadth_first_search.py:109`` ``bfs_edges`` — the BFS tree arcs in
+    exact discovery order: ``(src, dst, order)``, event-for-event equal to
+    the reference with ``sort_neighbors=sorted`` (the engine's canonical
+    neighbor order). ``reverse=True`` traverses a directed graph over
+    in-edges, like the reference."""
+    ranked = _bfs_ranked(g, source, reverse=reverse, depth_limit=depth_limit)
+    from pyspark.sql import Window
+
+    return (
+        ranked.filter(F.col("depth") > 0)
+        .select(
+            F.col("parent").alias("src"),
+            F.col("id").alias("dst"),
+            (F.row_number().over(Window.orderBy("rank")) - 1)
+            .cast("long")
+            .alias("order"),
+        )
+    )
+
+
+def generic_bfs_edges(
+    g: SparkGraph,
+    source,
+    neighbors=None,
+    depth_limit: Optional[int] = None,
+) -> DataFrame:
+    """``breadth_first_search.py:20`` ``generic_bfs_edges``. The reference's
+    ``neighbors=`` callable rebinds the successor function; the engine's
+    distributed equivalent is passing a different graph view (e.g.
+    ``g.reverse()`` or a ``subgraph_view``), so only the default successor
+    function is accepted here."""
+    if neighbors is not None:
+        raise NetworkXError(
+            "generic_bfs_edges: pass a transformed SparkGraph view instead "
+            "of a neighbors callable (driver callables cannot run "
+            "distributed); e.g. reverse() or subgraph_view()"
+        )
+    return bfs_edges(g, source, depth_limit=depth_limit)
+
+
+def bfs_labeled_edges(g: SparkGraph, sources) -> DataFrame:
+    """``breadth_first_search.py:465`` ``bfs_labeled_edges`` — every
+    explored arc labeled ``tree`` / ``level`` / ``forward`` / ``reverse``,
+    each edge emitted exactly once (directed: every arc), in exploration order ``(src, dst,
+    label, order)``.
+
+    The label is a pure function of the BFS depths/ranks, so after the
+    ranked BFS this is ONE join over the arc table — no per-edge driver
+    work. Reference quirks preserved exactly: a same-level arc is emitted
+    only from the endpoint dequeued first; ``reverse`` arcs exist only in
+    directed graphs.
+    """
+    from pyspark.sql import Window
+
+    ranked = _bfs_ranked(g, sources)
+    arcs = (
+        g.edges.select("src", "dst")
+        if g.directed
+        else g.symmetric_edges().select("src", "dst")
+    )
+    u = ranked.select(
+        F.col("id").alias("src"),
+        F.col("depth").alias("_du"),
+        F.col("rank").alias("_ru"),
+    )
+    v = ranked.select(
+        F.col("id").alias("dst"),
+        F.col("depth").alias("_dv"),
+        F.col("rank").alias("_rv"),
+        F.col("parent").alias("_pv"),
+    )
+    lab = (
+        arcs.join(u, "src")
+        .join(v, "dst")
+        .withColumn(
+            "label",
+            F.when(
+                (F.col("_dv") == F.col("_du") + 1)
+                & (F.col("_pv") == F.col("src")),
+                F.lit("tree"),
+            )
+            .when(
+                (F.col("_du") == F.col("_dv"))
+                & (F.lit(bool(g.directed)) | (F.col("_ru") < F.col("_rv"))),
+                F.lit("level"),
+            )
+            .when(F.col("_du") < F.col("_dv"), F.lit("forward"))
+            .when(
+                F.lit(bool(g.directed)) & (F.col("_du") > F.col("_dv")),
+                F.lit("reverse"),
+            ),
+        )
+        .filter(F.col("label").isNotNull())
+    )
+    return lab.select(
+        "src",
+        "dst",
+        "label",
+        (F.row_number().over(Window.orderBy("_ru", "dst")) - 1)
+        .cast("long")
+        .alias("order"),
+    )

@@ -39,6 +39,11 @@ __all__ = [
     "adjacency_graph",
     "tree_data",
     "tree_graph",
+    "to_networkx_graph",
+    "Graph",
+    "DiGraph",
+    "MultiGraph",
+    "MultiDiGraph",
 ]
 
 _MAX_ROWS = 5_000_000
@@ -315,3 +320,133 @@ def tree_graph(spark: SparkSession, data: dict) -> SparkGraph:
     e = spark.createDataFrame(rows or [], "src long, dst long, weight double")
     v = spark.createDataFrame(verts, "id long")
     return SparkGraph(e, v, directed=True, coalesce_edges=False)
+
+
+# ---------------------------------------------------------------------- #
+# nx-named class constructors + the to_networkx_graph dispatcher
+# (``networkx/convert.py:34``, ``networkx/classes/{graph,digraph,
+# multigraph,multidigraph}.py``)
+# ---------------------------------------------------------------------- #
+
+
+def _active_spark(spark: Optional[SparkSession]) -> SparkSession:
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        raise NetworkXError(
+            "no active SparkSession; pass spark= or create one first"
+        )
+    return s
+
+
+def to_networkx_graph(
+    data=None,
+    *,
+    directed: bool = False,
+    multigraph: bool = False,
+    spark: Optional[SparkSession] = None,
+):
+    """``networkx/convert.py:34`` — the type-dispatching constructor.
+    Accepts None (empty graph), a SparkGraph (directedness-converting
+    copy), a NetworkX graph, a dict-of-dicts / dict-of-lists, an edge
+    iterable, a pandas edgelist/adjacency DataFrame, or a numpy / scipy
+    adjacency matrix, mirroring the reference's dispatch order."""
+    from linkgraph.graph import from_edgelist, from_nx
+    from linkgraph.multigraph import SparkMultiGraph
+
+    cls_kwargs = {"directed": directed}
+
+    def _wrap(g: SparkGraph):
+        if multigraph and not isinstance(g, SparkMultiGraph):
+            return SparkMultiGraph(g.edges, g.vertices, directed=directed)
+        return g
+
+    if data is None:
+        s = _active_spark(spark)
+        e = s.createDataFrame([], "src long, dst long, weight double")
+        v = s.createDataFrame([], "id long")
+        ctor = SparkMultiGraph if multigraph else SparkGraph
+        return ctor(e, v, directed=directed)
+    if isinstance(data, SparkGraph):
+        if directed and not data.directed:
+            return _wrap(data.to_directed())
+        if not directed and data.directed:
+            return _wrap(data.to_undirected())
+        return _wrap(
+            type(data)(data.edges, data.vertices, directed=data.directed)
+            if not isinstance(data, SparkMultiGraph)
+            else data.copy()
+        )
+    if hasattr(data, "adj") and hasattr(data, "is_directed"):  # networkx
+        s = _active_spark(spark)
+        g = from_nx(s, data.to_directed() if directed else data)
+        if directed and not g.directed:
+            g = g.to_directed()
+        if not directed and g.directed:
+            g = g.to_undirected()
+        return _wrap(g)
+    if isinstance(data, dict):
+        s = _active_spark(spark)
+        try:
+            inner = next(iter(data.values()))
+        except StopIteration:
+            inner = {}
+        if isinstance(inner, dict):
+            return _wrap(from_dict_of_dicts(s, data, **cls_kwargs))
+        return _wrap(from_dict_of_lists(s, data, **cls_kwargs))
+    try:
+        import pandas as pd
+
+        if isinstance(data, pd.DataFrame):
+            s = _active_spark(spark)
+            if data.shape[0] == data.shape[1] and not {
+                "source", "target"
+            } <= set(map(str, data.columns)):
+                return _wrap(from_pandas_adjacency(s, data, **cls_kwargs))
+            return _wrap(from_pandas_edgelist(s, data, **cls_kwargs))
+    except ImportError:  # pragma: no cover
+        pass
+    try:
+        import numpy as np
+
+        if isinstance(data, np.ndarray):
+            from linkgraph.convert_matrix import from_numpy_array
+
+            s = _active_spark(spark)
+            return _wrap(from_numpy_array(s, data, directed=directed))
+    except ImportError:  # pragma: no cover
+        pass
+    if hasattr(data, "tocoo"):  # scipy sparse
+        from linkgraph.convert_matrix import from_scipy_sparse_array
+
+        s = _active_spark(spark)
+        return _wrap(from_scipy_sparse_array(s, data, directed=directed))
+    if hasattr(data, "__iter__"):  # edge iterable
+        s = _active_spark(spark)
+        return _wrap(from_edgelist(s, list(data), directed=directed))
+    raise NetworkXError(f"cannot convert input of type {type(data)} to a graph")
+
+
+def Graph(incoming_graph_data=None, *, spark: Optional[SparkSession] = None):
+    """``networkx/classes/graph.py`` constructor twin: an undirected
+    SparkGraph from any input ``to_networkx_graph`` accepts."""
+    return to_networkx_graph(incoming_graph_data, directed=False, spark=spark)
+
+
+def DiGraph(incoming_graph_data=None, *, spark: Optional[SparkSession] = None):
+    """``networkx/classes/digraph.py`` constructor twin."""
+    return to_networkx_graph(incoming_graph_data, directed=True, spark=spark)
+
+
+def MultiGraph(incoming_graph_data=None, *, spark: Optional[SparkSession] = None):
+    """``networkx/classes/multigraph.py`` constructor twin (parallel edges
+    kept distinct under the ``key`` column)."""
+    return to_networkx_graph(
+        incoming_graph_data, directed=False, multigraph=True, spark=spark
+    )
+
+
+def MultiDiGraph(incoming_graph_data=None, *, spark: Optional[SparkSession] = None):
+    """``networkx/classes/multidigraph.py`` constructor twin."""
+    return to_networkx_graph(
+        incoming_graph_data, directed=True, multigraph=True, spark=spark
+    )
