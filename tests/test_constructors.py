@@ -86,6 +86,6 @@ def test_find_cliques_recursive_alias(spark):
 
     G = nx.gnp_random_graph(10, 0.5, seed=2)
     g = from_nx(spark, G)
-    a = {tuple(r["members"]) for r in lg.find_cliques(g).collect()}
-    b = {tuple(r["members"]) for r in lg.find_cliques_recursive(g).collect()}
+    a = {tuple(sorted(r["members"])) for r in lg.find_cliques(g).collect()}
+    b = {tuple(sorted(r["members"])) for r in lg.find_cliques_recursive(g).collect()}
     assert a == b and a == {tuple(sorted(c)) for c in nx.find_cliques(G)}
