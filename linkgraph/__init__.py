@@ -1076,7 +1076,20 @@ from linkgraph.random_graphs import (
     gnr_graph,
     gnc_graph,
     random_lobster,
+    random_lobster_graph,
     interval_graph,
+    scale_free_graph,
+    random_k_out_graph,
+    duplication_divergence_graph,
+    partial_duplication_graph,
+    dual_barabasi_albert_graph,
+    extended_barabasi_albert_graph,
+    random_powerlaw_tree,
+    random_powerlaw_tree_sequence,
+    random_clustered_graph,
+    random_shell_graph,
+    random_cograph,
+    random_degree_sequence_graph,
 )
 from linkgraph.layout import (
     random_layout,

@@ -58,7 +58,20 @@ __all__ = [
     "gnr_graph",
     "gnc_graph",
     "random_lobster",
+    "random_lobster_graph",
     "interval_graph",
+    "scale_free_graph",
+    "random_k_out_graph",
+    "duplication_divergence_graph",
+    "partial_duplication_graph",
+    "dual_barabasi_albert_graph",
+    "extended_barabasi_albert_graph",
+    "random_powerlaw_tree",
+    "random_powerlaw_tree_sequence",
+    "random_clustered_graph",
+    "random_shell_graph",
+    "random_cograph",
+    "random_degree_sequence_graph",
 ]
 
 _U53 = float(1 << 53)
@@ -817,3 +830,452 @@ def interval_graph(spark: SparkSession, intervals: Sequence) -> SparkGraph:
         .withColumn("weight", F.lit(1.0))
     )
     return SparkGraph(e, vertices=iv, directed=False, coalesce_edges=False)
+
+
+# ---------------------------------------------------------------------- #
+# growth-process tail (``random_graphs.py``, ``directed.py``,
+# ``duplication.py``, ``cographs.py``, ``degree_seq.py``,
+# ``random_clustered.py``) — sequential recurrences, driver-side by the
+# module convention above; the resulting graph is the distributed object.
+# ---------------------------------------------------------------------- #
+
+
+def _edges_to_graph(spark, edges, n_or_nodes, *, directed=False,
+                    multigraph=False, coalesce=False):
+    if isinstance(n_or_nodes, int):
+        v = _vertices(spark, n_or_nodes)
+    else:
+        v = spark.createDataFrame([(int(x),) for x in n_or_nodes], "id long")
+    rows = [(int(u), int(v_), 1.0) for u, v_ in edges]
+    if not directed:
+        rows = [(min(a, b), max(a, b), w) for a, b, w in rows]
+    e = spark.createDataFrame(rows or [], "src long, dst long, weight double")
+    if multigraph:
+        from linkgraph.multigraph import SparkMultiGraph
+
+        return SparkMultiGraph(e, v, directed=directed)
+    return SparkGraph(e, v, directed=directed, coalesce_edges=coalesce)
+
+
+def _weighted_pick(weights: dict, rng: "_random.Random"):
+    total = sum(weights.values())
+    r = rng.random() * total
+    acc = 0.0
+    for k, w in weights.items():
+        acc += w
+        if r < acc:
+            return k
+    return k  # float round-off: last key
+
+
+def scale_free_graph(
+    spark: SparkSession,
+    n: int,
+    alpha: float = 0.41,
+    beta: float = 0.54,
+    gamma: float = 0.05,
+    delta_in: float = 0.2,
+    delta_out: float = 0.0,
+    seed: int = 0,
+):
+    """``networkx/generators/directed.py`` ``scale_free_graph`` — the
+    Bollobás-Borgs-Chayes-Riordan directed preferential-attachment process
+    (multi-arcs kept). With prob alpha add a new source attached by
+    in-degree; beta, an arc between existing nodes; gamma, a new sink.
+    Sequential recurrence (each step conditions on all prior degrees),
+    driver-side; validation matches the reference."""
+    if alpha <= 0 or beta <= 0 or gamma <= 0:
+        raise ValueError("alpha/beta/gamma must each be > 0")
+    if abs(alpha + beta + gamma - 1.0) >= 1e-9:
+        raise ValueError("alpha+beta+gamma must equal 1.")
+    if delta_in < 0 or delta_out < 0:
+        raise ValueError("delta_in/delta_out must be >= 0")
+    rng = _random.Random(int(seed))
+    edges = [(0, 1), (1, 2), (2, 0)]
+    vs = [0, 1, 2]  # one entry per unit of out-degree
+    ws = [0, 1, 2]  # one entry per unit of in-degree
+    nodes = [0, 1, 2]
+    cursor = 3
+
+    def pick(candidates, delta):
+        if delta > 0:
+            bias = len(nodes) * delta
+            if rng.random() < bias / (bias + len(candidates)):
+                return rng.choice(nodes)
+        return rng.choice(candidates)
+
+    while len(nodes) < int(n):
+        r = rng.random()
+        if r < alpha:
+            v = cursor
+            cursor += 1
+            nodes.append(v)
+            w = pick(ws, delta_in)
+        elif r < alpha + beta:
+            v = pick(vs, delta_out)
+            w = pick(ws, delta_in)
+        else:
+            v = pick(vs, delta_out)
+            w = cursor
+            cursor += 1
+            nodes.append(w)
+        edges.append((v, w))
+        vs.append(v)
+        ws.append(w)
+    return _edges_to_graph(spark, edges, nodes, directed=True, multigraph=True)
+
+
+def random_k_out_graph(
+    spark: SparkSession,
+    n: int,
+    k: int,
+    alpha: float,
+    self_loops: bool = True,
+    seed: int = 0,
+):
+    """``directed.py`` ``random_k_out_graph`` — every node gets exactly k
+    out-arcs; targets drawn by the Pólya-urn weight ``alpha + in-degree``
+    (each chosen target's weight grows by one). Multi-arcs kept."""
+    if alpha < 0:
+        raise ValueError("alpha must be positive")
+    rng = _random.Random(int(seed))
+    weights = {v: float(alpha) for v in range(int(n))}
+    remaining = {v: int(k) for v in range(int(n))}
+    edges = []
+    while remaining:
+        u = rng.choice(list(remaining.keys()))
+        if not self_loops:
+            uw = weights.pop(u)
+        v = _weighted_pick(weights, rng)
+        if not self_loops:
+            weights[u] = uw
+        edges.append((u, v))
+        weights[v] += 1.0
+        remaining[u] -= 1
+        if remaining[u] == 0:
+            del remaining[u]
+    return _edges_to_graph(spark, edges, int(n), directed=True, multigraph=True)
+
+
+def duplication_divergence_graph(
+    spark: SparkSession, n: int, p: float, seed: int = 0
+) -> SparkGraph:
+    """``duplication.py`` ``duplication_divergence_graph`` (Ispolatov et
+    al. 2005): duplicate a random node, keep each copied link with prob p,
+    discard the replica if nothing is retained."""
+    if not 0 <= p <= 1:
+        raise NetworkXError(f"NetworkXError p={p} is not in [0,1].")
+    if n < 2:
+        raise NetworkXError("n must be greater than or equal to 2")
+    rng = _random.Random(int(seed))
+    adj = {0: {1}, 1: {0}}
+    i = 2
+    while i < int(n):
+        target = rng.choice(list(adj.keys()))
+        kept = set()
+        for nbr in adj[target]:
+            if rng.random() < p:
+                kept.add(nbr)
+        if kept:
+            adj[i] = kept
+            for nbr in kept:
+                adj[nbr].add(i)
+            i += 1
+    edges = {(min(u, v), max(u, v)) for u, nbrs in adj.items() for v in nbrs}
+    return _edges_to_graph(spark, sorted(edges), sorted(adj.keys()))
+
+
+def partial_duplication_graph(
+    spark: SparkSession, N: int, n: int, p: float, q: float, seed: int = 0
+) -> SparkGraph:
+    """``duplication.py`` ``partial_duplication_graph`` — start from K_n;
+    each new node copies a random source's neighbors with prob p each and
+    links to the source itself with prob q."""
+    if not (0 <= p <= 1 and 0 <= q <= 1):
+        raise NetworkXError("partial duplication graph must have 0 <= p, q <= 1.")
+    if n > N:
+        raise NetworkXError("partial duplication graph must have n <= N.")
+    rng = _random.Random(int(seed))
+    adj = {u: {v for v in range(int(n)) if v != u} for u in range(int(n))}
+    for new in range(int(n), int(N)):
+        src = rng.randint(0, new - 1)
+        adj[new] = set()
+        for nbr in list(adj[src]):
+            if rng.random() < p:
+                adj[new].add(nbr)
+                adj[nbr].add(new)
+        if rng.random() < q:
+            adj[new].add(src)
+            adj[src].add(new)
+    edges = {(min(u, v), max(u, v)) for u, nbrs in adj.items() for v in nbrs}
+    return _edges_to_graph(spark, sorted(edges), sorted(adj.keys()))
+
+
+def _preferential_subset(repeated, m, rng):
+    targets = set()
+    while len(targets) < m:
+        targets.add(rng.choice(repeated))
+    return targets
+
+
+def dual_barabasi_albert_graph(
+    spark: SparkSession, n: int, m1: int, m2: int, p: float, seed: int = 0
+) -> SparkGraph:
+    """``random_graphs.py`` ``dual_barabasi_albert_graph`` — BA growth
+    where each arriving node attaches m1 edges with prob p else m2."""
+    from linkgraph.generators import barabasi_albert_graph, star_graph
+
+    if not 0 <= p <= 1:
+        raise NetworkXError(f"NetworkXError p={p} is not in [0,1].")
+    if p == 1:
+        return barabasi_albert_graph(spark, n, m1, seed=seed)
+    if p == 0:
+        return barabasi_albert_graph(spark, n, m2, seed=seed)
+    m_max = max(int(m1), int(m2))
+    if m_max < 1 or m_max >= n:
+        raise NetworkXError(
+            f"dual BA must have 1 <= m1, m2 < n (got m1={m1}, m2={m2}, n={n})"
+        )
+    rng = _random.Random(int(seed))
+    edges = [(0, i) for i in range(1, m_max + 1)]  # star seed
+    repeated = [0] * m_max + list(range(1, m_max + 1))
+    source = m_max + 1
+    while source < int(n):
+        m = int(m1) if rng.random() < p else int(m2)
+        targets = _preferential_subset(repeated, m, rng)
+        edges.extend((source, t) for t in targets)
+        repeated.extend(targets)
+        repeated.extend([source] * m)
+        source += 1
+    return _edges_to_graph(spark, edges, int(n))
+
+
+def extended_barabasi_albert_graph(
+    spark: SparkSession, n: int, m: int, p: float, q: float, seed: int = 0
+) -> SparkGraph:
+    """``random_graphs.py`` ``extended_barabasi_albert_graph`` (Albert &
+    Barabási 2000): with prob p add m preferential edges between existing
+    nodes, with prob q rewire m edges, else grow by one node with m
+    preferential links."""
+    if p + q >= 1:
+        raise NetworkXError("extended BA requires p + q < 1")
+    if m < 1 or m >= n:
+        raise NetworkXError(f"extended BA must have 1 <= m < n (m={m}, n={n})")
+    rng = _random.Random(int(seed))
+    adj = {v: set() for v in range(int(m))}
+    pref = list(range(int(m)))  # smoothed attachment list, one entry per node + degree
+    new_node = int(m)
+    while new_node < int(n):
+        r = rng.random()
+        nnodes = len(adj)
+        clique_degree = nnodes - 1
+        clique_size = nnodes * clique_degree / 2
+        size = sum(len(s) for s in adj.values()) // 2
+        if r < p and size <= clique_size - m:
+            # add m edges between existing nodes
+            for _ in range(int(m)):
+                eligible = [u for u in adj if len(adj[u]) < clique_degree]
+                src = rng.choice(eligible)
+                prohibited = adj[src] | {src}
+                pool = [u for u in pref if u not in prohibited]
+                if not pool:
+                    continue
+                dst = rng.choice(pool)
+                adj[src].add(dst)
+                adj[dst].add(src)
+                pref.append(src)
+                pref.append(dst)
+        elif r < p + q and m <= size < clique_size:
+            # rewire m edges
+            for _ in range(int(m)):
+                eligible = [u for u in adj if 0 < len(adj[u]) < clique_degree]
+                if not eligible:
+                    break
+                node = rng.choice(eligible)
+                src = rng.choice(sorted(adj[node]))
+                pool = [u for u in pref if u not in adj[node] and u != node]
+                if not pool:
+                    continue
+                dst = rng.choice(pool)
+                adj[node].discard(src)
+                adj[src].discard(node)
+                adj[node].add(dst)
+                adj[dst].add(node)
+                pref.remove(src)
+                pref.append(dst)
+        else:
+            # grow
+            targets = _preferential_subset(pref, int(m), rng) if pref else set()
+            adj[new_node] = set(targets)
+            for t in targets:
+                adj[t].add(new_node)
+            pref.extend(targets)
+            pref.extend([new_node] * (int(m) + 1))
+            new_node += 1
+    edges = {(min(u, v), max(u, v)) for u, nbrs in adj.items() for v in nbrs}
+    return _edges_to_graph(spark, sorted(edges), sorted(adj.keys()))
+
+
+def _powerlaw_sequence(n, gamma, rng):
+    return [rng.paretovariate(float(gamma) - 1) for _ in range(int(n))]
+
+
+def random_powerlaw_tree_sequence(
+    spark_or_n, n: int = None, gamma: float = 3, seed: int = 0, tries: int = 100
+) -> "list[int]":
+    """``random_graphs.py`` ``random_powerlaw_tree_sequence`` — a degree
+    sequence drawn from a power law, element-swapped until it is a valid
+    tree sequence (sum = 2(n-1), all ≥ 1). Pure driver math (returns a
+    Python list like the reference); accepts an optional leading spark
+    argument for signature uniformity."""
+    if n is None:
+        n = int(spark_or_n)
+    rng = _random.Random(int(seed))
+    zseq = [min(int(n), max(round(s), 0)) for s in _powerlaw_sequence(n, gamma, rng)]
+    swap = [min(int(n), max(round(s), 0)) for s in _powerlaw_sequence(tries, gamma, rng)]
+
+    def _is_tree_seq(s):
+        return len(s) > 0 and sum(s) == 2 * (len(s) - 1) and min(s) >= 1
+
+    for _ in range(len(swap)):
+        if _is_tree_seq(zseq):
+            return zseq
+        index = rng.randint(0, int(n) - 1)
+        zseq[index] = swap.pop()
+    if _is_tree_seq(zseq):
+        return zseq
+    raise NetworkXError(
+        f"Exceeded max ({tries}) attempts for a valid tree sequence."
+    )
+
+
+def random_powerlaw_tree(
+    spark: SparkSession, n: int, gamma: float = 3, seed: int = 0, tries: int = 100
+) -> SparkGraph:
+    """``random_graphs.py`` ``random_powerlaw_tree`` — a tree realizing a
+    power-law degree sequence (built by the existing
+    ``degree_sequence_tree`` once the sequence validates)."""
+    seq = random_powerlaw_tree_sequence(n, gamma=gamma, seed=seed, tries=tries)
+    return degree_sequence_tree(spark, sorted(seq, reverse=True))
+
+
+def random_clustered_graph(
+    spark: SparkSession, joint_degree_sequence, seed: int = 0
+):
+    """``random_clustered.py`` ``random_clustered_graph`` — configuration
+    model over (independent-edge degree, triangle degree) pairs: shuffled
+    stubs pair into edges, shuffled triangle stubs group into triangles.
+    Multi-edges kept (multigraph), matching the reference."""
+    rng = _random.Random(int(seed))
+    joint = [(int(i), int(t)) for i, t in joint_degree_sequence]
+    ilist, tlist = [], []
+    for node, (i_deg, t_deg) in enumerate(joint):
+        ilist.extend([node] * i_deg)
+        tlist.extend([node] * t_deg)
+    if len(ilist) % 2 != 0 or len(tlist) % 3 != 0:
+        raise NetworkXError("Invalid degree sequence")
+    rng.shuffle(ilist)
+    rng.shuffle(tlist)
+    edges = []
+    while ilist:
+        edges.append((ilist.pop(), ilist.pop()))
+    while tlist:
+        n1, n2, n3 = tlist.pop(), tlist.pop(), tlist.pop()
+        edges.extend([(n1, n2), (n1, n3), (n2, n3)])
+    return _edges_to_graph(
+        spark, edges, len(joint), directed=False, multigraph=True
+    )
+
+
+def random_shell_graph(spark: SparkSession, constructor, seed: int = 0) -> SparkGraph:
+    """``random_graphs.py`` ``random_shell_graph`` — concentric gnm shells
+    ``(n, m, d)``; fraction d of each shell's m edges becomes inter-shell
+    links to the next shell."""
+    rng = _random.Random(int(seed))
+    edges = []
+    shells = []
+    offset = 0
+    intra = []
+    for n_s, m_s, d_s in constructor:
+        inter_edges = int(m_s * d_s)
+        intra.append(int(m_s) - inter_edges)
+        # gnm inside the shell (driver pairing; shells are small by contract)
+        pairs = set()
+        nodes = list(range(offset, offset + int(n_s)))
+        max_pairs = len(nodes) * (len(nodes) - 1) // 2
+        while len(pairs) < min(inter_edges, max_pairs):
+            u, v = rng.sample(nodes, 2)
+            pairs.add((min(u, v), max(u, v)))
+        edges.extend(pairs)
+        shells.append(nodes)
+        offset += int(n_s)
+    existing = set(edges)
+    for gi in range(len(shells) - 1):
+        count = 0
+        while count < intra[gi]:
+            u = rng.choice(shells[gi])
+            v = rng.choice(shells[gi + 1])
+            key = (min(u, v), max(u, v))
+            if u == v or key in existing:
+                continue
+            existing.add(key)
+            edges.append(key)
+            count += 1
+    return _edges_to_graph(spark, edges, offset)
+
+
+def random_cograph(spark: SparkSession, n: int, seed: int = 0) -> SparkGraph:
+    """``cographs.py`` ``random_cograph`` — n rounds of coin-flip
+    full-join / disjoint-union doubling; the result has 2**n nodes and no
+    induced P4."""
+    rng = _random.Random(int(seed))
+    nodes = [0]
+    edges = set()
+    for _ in range(int(n)):
+        k = len(nodes)
+        new_nodes = [x + k for x in nodes]
+        new_edges = {(u + k, v + k) for u, v in edges}
+        if rng.randint(0, 1) == 0:  # full join
+            cross = {(u, v + k) for u in nodes for v in nodes}
+            edges = edges | new_edges | cross
+        else:
+            edges = edges | new_edges
+        nodes = nodes + new_nodes
+    edges = {(min(u, v), max(u, v)) for u, v in edges}
+    return _edges_to_graph(spark, sorted(edges), len(nodes))
+
+
+def random_degree_sequence_graph(
+    spark: SparkSession, sequence, seed: int = 0, tries: int = 10
+) -> SparkGraph:
+    """``degree_seq.py`` ``random_degree_sequence_graph`` — a SIMPLE graph
+    with the given degree sequence. The reference samples via the
+    McKay-Wormald process; here rejection-sampled stub pairing (uniform
+    over pairings, retried until simple) realizes the same contract —
+    raises ``NetworkXUnfeasible``-style after ``tries`` failures."""
+    from linkgraph.algos.graphical import is_graphical
+
+    seq = [int(d) for d in sequence]
+    if not is_graphical(seq):
+        raise NetworkXError("degree sequence is not graphical")
+    rng = _random.Random(int(seed))
+    stubs0 = [v for v, d in enumerate(seq) for _ in range(d)]
+    for _ in range(max(1, int(tries))):
+        stubs = stubs0[:]
+        rng.shuffle(stubs)
+        pairs = list(zip(stubs[::2], stubs[1::2]))
+        simple = all(u != v for u, v in pairs)
+        key = {(min(u, v), max(u, v)) for u, v in pairs}
+        if simple and len(key) == len(pairs):
+            return _edges_to_graph(spark, pairs, len(seq))
+    raise NetworkXError(
+        f"failed to generate a simple graph in {tries} tries"
+    )
+
+
+def random_lobster_graph(
+    spark: SparkSession, n: int, p1: float, p2: float, seed: int = 0
+) -> SparkGraph:
+    """``random_graphs.py`` ``random_lobster_graph`` — the reference's
+    current name for ``random_lobster``."""
+    return random_lobster(spark, n, p1, p2, seed=seed)
