@@ -1090,6 +1090,18 @@ from linkgraph.random_graphs import (
     random_shell_graph,
     random_cograph,
     random_degree_sequence_graph,
+    thresholded_random_geometric_graph,
+    geographical_threshold_graph,
+    geometric_soft_configuration_graph,
+    navigable_small_world_graph,
+    uniform_random_intersection_graph,
+    k_random_intersection_graph,
+    general_random_intersection_graph,
+    random_kernel_graph,
+    maybe_regular_expander_graph,
+    maybe_regular_expander,
+    is_regular_expander,
+    random_regular_expander_graph,
 )
 from linkgraph.layout import (
     random_layout,

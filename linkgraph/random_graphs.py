@@ -72,6 +72,18 @@ __all__ = [
     "random_shell_graph",
     "random_cograph",
     "random_degree_sequence_graph",
+    "thresholded_random_geometric_graph",
+    "geographical_threshold_graph",
+    "geometric_soft_configuration_graph",
+    "navigable_small_world_graph",
+    "uniform_random_intersection_graph",
+    "k_random_intersection_graph",
+    "general_random_intersection_graph",
+    "random_kernel_graph",
+    "maybe_regular_expander_graph",
+    "maybe_regular_expander",
+    "is_regular_expander",
+    "random_regular_expander_graph",
 ]
 
 _U53 = float(1 << 53)
@@ -1279,3 +1291,436 @@ def random_lobster_graph(
     """``random_graphs.py`` ``random_lobster_graph`` — the reference's
     current name for ``random_lobster``."""
     return random_lobster(spark, n, p1, p2, seed=seed)
+
+
+# ---------------------------------------------------------------------- #
+# geometric tail + intersection graphs + expanders (``geometric.py``,
+# ``intersection.py``, ``expanders.py``, ``random_graphs.py``)
+# ---------------------------------------------------------------------- #
+
+
+def _expo_weight(seed, tag):
+    """Exponential(1) per node from a hash-uniform draw: -ln(1 - u)."""
+    u = _coin(F.lit(int(seed)), F.col("id"), F.lit(tag))
+    return -F.log(F.lit(1.0) - u)
+
+
+def thresholded_random_geometric_graph(
+    spark: SparkSession,
+    n: int,
+    radius: float,
+    theta: float,
+    dim: int = 2,
+    seed: int = 0,
+) -> SparkGraph:
+    """``geometric.py`` ``thresholded_random_geometric_graph`` — geometric
+    proximity (grid-bucket join, never all-pairs) AND weight threshold
+    ``w_u + w_v >= theta`` with Exponential(1) node weights. Positions and
+    weights ride as vertex columns (the reference's attributes)."""
+    pos = (
+        _positions(spark, n, int(dim), seed)
+        .withColumn("node_weight", _expo_weight(seed, 101))
+        .persist()
+    )
+    cand = _cell_join(pos.drop("node_weight"), float(radius), int(dim))
+    w = pos.select("id", "node_weight")
+    e = (
+        cand.filter(F.col("_d2") <= float(radius) ** 2)
+        .select(F.col("id").alias("src"), F.col("r_id").alias("dst"))
+        .join(w.select(F.col("id").alias("src"), F.col("node_weight").alias("_wu")), "src")
+        .join(w.select(F.col("id").alias("dst"), F.col("node_weight").alias("_wv")), "dst")
+        .filter(F.col("_wu") + F.col("_wv") >= float(theta))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    return SparkGraph(e, vertices=pos, directed=False, coalesce_edges=False)
+
+
+def geographical_threshold_graph(
+    spark: SparkSession,
+    n: int,
+    theta: float,
+    dim: int = 2,
+    seed: int = 0,
+    p_dist: str = None,
+) -> SparkGraph:
+    """``geometric.py`` ``geographical_threshold_graph`` (Masuda et al.
+    2005) — join nodes u, v iff ``(w_u + w_v) * p_dist(r) >= theta`` with
+    Exponential(1) weights and hash-uniform positions. ``p_dist`` is a SQL
+    expression in the distance variable ``r`` (default ``power(r, -2)``) —
+    the Spark twin of the reference's callable. The interaction is
+    unbounded in distance (heavy nodes join far away), so the candidate
+    set is the full id< pair join — the model's own density, not a plan
+    choice."""
+    pos = (
+        _positions(spark, n, int(dim), seed)
+        .withColumn("node_weight", _expo_weight(seed, 103))
+        .persist()
+    )
+    right = pos.select(*[F.col(c).alias(f"r_{c}") for c in pos.columns])
+    dist2 = None
+    for d in range(int(dim)):
+        t = (F.col(f"x{d}") - F.col(f"r_x{d}")) ** 2
+        dist2 = t if dist2 is None else dist2 + t
+    pd_expr = F.expr((p_dist or "power(r, -2)"))
+    e = (
+        pos.join(right, F.col("id") < F.col("r_id"))
+        .withColumn("r", F.sqrt(dist2))
+        .withColumn("_p", pd_expr)
+        .filter((F.col("node_weight") + F.col("r_node_weight")) * F.col("_p") >= float(theta))
+        .select(F.col("id").alias("src"), F.col("r_id").alias("dst"),
+                F.lit(1.0).alias("weight"))
+    )
+    return SparkGraph(e, vertices=pos, directed=False, coalesce_edges=False)
+
+
+def geometric_soft_configuration_graph(
+    spark: SparkSession,
+    *,
+    beta: float,
+    n: int = None,
+    gamma: float = None,
+    mean_degree: float = None,
+    kappas: dict = None,
+    seed: int = 0,
+) -> SparkGraph:
+    """``geometric.py`` ``geometric_soft_configuration_graph`` — the
+    S1/H2 soft-configuration model. Every pair connects independently with
+    ``p_ij = 1 / (1 + (R·Δθ)^β / (μ κ_u κ_v)^max(1,β))``, so the
+    reference's sequential insertion loop is exactly a pair-wise coin —
+    one id< join with hash coins, embarrassingly parallel. Vertices carry
+    ``kappa``, ``theta`` and ``radius`` columns like the reference's node
+    attributes."""
+    import math
+
+    if kappas is not None:
+        if not (n is None and gamma is None and mean_degree is None):
+            raise NetworkXError(
+                "When kappas is provided, n, gamma and mean_degree must not be."
+            )
+        items = sorted(kappas.items())
+        kdf = spark.createDataFrame(
+            [(int(k), float(v)) for k, v in items], "id long, kappa double"
+        )
+        n = len(items)
+        mean_degree = sum(kappas.values()) / n
+    else:
+        if n is None or gamma is None or mean_degree is None:
+            raise NetworkXError(
+                "Please provide either kappas, or all 3 of: n, gamma and mean_degree."
+            )
+        gam_ratio = (gamma - 2) / (gamma - 1)
+        kappa_0 = mean_degree * gam_ratio * (1 - 1 / n) / (1 - 1 / n**gam_ratio)
+        base = 1 - 1 / n
+        power = 1 / (1 - gamma)
+        u = _coin(F.lit(int(seed)), F.col("id"), F.lit(11))
+        kdf = spark.range(int(n)).select(
+            F.col("id").cast("long"),
+            (F.lit(kappa_0) * (F.lit(1.0) - u * F.lit(base)) ** F.lit(power)).alias("kappa"),
+        )
+    R = n / (2 * math.pi)
+    if beta > 1:
+        mu = beta * math.sin(math.pi / beta) / (2 * math.pi * mean_degree)
+    elif beta == 1:
+        mu = 1 / (2 * mean_degree * math.log(n))
+    else:
+        mu = (1 - beta) / (2**beta * mean_degree * n ** (1 - beta))
+    theta_col = _coin(F.lit(int(seed)), F.col("id"), F.lit(13)) * F.lit(2 * math.pi)
+    zeta = 1 if beta > 1 else 1 / beta
+    R_c = 2 * max(1, beta) / (beta * zeta)
+    R_hat_base = (2 / zeta) * math.log(n / math.pi)
+    pos = kdf.withColumn("theta", theta_col).persist()
+    right = pos.select(*[F.col(c).alias(f"r_{c}") for c in pos.columns])
+    import math as _m
+
+    angle = F.lit(_m.pi) - F.abs(F.lit(_m.pi) - F.abs(F.col("theta") - F.col("r_theta")))
+    dij = (F.lit(R) * angle) ** F.lit(float(beta))
+    mk = (F.lit(mu) * F.col("kappa") * F.col("r_kappa")) ** F.lit(float(max(1, beta)))
+    p_ij = F.lit(1.0) / (F.lit(1.0) + dij / mk)
+    coin = _coin(F.lit(int(seed)), F.col("id"), F.col("r_id"), F.lit(17))
+    e = (
+        pos.join(right, F.col("id") < F.col("r_id"))
+        .filter(coin < p_ij)
+        .select(F.col("id").alias("src"), F.col("r_id").alias("dst"),
+                F.lit(1.0).alias("weight"))
+    )
+    # radius column: R_hat - R_c * log(kappa), R_hat from the min kappa
+    kappa_min = pos.agg(F.min("kappa")).collect()[0][0]
+    R_hat = R_hat_base - R_c * _m.log(mu * kappa_min)
+    v_final = pos.withColumn("radius", F.lit(R_hat) - F.lit(R_c) * F.log("kappa"))
+    return SparkGraph(e, vertices=v_final, directed=False, coalesce_edges=False)
+
+
+def navigable_small_world_graph(
+    spark: SparkSession,
+    n: int,
+    p: int = 1,
+    q: int = 1,
+    r: float = 2,
+    dim: int = 2,
+    seed: int = 0,
+) -> SparkGraph:
+    """``geometric.py`` ``navigable_small_world_graph`` (Kleinberg 2000) —
+    an n^dim grid with arcs to every node within L1 distance p plus q
+    long-range arcs per node drawn ∝ d^-r. The reference keys nodes by
+    grid tuples; here ids are the mixed-radix encoding and the grid
+    coordinates ride as vertex columns c0..c{dim-1}. The long-range draw
+    conditions on the full distance CDF per node (the model is O(n^2dim)
+    by definition), run driver-side like the reference."""
+    from itertools import product as _product
+    from bisect import bisect_left
+    from itertools import accumulate
+
+    if p < 1:
+        raise NetworkXError("p must be >= 1")
+    if q < 0:
+        raise NetworkXError("q must be >= 0")
+    if r < 0:
+        raise NetworkXError("r must be >= 0")
+    rng = _random.Random(int(seed))
+    nodes = list(_product(range(int(n)), repeat=int(dim)))
+
+    def enc(t):
+        x = 0
+        for c in t:
+            x = x * int(n) + int(c)
+        return x
+
+    arcs = set()
+    for p1 in nodes:
+        probs = [0.0]
+        others = []
+        for p2 in nodes:
+            if p1 == p2:
+                continue
+            d = sum(abs(b - a) for a, b in zip(p1, p2))
+            if d <= p:
+                arcs.add((enc(p1), enc(p2)))
+            others.append(p2)
+            probs.append(float(d) ** (-float(r)) if r > 0 else 1.0)
+        cdf = list(accumulate(probs))
+        for _ in range(int(q)):
+            x = rng.uniform(0, cdf[-1])
+            idx = bisect_left(cdf, x)
+            target = others[max(0, idx - 1)]
+            arcs.add((enc(p1), enc(target)))
+    v = spark.createDataFrame(
+        [(enc(t), *[int(c) for c in t]) for t in nodes],
+        "id long, " + ", ".join(f"c{d} long" for d in range(int(dim))),
+    )
+    e = spark.createDataFrame(
+        [(u, w, 1.0) for u, w in sorted(arcs)], "src long, dst long, weight double"
+    )
+    return SparkGraph(e, vertices=v, directed=True, coalesce_edges=False)
+
+
+def uniform_random_intersection_graph(
+    spark: SparkSession, n: int, m: int, p: float, seed: int = 0
+) -> SparkGraph:
+    """``intersection.py`` ``uniform_random_intersection_graph`` — nodes
+    pick each of m attributes with prob p; two nodes join iff they share
+    an attribute. Distributed: the membership table is an n×m hash-coin
+    grid, the projection is one equi-join on the attribute key (the LSH
+    bucket-join shape — never all-pairs unless the model itself is)."""
+    member = (
+        spark.range(int(n)).select(F.col("id"))
+        .crossJoin(spark.range(int(m)).select(F.col("id").alias("attr")))
+        .filter(_coin(F.lit(int(seed)), "id", "attr") < float(p))
+    )
+    other = member.select(F.col("id").alias("r_id"), "attr")
+    e = (
+        member.join(other, "attr")
+        .filter(F.col("id") < F.col("r_id"))
+        .select(F.col("id").alias("src"), F.col("r_id").alias("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return SparkGraph(e, vertices=_vertices(spark, int(n)), directed=False,
+                      coalesce_edges=False)
+
+
+def k_random_intersection_graph(
+    spark: SparkSession, n: int, m: int, k: int, seed: int = 0
+) -> SparkGraph:
+    """``intersection.py`` ``k_random_intersection_graph`` — each node
+    picks exactly k of m attributes uniformly; edge iff shared attribute.
+    The exact-k sample is a per-node top-k over hash ranks (one window
+    partitioned by node), then the same attribute equi-join."""
+    from pyspark.sql import Window
+
+    ranked = (
+        spark.range(int(n)).select(F.col("id"))
+        .crossJoin(spark.range(int(m)).select(F.col("id").alias("attr")))
+        .withColumn("_h", F.xxhash64(F.lit(int(seed)), "id", "attr"))
+        .withColumn(
+            "_rk", F.row_number().over(Window.partitionBy("id").orderBy("_h", "attr"))
+        )
+        .filter(F.col("_rk") <= int(k))
+        .select("id", "attr")
+    )
+    other = ranked.select(F.col("id").alias("r_id"), "attr")
+    e = (
+        ranked.join(other, "attr")
+        .filter(F.col("id") < F.col("r_id"))
+        .select(F.col("id").alias("src"), F.col("r_id").alias("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return SparkGraph(e, vertices=_vertices(spark, int(n)), directed=False,
+                      coalesce_edges=False)
+
+
+def general_random_intersection_graph(
+    spark: SparkSession, n: int, m: int, p, seed: int = 0
+) -> SparkGraph:
+    """``intersection.py`` ``general_random_intersection_graph`` — per-
+    attribute membership probabilities ``p[j]``; the probability vector is
+    broadcast-joined onto the membership grid."""
+    p = [float(x) for x in p]
+    if len(p) != int(m):
+        raise ValueError("Probability list p must have m elements.")
+    pdf = spark.createDataFrame(
+        [(j, pj) for j, pj in enumerate(p)], "attr long, _p double"
+    )
+    member = (
+        spark.range(int(n)).select(F.col("id"))
+        .crossJoin(F.broadcast(pdf))
+        .filter(_coin(F.lit(int(seed)), "id", "attr") < F.col("_p"))
+        .select("id", "attr")
+    )
+    other = member.select(F.col("id").alias("r_id"), "attr")
+    e = (
+        member.join(other, "attr")
+        .filter(F.col("id") < F.col("r_id"))
+        .select(F.col("id").alias("src"), F.col("r_id").alias("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return SparkGraph(e, vertices=_vertices(spark, int(n)), directed=False,
+                      coalesce_edges=False)
+
+
+def random_kernel_graph(
+    spark: SparkSession, n: int, kernel_integral, kernel_root=None, seed: int = 0
+) -> SparkGraph:
+    """``random_graphs.py`` ``random_kernel_graph`` (Hagberg-Lemons 2015)
+    — sparse inhomogeneous random graph by kernel-CDF skip sampling. The
+    skip recurrence is sequential (each jump conditions on the last),
+    driver-side; ``kernel_root`` defaults to bisection on
+    ``kernel_integral`` (SciPy-free)."""
+    import math
+
+    if kernel_root is None:
+        def kernel_root(y, a, r):
+            lo, hi = a, 1.0
+            for _ in range(80):
+                mid = (lo + hi) / 2
+                if kernel_integral(y, a, mid) - r < 0:
+                    lo = mid
+                else:
+                    hi = mid
+            return hi
+    rng = _random.Random(int(seed))
+    edges = []
+    i, j = 1, 1
+    n = int(n)
+    while i < n:
+        r = -math.log(1 - rng.random())
+        if kernel_integral(i / n, j / n, 1) <= r:
+            i, j = i + 1, i + 1
+        else:
+            j = math.ceil(n * kernel_root(i / n, j / n, r))
+            edges.append((i - 1, j - 1))
+    return _edges_to_graph(spark, edges, n)
+
+
+def maybe_regular_expander_graph(
+    spark: SparkSession, n: int, d: int, max_tries: int = 100, seed: int = 0
+) -> SparkGraph:
+    """``expanders.py`` ``maybe_regular_expander_graph`` — union of d/2
+    edge-disjoint Hamiltonian cycles from random permutations (Joel
+    Friedman's construction: almost surely Ramanujan)."""
+    if n < 1:
+        raise NetworkXError("n must be a positive integer")
+    if d < 1 or d % 2 != 0:
+        raise NetworkXError("d must be a positive even integer")
+    if n - 1 < d:
+        raise NetworkXError(
+            f"Need n-1>= d to have room for {d // 2} independent cycles with {n} nodes"
+        )
+    rng = _random.Random(int(seed))
+    edges = set()
+    if n < 2:
+        return _edges_to_graph(spark, [], int(n))
+    for i in range(d // 2):
+        tries = int(max_tries)
+        while len(edges) != (i + 1) * n:
+            tries -= 1
+            cycle = list(range(n - 1))
+            rng.shuffle(cycle)
+            cycle.append(n - 1)
+            new = set()
+            ok = True
+            for u, v in zip(cycle, cycle[1:] + cycle[:1]):
+                key = (min(u, v), max(u, v))
+                if key in edges or key in new or u == v:
+                    ok = False
+                    break
+                new.add(key)
+            if ok and len(new) == n:
+                edges.update(new)
+            if tries == 0:
+                raise NetworkXError("Too many iterations in maybe_regular_expander_graph")
+    return _edges_to_graph(spark, sorted(edges), int(n))
+
+
+def maybe_regular_expander(
+    spark: SparkSession, n: int, d: int, max_tries: int = 100, seed: int = 0
+) -> SparkGraph:
+    """``expanders.py`` alias of ``maybe_regular_expander_graph``."""
+    return maybe_regular_expander_graph(spark, n, d, max_tries=max_tries, seed=seed)
+
+
+def is_regular_expander(g: SparkGraph, *, epsilon: float = 0,
+                        max_driver_nodes: int = 200_000) -> bool:
+    """``expanders.py`` ``is_regular_expander`` — d-regular AND
+    ``|λ2| < 2√(d-1) + ε`` (Ramanujan bound). The spectral check collects
+    the (sparse) adjacency to the driver under a size guard — an O(n)
+    eigensolve is inherently a numerics kernel, exactly as the reference
+    defers to scipy."""
+    import numpy as np
+
+    from linkgraph.algos.degrees import is_regular
+
+    if epsilon < 0:
+        raise NetworkXError("epsilon must be non negative")
+    if not is_regular(g):
+        return False
+    nv = g.vertices.count()
+    if nv > max_driver_nodes:
+        raise NetworkXError(
+            f"is_regular_expander: {nv} nodes exceeds max_driver_nodes"
+        )
+    ids = sorted(r["id"] for r in g.vertices.select("id").collect())
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((nv, nv))
+    for r in g.symmetric_edges().select("src", "dst").collect():
+        A[idx[r["src"]], idx[r["dst"]]] = 1.0
+    d = int(A[0].sum())
+    lams = np.sort(np.abs(np.linalg.eigvalsh(A)))[::-1]
+    lambda2 = lams[1] if nv > 1 else 0.0
+    return bool(abs(lambda2) < 2 * np.sqrt(max(d - 1, 0)) + epsilon)
+
+
+def random_regular_expander_graph(
+    spark: SparkSession, n: int, d: int, *, epsilon: float = 0,
+    max_tries: int = 100, seed: int = 0
+) -> SparkGraph:
+    """``expanders.py`` ``random_regular_expander_graph`` — retry the
+    maybe-expander draw until the Ramanujan check passes."""
+    for t in range(int(max_tries)):
+        g = maybe_regular_expander_graph(
+            spark, n, d, max_tries=max_tries, seed=int(seed) + 7907 * t
+        )
+        if is_regular_expander(g, epsilon=epsilon):
+            return g
+    raise NetworkXError("Too many iterations in random_regular_expander_graph")
