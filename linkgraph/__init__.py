@@ -1102,6 +1102,15 @@ from linkgraph.random_graphs import (
     maybe_regular_expander,
     is_regular_expander,
     random_regular_expander_graph,
+    random_labeled_rooted_tree,
+    random_labeled_rooted_forest,
+    random_unlabeled_rooted_tree,
+    random_unlabeled_rooted_forest,
+    random_unlabeled_tree,
+)
+from linkgraph.nonisomorphic_trees import (
+    nonisomorphic_trees,
+    number_of_nonisomorphic_trees,
 )
 from linkgraph.layout import (
     random_layout,

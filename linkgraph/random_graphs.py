@@ -84,6 +84,11 @@ __all__ = [
     "maybe_regular_expander",
     "is_regular_expander",
     "random_regular_expander_graph",
+    "random_labeled_rooted_tree",
+    "random_labeled_rooted_forest",
+    "random_unlabeled_rooted_tree",
+    "random_unlabeled_rooted_forest",
+    "random_unlabeled_tree",
 ]
 
 _U53 = float(1 << 53)
@@ -1724,3 +1729,251 @@ def random_regular_expander_graph(
         if is_regular_expander(g, epsilon=epsilon):
             return g
     raise NetworkXError("Too many iterations in random_regular_expander_graph")
+
+
+# ---------------------------------------------------------------------- #
+# uniform random trees/forests, labeled + unlabeled (``trees.py``)
+# — counting/sampling recurrences are integer driver math (Nijenhuis-Wilf
+# RANRUT / Wilf "Free"); the resulting tree is the distributed object.
+# ---------------------------------------------------------------------- #
+
+
+def random_labeled_rooted_tree(spark: SparkSession, n: int, seed: int = 0) -> SparkGraph:
+    """``trees.py`` ``random_labeled_rooted_tree`` — a uniform labeled
+    tree with a uniform root, recorded in ``g.graph['root']``."""
+    rng = _random.Random(int(seed))
+    g = random_labeled_tree(spark, n, seed=int(seed) + 1)
+    g.graph = {"root": rng.randrange(int(n))} if int(n) > 0 else {}
+    return g
+
+
+def random_labeled_rooted_forest(spark: SparkSession, n: int, seed: int = 0) -> SparkGraph:
+    """``trees.py`` ``random_labeled_rooted_forest`` — uniform over
+    labeled rooted forests via the generalized Prüfer coding (Knuth 1968 /
+    Rubey 2000); roots recorded in ``g.graph['roots']``."""
+    from math import factorial
+
+    n = int(n)
+    rng = _random.Random(int(seed))
+    if n == 0:
+        g = _edges_to_graph(spark, [], 0)
+        g.graph = {"roots": set()}
+        return g
+
+    r = rng.randint(0, (n + 1) ** (n - 1) - 1)
+    cum = 0
+    k = n
+    for kk in range(1, n):
+        cum += (factorial(n - 1) * n ** (n - kk)) // (
+            factorial(kk - 1) * factorial(n - kk)
+        )
+        if r < cum:
+            k = kk
+            break
+    if k == n:
+        g = _edges_to_graph(spark, [], n)
+        g.graph = {"roots": set(range(n))}
+        return g
+    roots = rng.sample(range(n), k)
+    p = set(range(n)) - set(roots)
+    code = [rng.randint(0, n - 1) for _ in range(n - k - 1)]
+    from collections import Counter
+
+    degree = Counter(x for x in code if x in p)
+    it = iter(x for x in sorted(p) if degree[x] == 0)
+    edges = []
+    u = last = next(it)
+    for v in code:
+        edges.append((u, v))
+        degree[v] -= 1
+        if v < last and degree[v] == 0:
+            u = v
+        else:
+            last = u = next(it)
+    edges.append((u, roots[0]))
+    g = _edges_to_graph(spark, edges, n)
+    g.graph = {"roots": set(roots)}
+    return g
+
+
+def _num_rooted_trees(n, cache):
+    """A000081: unlabeled rooted trees on n nodes (Euler-transform
+    recurrence), memoized in ``cache``."""
+    for m in range(len(cache), n + 1):
+        s = 0
+        for d in range(1, m):
+            for j in range(1, (m - 1) // d + 1):
+                s += d * cache[m - j * d] * cache[d]
+        cache.append(s // (m - 1) if m > 1 else 1)
+    return cache[n]
+
+
+def _select_jd_trees(n, cache, rng):
+    """Pick (j, d) with Wilf's RANRUT split probability (formula (5),
+    Nijenhuis-Wilf ch. 29)."""
+    p = rng.randint(0, _num_rooted_trees(n, cache) * (n - 1) - 1)
+    cum = 0
+    for d in range(n - 1, 0, -1):
+        for j in range(1, (n - 1) // d + 1):
+            cum += d * _num_rooted_trees(n - j * d, cache) * _num_rooted_trees(d, cache)
+            if p < cum:
+                return j, d
+    raise AssertionError("unreachable")
+
+
+def _ranrut(n, cache, rng):
+    """Uniform unlabeled rooted tree as (edge list, node count); root 0."""
+    if n == 1:
+        return [], 1
+    if n == 2:
+        return [(0, 1)], 2
+    j, d = _select_jd_trees(n, cache, rng)
+    t1, n1 = _ranrut(n - j * d, cache, rng)
+    t2, n2 = _ranrut(d, cache, rng)
+    for _ in range(j):
+        t1.append((0, n1))
+        t1.extend((a + n1, b + n1) for a, b in t2)
+        n1 += n2
+    return t1, n1
+
+
+def random_unlabeled_rooted_tree(
+    spark: SparkSession, n: int, *, number_of_trees: int = None, seed: int = 0
+):
+    """``trees.py`` ``random_unlabeled_rooted_tree`` — uniform over
+    ISOMORPHISM CLASSES of rooted trees (RANRUT, Nijenhuis-Wilf 1978).
+    Root is node 0 (``g.graph['root']``). With ``number_of_trees`` returns
+    a list, like the reference."""
+    if n <= 0:
+        raise NetworkXError("n must be greater than zero")
+    rng = _random.Random(int(seed))
+    cache = [0, 1]
+
+    def one():
+        edges, nn = _ranrut(int(n), cache, rng)
+        g = _edges_to_graph(spark, edges, nn)
+        g.graph = {"root": 0}
+        return g
+
+    if number_of_trees is None:
+        return one()
+    return [one() for _ in range(int(number_of_trees))]
+
+
+def _num_rooted_forests(n, q, cache):
+    """Unlabeled rooted forests on n nodes, each tree <= q nodes
+    (Wilf 1981 formula (2))."""
+    for m in range(len(cache), n + 1):
+        q_i = min(m, q)
+        s = 0
+        for d in range(1, q_i + 1):
+            for j in range(1, m // d + 1):
+                s += d * cache[m - j * d] * cache[d - 1]
+        cache.append(s // m if m > 0 else 1)
+    return cache[n]
+
+
+def _select_jd_forests(n, q, cache_f, rng):
+    p = rng.randint(0, _num_rooted_forests(n, q, cache_f) * n - 1)
+    cum = 0
+    for d in range(q, 0, -1):
+        for j in range(1, n // d + 1):
+            cum += (
+                d
+                * _num_rooted_forests(n - j * d, q, cache_f)
+                * _num_rooted_forests(d - 1, q, cache_f)
+            )
+            if p < cum:
+                return j, d
+    raise AssertionError("unreachable")
+
+
+def _ranruf(n, q, cache_t, cache_f, rng):
+    """Uniform unlabeled rooted forest (algorithm "Forest", Wilf 1981):
+    (edges, node count, list of roots)."""
+    if n == 0:
+        return [], 0, []
+    j, d = _select_jd_forests(n, q, cache_f, rng)
+    t1, n1, r1 = _ranruf(n - j * d, q, cache_t, cache_f, rng)
+    t2, n2 = _ranrut(d, cache_t, rng)
+    for _ in range(j):
+        r1.append(n1)
+        t1.extend((a + n1, b + n1) for a, b in t2)
+        n1 += n2
+    return t1, n1, r1
+
+
+def random_unlabeled_rooted_forest(
+    spark: SparkSession, n: int, *, q: int = None,
+    number_of_forests: int = None, seed: int = 0
+):
+    """``trees.py`` ``random_unlabeled_rooted_forest`` — uniform over
+    isomorphism classes of rooted forests with at most ``q`` nodes per
+    tree; roots in ``g.graph['roots']``."""
+    if q is None:
+        q = int(n)
+    if q == 0 and n != 0:
+        raise NetworkXError("q must be a positive integer if n > 0.")
+    rng = _random.Random(int(seed))
+    cache_t = [0, 1]
+    cache_f = [1]
+
+    def one():
+        edges, nn, roots = _ranruf(int(n), int(q), cache_t, cache_f, rng)
+        g = _edges_to_graph(spark, edges, nn)
+        g.graph = {"roots": set(roots)}
+        return g
+
+    if number_of_forests is None:
+        return one()
+    return [one() for _ in range(int(number_of_forests))]
+
+
+def _num_trees(n, cache):
+    """Otter's formula: free trees from rooted trees."""
+    from math import comb
+
+    r = _num_rooted_trees(n, cache) - sum(
+        _num_rooted_trees(j, cache) * _num_rooted_trees(n - j, cache)
+        for j in range(1, n // 2 + 1)
+    )
+    if n % 2 == 0:
+        r += comb(_num_rooted_trees(n // 2, cache) + 1, 2)
+    return r
+
+
+def random_unlabeled_tree(
+    spark: SparkSession, n: int, *, number_of_trees: int = None, seed: int = 0
+):
+    """``trees.py`` ``random_unlabeled_tree`` — uniform over isomorphism
+    classes of FREE trees (Wilf's algorithm "Free": bicentroid split for
+    even n, else a rooted forest hung under a new centroid)."""
+    from math import comb
+
+    if n <= 0:
+        raise NetworkXError("n must be greater than zero")
+    rng = _random.Random(int(seed))
+    cache_t = [0, 1]
+    cache_f = [1]
+
+    def one():
+        nn = int(n)
+        p = comb(_num_rooted_trees(nn // 2, cache_t) + 1, 2) if nn % 2 == 0 else 0
+        if rng.randint(0, _num_trees(nn, cache_t) - 1) < p:
+            # bicenter: two rooted halves joined at the roots
+            t, tn = _ranrut(nn // 2, cache_t, rng)
+            if rng.randint(0, _num_rooted_trees(nn // 2, cache_t)) == 0:
+                t2, t2n = list(t), tn
+            else:
+                t2, t2n = _ranrut(nn // 2, cache_t, rng)
+            edges = list(t)
+            edges.extend((a + nn // 2, b + nn // 2) for a, b in t2)
+            edges.append((0, nn // 2))
+            return _edges_to_graph(spark, edges, tn + t2n)
+        f, nf, roots = _ranruf(nn - 1, (nn - 1) // 2, cache_t, cache_f, rng)
+        edges = list(f) + [(i, nf) for i in roots]
+        return _edges_to_graph(spark, edges, nf + 1)
+
+    if number_of_trees is None:
+        return one()
+    return [one() for _ in range(int(number_of_trees))]
