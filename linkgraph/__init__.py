@@ -1112,6 +1112,16 @@ from linkgraph.nonisomorphic_trees import (
     nonisomorphic_trees,
     number_of_nonisomorphic_trees,
 )
+from linkgraph.random_graphs import (
+    directed_configuration_model,
+    directed_havel_hakimi_graph,
+)
+from linkgraph.joint_degree import (
+    is_valid_joint_degree,
+    joint_degree_graph,
+    is_valid_directed_joint_degree,
+    directed_joint_degree_graph,
+)
 from linkgraph.layout import (
     random_layout,
     circular_layout,

@@ -89,6 +89,8 @@ __all__ = [
     "random_unlabeled_rooted_tree",
     "random_unlabeled_rooted_forest",
     "random_unlabeled_tree",
+    "directed_configuration_model",
+    "directed_havel_hakimi_graph",
 ]
 
 _U53 = float(1 << 53)
@@ -1977,3 +1979,115 @@ def random_unlabeled_tree(
     if number_of_trees is None:
         return one()
     return [one() for _ in range(int(number_of_trees))]
+
+
+def directed_configuration_model(
+    spark: SparkSession,
+    in_degree_sequence,
+    out_degree_sequence,
+    seed: int = 0,
+) -> SparkGraph:
+    """``degree_seq.py`` ``directed_configuration_model`` — uniform
+    matching of out-stubs to in-stubs: both stub tables get independent
+    hash ranks and equal ranks pair into arcs. Parallel arcs coalesce
+    with multiplicity in ``weight``, self-loops survive, so in/out degree
+    sums match exactly. Same one-sort shuffle shape as the undirected
+    kernel."""
+    from pyspark.sql import Window
+
+    din = [int(d) for d in in_degree_sequence]
+    dout = [int(d) for d in out_degree_sequence]
+    if sum(din) != sum(dout):
+        raise NetworkXError(
+            "Invalid degree sequences: sequences must have equal sums"
+        )
+    if len(din) < len(dout):
+        din += [0] * (len(dout) - len(din))
+    elif len(dout) < len(din):
+        dout += [0] * (len(din) - len(dout))
+
+    def _ranked(degs, tag):
+        ddf = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(degs)], "id long, deg int"
+        )
+        stubs = ddf.select(
+            "id", F.explode(F.sequence(F.lit(0), F.col("deg") - 1)).alias("k")
+        ).filter(F.col("k") >= 0)
+        return stubs.select(
+            "id",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.xxhash64(F.lit(int(seed)), F.lit(tag), "id", "k"),
+                    "id",
+                    "k",
+                )
+            )
+            .alias("r"),
+        )
+    outs = _ranked(dout, 1).withColumnRenamed("id", "src")
+    ins = _ranked(din, 2).withColumnRenamed("id", "dst")
+    arcs = outs.join(ins, "r").select("src", "dst").withColumn(
+        "weight", F.lit(1.0)
+    )
+    return SparkGraph(arcs, vertices=_vertices(spark, len(din)),
+                      directed=True, coalesce_edges=True)
+
+
+def directed_havel_hakimi_graph(
+    spark: SparkSession, in_deg_sequence, out_deg_sequence
+) -> SparkGraph:
+    """``degree_seq.py`` ``directed_havel_hakimi_graph`` — Kleitman-Wang
+    greedy realization of a digraphical pair of sequences: repeatedly
+    satisfy the full in-degree of the node with the lexicographically
+    largest (out, in) remaining stubs, drawing arcs from the current
+    largest-out-degree donors. Sequential greedy over a global priority
+    state — driver-side like the reference; raises when the sequences are
+    not digraphical."""
+    import heapq
+
+    din = [int(d) for d in in_deg_sequence]
+    dout = [int(d) for d in out_deg_sequence]
+    if any(d < 0 for d in din + dout):
+        raise NetworkXError(
+            "Invalid degree sequences. Sequence values must be positive."
+        )
+    if sum(din) != sum(dout):
+        raise NetworkXError(
+            "Invalid degree sequences. Sequences must have equal sums."
+        )
+    n = max(len(din), len(dout))
+    din += [0] * (n - len(din))
+    dout += [0] * (n - len(dout))
+    # unsatisfied-in nodes keyed by (-out, -in); satisfied-in by (-out)
+    stubheap = [(-o, -i, v) for v, (i, o) in enumerate(zip(din, dout)) if i > 0]
+    zeroheap = [(-o, v) for v, (i, o) in enumerate(zip(din, dout))
+                if i == 0 and o > 0]
+    heapq.heapify(stubheap)
+    heapq.heapify(zeroheap)
+    edges = []
+    while stubheap:
+        neg_out, neg_in, target = heapq.heappop(stubheap)
+        need = -neg_in
+        if need > len(stubheap) + len(zeroheap):
+            raise NetworkXError("Non-digraphical integer sequence")
+        touched = []
+        for _ in range(need):
+            if zeroheap and (not stubheap or stubheap[0][0] > zeroheap[0][0]):
+                d_out, donor = heapq.heappop(zeroheap)
+                d_in = 0
+            else:
+                d_out, d_in, donor = heapq.heappop(stubheap)
+            if d_out == 0:
+                raise NetworkXError("Non-digraphical integer sequence")
+            edges.append((donor, target))
+            if d_out + 1 < 0 or d_in < 0:
+                touched.append((d_out + 1, d_in, donor))
+        for d_out, d_in, donor in touched:
+            if d_in < 0:
+                heapq.heappush(stubheap, (d_out, d_in, donor))
+            else:
+                heapq.heappush(zeroheap, (d_out, donor))
+        if neg_out < 0:
+            heapq.heappush(zeroheap, (neg_out, target))
+    return _edges_to_graph(spark, edges, n, directed=True)
