@@ -201,7 +201,7 @@ from linkgraph.algos.covering import (
 )
 from linkgraph.algos.cycles import eulerize
 from linkgraph.algos.setops import contracted_nodes, contracted_edge, identified_nodes
-from linkgraph.algos.chains import chain_decomposition, prefix_tree
+from linkgraph.algos.chains import chain_decomposition, prefix_tree, prefix_tree_recursive
 from linkgraph.algos.matrices import google_matrix, number_of_spanning_trees
 from linkgraph import convert
 from linkgraph import linalg
@@ -248,6 +248,11 @@ from linkgraph.convert import (
 )
 from linkgraph.linalg import (
     adjacency_matrix,
+    attr_matrix,
+    attr_sparse_matrix,
+    directed_laplacian_matrix,
+    directed_combinatorial_laplacian_matrix,
+    directed_modularity_matrix,
     incidence_matrix,
     laplacian_matrix,
     normalized_laplacian_matrix,
@@ -274,10 +279,10 @@ from linkgraph.algos.distance import (
     average_shortest_path_length,
     barycenter,
 )
-from linkgraph.io.graphml import read_graphml, write_graphml
+from linkgraph.io.graphml import read_graphml, write_graphml, GraphMLReader, GraphMLWriter
 from linkgraph.io.gml import read_gml, write_gml
 from linkgraph.io.pajek import read_pajek, write_pajek
-from linkgraph.io.gexf import read_gexf, write_gexf
+from linkgraph.io.gexf import read_gexf, write_gexf, relabel_gexf_graph
 from linkgraph.io.graph6 import (
     from_graph6_bytes,
     to_graph6_bytes,
@@ -991,6 +996,8 @@ from linkgraph.algos.isomorphism import (
     fast_could_be_isomorphic,
     faster_could_be_isomorphic,
     vf2pp_is_isomorphic,
+    vf2pp_isomorphism,
+    vf2pp_all_isomorphisms,
 )
 from linkgraph.algos.pagerank import stochastic_graph
 from linkgraph.function import (
@@ -1133,6 +1140,8 @@ from linkgraph.layout import (
     bipartite_layout,
     multipartite_layout,
     rescale_layout,
+    rescale_layout_dict,
+    bfs_layout,
 )
 from linkgraph.io.textforms import (
     parse_edgelist,
@@ -1155,7 +1164,11 @@ from linkgraph.io.textforms import (
     generate_multiline_adjlist,
 )
 from linkgraph.algos.betweenness import load_centrality, edge_load_centrality
-from linkgraph.algos.walks import generate_random_paths, panther_similarity
+from linkgraph.algos.walks import (
+    generate_random_paths,
+    panther_similarity,
+    panther_vector_similarity,
+)
 from linkgraph.algos.branchings import maximum_branching, minimum_branching
 from linkgraph.algos.regularity import (
     is_strongly_regular,

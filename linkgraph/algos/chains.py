@@ -160,3 +160,10 @@ def prefix_tree(spark, paths) -> "tuple[SparkGraph, DataFrame]":
     )
     pdf.unpersist()
     return g, nodes
+
+
+def prefix_tree_recursive(spark, paths):
+    """``generators/trees.py`` ``prefix_tree_recursive`` — the
+    reference's recursive twin of ``prefix_tree`` (same trie); both map
+    to the same distributed prefix construction here."""
+    return prefix_tree(spark, paths)

@@ -483,3 +483,84 @@ def vf2pp_is_isomorphic(g1: SparkGraph, g2: SparkGraph, **kwargs) -> bool:
     """``vf2pp.py:30`` — same boolean as :func:`is_isomorphic` (the
     engine's color-refined backtracking kernel)."""
     return is_isomorphic(g1, g2, **kwargs)
+
+
+def _iso_mappings(g1: SparkGraph, g2: SparkGraph, max_driver_edges: int):
+    """Yield every node bijection g1→g2 preserving adjacency (the
+    VF2++-style color-refined backtracking of :func:`is_isomorphic`,
+    generalized to a generator)."""
+    if g1.directed != g2.directed:
+        return
+    n1, o1, i1 = _collect_adj_pair(g1, max_driver_edges)
+    n2, o2, i2 = _collect_adj_pair(g2, max_driver_edges)
+    if len(n1) != len(n2):
+        return
+    if sum(len(s) for s in o1.values()) != sum(len(s) for s in o2.values()):
+        return
+    directed = g1.directed
+    c1 = _color_refine(n1, o1, i1, directed)
+    c2 = _color_refine(n2, o2, i2, directed)
+    from collections import Counter
+
+    if Counter(c1.values()) != Counter(c2.values()):
+        return
+    by_color2: dict = {}
+    for v, c in c2.items():
+        by_color2.setdefault(c, []).append(v)
+    color_size = Counter(c1.values())
+    order = sorted(n1, key=lambda v: (color_size[c1[v]], -len(o1.get(v, ())), v))
+    mapping: dict = {}
+    pre: dict = {}
+    used: set = set()
+
+    def consistent(v, w):
+        for x in o1.get(v, ()):
+            if x in mapping and mapping[x] not in o2.get(w, ()):
+                return False
+        for x in i1.get(v, ()):
+            if x in mapping and mapping[x] not in i2.get(w, ()):
+                return False
+        for x in o2.get(w, ()):
+            if x in used and pre[x] not in o1.get(v, ()):
+                return False
+        for x in i2.get(w, ()):
+            if x in used and pre[x] not in i1.get(v, ()):
+                return False
+        return True
+
+    def backtrack(k):
+        if k == len(order):
+            yield dict(mapping)
+            return
+        v = order[k]
+        for w in sorted(by_color2.get(c1[v], ())):
+            if w in used:
+                continue
+            if consistent(v, w):
+                mapping[v] = w
+                pre[w] = v
+                used.add(w)
+                yield from backtrack(k + 1)
+                used.discard(w)
+                del pre[w]
+                del mapping[v]
+
+    yield from backtrack(0)
+
+
+def vf2pp_isomorphism(
+    g1: SparkGraph, g2: SparkGraph, *, max_driver_edges: int = 1_000_000
+):
+    """``vf2pp.py`` ``vf2pp_isomorphism`` — one isomorphism mapping as a
+    dict (None when the graphs are not isomorphic)."""
+    for m in _iso_mappings(g1, g2, max_driver_edges):
+        return m
+    return None
+
+
+def vf2pp_all_isomorphisms(
+    g1: SparkGraph, g2: SparkGraph, *, max_driver_edges: int = 1_000_000
+):
+    """``vf2pp.py`` ``vf2pp_all_isomorphisms`` — generator over every
+    isomorphism mapping."""
+    yield from _iso_mappings(g1, g2, max_driver_edges)

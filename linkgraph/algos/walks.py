@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from linkgraph.exceptions import NetworkXError
 from linkgraph.graph import SparkGraph
 from linkgraph.iterutils import SuperstepCache
 
@@ -179,3 +180,118 @@ def panther_similarity(
         .agg((F.count(F.lit(1)) / F.lit(float(sample_size))).alias("similarity"))
     )
     return hits.orderBy(F.col("similarity").desc(), "id").limit(int(k))
+
+
+def panther_vector_similarity(
+    g: SparkGraph,
+    source,
+    *,
+    D: int = 10,
+    k: int = 5,
+    path_length: int = 5,
+    sample_size: int = None,
+    eps: float = None,
+    weight="weight",
+    seed: int = 0,
+) -> DataFrame:
+    """``similarity.py`` ``panther_vector_similarity`` (Panther++) —
+    every node's feature is its sorted top-``D`` path-co-occurrence
+    similarity vector; the result is the ``k`` nearest nodes to
+    ``source`` in that feature space, scored ``1/distance`` normalized to
+    max 1.
+
+    Spark shape: path membership self-joined on the path key (bounded by
+    path length, never all-pairs), one per-node top-D window for the
+    feature vectors, then a broadcast of the source's vector for the
+    distance scan — the KD-tree of the reference is a driver-side search
+    structure; the flat distance scan is the distributed equivalent.
+    """
+    from pyspark.sql.window import Window
+
+    source = int(source)
+    n = g.number_of_nodes()
+    if n < D:
+        raise NetworkXError(
+            f"The number of requested similarity scores {D} is greater "
+            f"than the number of nodes {n}."
+        )
+    if sample_size is None:
+        import math as _m
+
+        sample_size = max(200, int(_m.ceil(20 * _m.log(max(n, 2)) * k)))
+    if eps is None:
+        import math as _m
+
+        eps = _m.sqrt(1.0 / sample_size)
+    paths = generate_random_paths(
+        g, sample_size, path_length, weight=weight, seed=seed
+    )
+    membership = paths.select("sample", "node").distinct().persist()
+    co = (
+        membership.join(
+            membership.select(
+                F.col("sample"), F.col("node").alias("other")
+            ),
+            "sample",
+        )
+        .groupBy("node", "other")
+        .agg((F.count(F.lit(1)) / F.lit(float(sample_size))).alias("sim"))
+    )
+    topd = (
+        co.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("node").orderBy(F.col("sim").desc(), "other")
+            ),
+        )
+        .filter(F.col("_rk") <= int(D))
+        .groupBy("node")
+        .agg(
+            F.reverse(F.array_sort(F.collect_list("sim"))).alias("_theta")
+        )
+        # pad with zeros to length D so distances are well-defined
+        .withColumn(
+            "theta",
+            F.slice(
+                F.concat(
+                    F.col("_theta"),
+                    F.array_repeat(F.lit(0.0), int(D)),
+                ),
+                1,
+                int(D),
+            ),
+        )
+        .select("node", "theta")
+        .persist()
+    )
+    src_rows = topd.filter(F.col("node") == source).collect()
+    if not src_rows:
+        src_theta = [0.0] * int(D)
+    else:
+        src_theta = list(src_rows[0]["theta"])
+    src_arr = F.array(*[F.lit(float(x)) for x in src_theta])
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("theta"), src_arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nearest = (
+        topd.withColumn("_dist", dist)
+        .orderBy(F.col("_dist").asc(), "node")
+        .limit(int(k) + 1)
+        .withColumn("_sim", F.lit(1.0) / F.greatest(F.col("_dist"), F.lit(float(eps))))
+    )
+    rows = nearest.collect()
+    max_sim = max((r["_sim"] for r in rows), default=1.0) or 1.0
+    out = [
+        (r["node"], r["_sim"] / max_sim)
+        for r in rows
+        if r["node"] != source
+    ][: int(k)]
+    membership.unpersist()
+    topd.unpersist()
+    return g.spark.createDataFrame(out, "id long, similarity double").orderBy(
+        F.col("similarity").desc(), "id"
+    )

@@ -91,7 +91,9 @@ def read_gexf(
     graph = next(el for el in root.iter() if local(el.tag) == "graph")
     directed = graph.get("defaultedgetype") == "directed"
     nodes = [
-        (int(el.get("id")),) for el in graph.iter() if local(el.tag) == "node"
+        (int(el.get("id")), el.get("label"))
+        for el in graph.iter()
+        if local(el.tag) == "node"
     ]
     edges = [
         (
@@ -102,6 +104,32 @@ def read_gexf(
         for el in graph.iter()
         if local(el.tag) == "edge"
     ]
-    v_df = spark.createDataFrame(nodes or [], "id long")
+    v_df = spark.createDataFrame(nodes or [], "id long, label string")
     e_df = spark.createDataFrame(edges or [], "src long, dst long, weight double")
     return SparkGraph(e_df, vertices=v_df, directed=directed, coalesce_edges=False)
+
+
+def relabel_gexf_graph(g: SparkGraph) -> SparkGraph:
+    """``gexf.py`` ``relabel_gexf_graph`` — relabel nodes to their gexf
+    ``label`` attribute. The engine's node ids are BIGINT, so labels must
+    parse as distinct integers; missing or duplicate labels raise, like
+    the reference."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.exceptions import NetworkXError
+    from linkgraph.graph import relabel_nodes
+
+    if "label" not in g.vertices.columns:
+        raise NetworkXError(
+            "Failed to relabel nodes: missing node labels found. Use relabel=False."
+        )
+    mapping = g.vertices.select(
+        "id", F.col("label").cast("long").alias("new_id")
+    )
+    n = g.vertices.count()
+    ok = mapping.filter(F.col("new_id").isNotNull())
+    if ok.count() != n or ok.select("new_id").distinct().count() != n:
+        raise NetworkXError(
+            "Failed to relabel nodes: duplicate node labels found. Use relabel=False."
+        )
+    return relabel_nodes(g, mapping, check_complete=False, merge=False)

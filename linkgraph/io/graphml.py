@@ -257,3 +257,32 @@ def read_graphml(
     e_df = spark.createDataFrame(edges or [], e_schema)
     v_df = spark.createDataFrame(nodes or [], v_schema)
     return SparkGraph(e_df, vertices=v_df, directed=directed, coalesce_edges=False)
+
+
+class GraphMLWriter:
+    """``graphml.py`` ``GraphMLWriter`` — thin class facade over
+    :func:`write_graphml` for reference-API compatibility: collect graphs
+    with ``add_graph_element`` and ``dump`` to a file path."""
+
+    def __init__(self):
+        self._graphs = []
+
+    def add_graph_element(self, g: SparkGraph) -> None:
+        self._graphs.append(g)
+
+    def dump(self, path: str) -> None:
+        if len(self._graphs) != 1:
+            raise ValueError("GraphMLWriter.dump expects exactly one graph")
+        write_graphml(self._graphs[0], path)
+
+
+class GraphMLReader:
+    """``graphml.py`` ``GraphMLReader`` — callable facade over
+    :func:`read_graphml`; returns a one-element list like the
+    reference's reader yields graphs."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __call__(self, path: str):
+        return [read_graphml(self.spark, path)]

@@ -410,3 +410,55 @@ def rescale_layout(pos: DataFrame, scale: float = 1.0) -> DataFrame:
     return centered.select(
         "id", *[(F.col(c) * F.lit(s)).alias(c) for c in axes]
     )
+
+
+def rescale_layout_dict(pos: dict, scale: float = 1.0) -> dict:
+    """``layout.py`` ``rescale_layout_dict`` — the dict-form twin of
+    :func:`rescale_layout` for driver-side position dicts."""
+    import numpy as np
+
+    if not pos:
+        return {}
+    keys = list(pos)
+    arr = np.array([pos[k] for k in keys], dtype=float)
+    arr = arr - arr.mean(axis=0)
+    lim = np.abs(arr).max()
+    if lim > 0:
+        arr = arr * (float(scale) / lim)
+    return {k: arr[i] for i, k in enumerate(keys)}
+
+
+def bfs_layout(g, start, *, align: str = "vertical", scale: float = 1.0):
+    """``layout.py`` ``bfs_layout`` — nodes positioned by BFS layer from
+    ``start``: one axis indexes the layer, the other spreads the layer's
+    members. The layer structure is the distributed BFS; only the
+    positions DataFrame (n rows, like every layout) is produced. Raises
+    when the graph is not fully reachable from ``start``, matching the
+    reference."""
+    from pyspark.sql import Window
+
+    from linkgraph.algos.setops import bfs_layers
+    from linkgraph.exceptions import NetworkXError
+
+    layers = bfs_layers(g, [start])
+    n = g.vertices.count()
+    if layers.count() != n:
+        raise NetworkXError(
+            "bfs_layout didn't include all nodes. Perhaps use input graph:\n"
+            "        G.subgraph(nx.node_connected_component(G, start))"
+        )
+    w = Window.partitionBy("layer").orderBy("id")
+    cnt = Window.partitionBy("layer")
+    pos = layers.select(
+        "id",
+        F.col("layer").cast("double").alias("_main"),
+        (
+            (F.row_number().over(w) - 1)
+            - (F.count(F.lit(1)).over(cnt) - 1) / 2.0
+        ).alias("_cross"),
+    )
+    if align == "vertical":
+        out = pos.select("id", F.col("_main").alias("x"), F.col("_cross").alias("y"))
+    else:
+        out = pos.select("id", F.col("_cross").alias("x"), F.col("_main").alias("y"))
+    return rescale_layout(out, scale=scale)

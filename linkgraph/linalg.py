@@ -38,6 +38,11 @@ __all__ = [
     "modularity_spectrum",
     "bethe_hessian_spectrum",
     "non_randomness",
+    "attr_matrix",
+    "attr_sparse_matrix",
+    "directed_laplacian_matrix",
+    "directed_combinatorial_laplacian_matrix",
+    "directed_modularity_matrix",
 ]
 
 _MAX_NODES = 20_000
@@ -240,3 +245,191 @@ def non_randomness(g: SparkGraph, k: Optional[int] = None, *, weight=None,
     nr = float(np.real(np.sum(ev[:k])))
     nr_rd = (nr - ((n - 2 * k) * p + k)) / math.sqrt(2 * k * p * (1 - p))
     return nr, float(nr_rd)
+
+
+def _attr_group_sums(g: SparkGraph, edge_attr, node_attr):
+    """Distributed core of ``attr_matrix``: one groupBy over the edge
+    table keyed by the endpoint attribute values. Returns rows
+    ((u_val, v_val), summed edge value) with undirected edges counted
+    once per unordered pair (mirrored later)."""
+    if node_attr is None:
+        nval = lambda side: F.col(side)  # noqa: E731 — node itself
+        vcols = g.vertices.select(F.col("id"), F.col("id").alias("_nv"))
+    else:
+        if node_attr not in g.vertices.columns:
+            raise NetworkXError(f"attr_matrix: no vertex column {node_attr!r}")
+        vcols = g.vertices.select("id", F.col(node_attr).alias("_nv"))
+    base = g.edges
+    if edge_attr is None:
+        ev = F.lit(1.0)
+    elif edge_attr in base.columns:
+        ev = F.col(edge_attr).cast("double")
+    else:
+        raise NetworkXError(f"attr_matrix: no edge column {edge_attr!r}")
+    joined = (
+        base.select("src", "dst", ev.alias("_ev"))
+        .join(vcols.select(F.col("id").alias("src"), F.col("_nv").alias("_uv")), "src")
+        .join(vcols.select(F.col("id").alias("dst"), F.col("_nv").alias("_vv")), "dst")
+    )
+    return joined.groupBy("_uv", "_vv").agg(F.sum("_ev").alias("_s")).collect()
+
+
+def attr_matrix(
+    g: SparkGraph,
+    edge_attr=None,
+    node_attr=None,
+    normalized: bool = False,
+    rc_order=None,
+):
+    """``networkx/linalg/attrmatrix.py`` ``attr_matrix`` — the edge table
+    aggregated by endpoint attribute classes. ``edge_attr``/``node_attr``
+    are COLUMN NAMES (the Spark twin of the reference's callables; None =
+    count / node identity). The heavy part — summing edge values per
+    attribute pair — is one distributed groupBy; only the k×k class
+    matrix reaches the driver. Returns (M, ordering) or M when
+    ``rc_order`` is given, like the reference (ordering sorted for
+    determinism where the reference's set order is arbitrary)."""
+    import numpy as np
+
+    rows = _attr_group_sums(g, edge_attr, node_attr)
+    if rc_order is None:
+        if node_attr is None:
+            ordering = sorted(r["id"] for r in g.vertices.select("id").collect())
+        else:
+            ordering = sorted(
+                r[0] for r in g.vertices.select(node_attr).distinct().collect()
+            )
+    else:
+        ordering = list(rc_order)
+    index = {v: i for i, v in enumerate(ordering)}
+    N = len(ordering)
+    M = np.zeros((N, N))
+    for r in rows:
+        if r["_uv"] not in index or r["_vv"] not in index:
+            continue
+        i, j = index[r["_uv"]], index[r["_vv"]]
+        M[i, j] += float(r["_s"])
+        if not g.directed and i != j:
+            M[j, i] += float(r["_s"])
+    if normalized:
+        sums = M.sum(axis=1).reshape((N, 1))
+        sums[sums == 0] = 1.0
+        M = M / sums
+    if rc_order is None:
+        return M, ordering
+    return M
+
+
+def attr_sparse_matrix(
+    g: SparkGraph,
+    edge_attr=None,
+    node_attr=None,
+    normalized: bool = False,
+    rc_order=None,
+):
+    """``attrmatrix.py`` ``attr_sparse_matrix`` — sparse twin (SciPy
+    gated; raises ImportError without it, like the reference)."""
+    import scipy.sparse as sp
+
+    out = attr_matrix(g, edge_attr, node_attr, normalized, rc_order)
+    if rc_order is None:
+        M, ordering = out
+        return sp.lil_array(M), ordering
+    return sp.lil_array(out)
+
+
+def _transition_matrix(g: SparkGraph, ids, weight, walk_type, alpha):
+    """Chung-Laplacian transition matrix P (``laplacianmatrix.py``
+    ``_transition_matrix``): random / lazy / pagerank walks."""
+    import numpy as np
+
+    from linkgraph.algos.strongly_connected import is_strongly_connected, is_aperiodic
+
+    if walk_type is None:
+        if is_strongly_connected(g):
+            walk_type = "random" if is_aperiodic(g) else "lazy"
+        else:
+            walk_type = "pagerank"
+    A, _ = adjacency_matrix(g, ids, weight=weight)
+    n = A.shape[0]
+    if walk_type in ("random", "lazy"):
+        rs = A.sum(axis=1)
+        rs[rs == 0] = 1.0
+        P = A / rs[:, None]
+        if walk_type == "lazy":
+            P = (np.identity(n) + P) / 2.0
+    elif walk_type == "pagerank":
+        if not 0 < alpha < 1:
+            raise NetworkXError("alpha must be between 0 and 1")
+        A = A.copy()
+        A[A.sum(axis=1) == 0, :] = 1 / n
+        A = A / A.sum(axis=1)[:, None]
+        P = alpha * A + (1 - alpha) / n
+    else:
+        raise NetworkXError("walk_type must be random, lazy, or pagerank")
+    return P
+
+
+def _stationary(P):
+    import numpy as np
+
+    evals, evecs = np.linalg.eig(P.T)
+    v = evecs[:, np.argmax(evals.real)].real
+    return v / v.sum()
+
+
+def directed_laplacian_matrix(
+    g: SparkGraph, nodelist=None, *, weight=True, walk_type=None,
+    alpha: float = 0.95, max_nodes: int = _MAX_NODES,
+):
+    """``laplacianmatrix.py`` ``directed_laplacian_matrix`` — Chung's
+    normalized directed Laplacian ``I - (Φ^½ P Φ^-½ + Φ^-½ Pᵀ Φ^½)/2``
+    with Φ the walk's stationary distribution. Dense by definition →
+    driver-gated numerics over the distributed edge table."""
+    import numpy as np
+
+    ids = _ids(g, nodelist)
+    if len(ids) > max_nodes:
+        raise NetworkXError(f"directed_laplacian_matrix is dense; {len(ids)} > {max_nodes}")
+    P = _transition_matrix(g, ids, weight, walk_type, alpha)
+    p = _stationary(P)
+    sqrtp = np.sqrt(np.abs(p))
+    inv = np.divide(1.0, sqrtp, out=np.zeros_like(sqrtp), where=sqrtp != 0)
+    Q = (sqrtp[:, None] * P) * inv[None, :]
+    return np.identity(len(ids)) - (Q + Q.T) / 2.0
+
+
+def directed_combinatorial_laplacian_matrix(
+    g: SparkGraph, nodelist=None, *, weight=True, walk_type=None,
+    alpha: float = 0.95, max_nodes: int = _MAX_NODES,
+):
+    """``laplacianmatrix.py`` ``directed_combinatorial_laplacian_matrix``
+    — ``Φ - (ΦP + PᵀΦ)/2``."""
+    import numpy as np
+
+    ids = _ids(g, nodelist)
+    if len(ids) > max_nodes:
+        raise NetworkXError(
+            f"directed_combinatorial_laplacian_matrix is dense; {len(ids)} > {max_nodes}"
+        )
+    P = _transition_matrix(g, ids, weight, walk_type, alpha)
+    p = _stationary(P)
+    Phi = np.diag(p)
+    return Phi - (Phi @ P + P.T @ Phi) / 2.0
+
+
+def directed_modularity_matrix(
+    g: SparkGraph, nodelist=None, *, weight=None, max_nodes: int = _MAX_NODES
+):
+    """``modularitymatrix.py`` ``directed_modularity_matrix`` —
+    ``B = A - k_out k_inᵀ / m``."""
+    import numpy as np
+
+    ids = _ids(g, nodelist)
+    if len(ids) > max_nodes:
+        raise NetworkXError(f"directed_modularity_matrix is dense; {len(ids)} > {max_nodes}")
+    A, _ = adjacency_matrix(g, ids, weight=weight)
+    k_in = A.sum(axis=0)
+    k_out = A.sum(axis=1)
+    m = k_in.sum()
+    return A - np.outer(k_out, k_in) / m
