@@ -1358,3 +1358,4 @@ from linkgraph.generators import (
     les_miserables_graph,
 )
 from linkgraph.algos.triads import all_triads
+from linkgraph.io.network_text import generate_network_text, write_network_text
