@@ -1359,3 +1359,9 @@ from linkgraph.generators import (
 )
 from linkgraph.algos.triads import all_triads
 from linkgraph.io.network_text import generate_network_text, write_network_text
+from linkgraph.algos.editdistance import (
+    graph_edit_distance,
+    optimal_edit_paths,
+    optimize_edit_paths,
+    optimize_graph_edit_distance,
+)
