@@ -1365,3 +1365,6 @@ from linkgraph.algos.editdistance import (
     optimize_edit_paths,
     optimize_graph_edit_distance,
 )
+from linkgraph.algos.hybrid import is_kl_connected, kl_connected_subgraph
+from linkgraph.algos.polynomials import tutte_polynomial, chromatic_polynomial
+from linkgraph.algos.line import inverse_line_graph
