@@ -1368,3 +1368,5 @@ from linkgraph.algos.editdistance import (
 from linkgraph.algos.hybrid import is_kl_connected, kl_connected_subgraph
 from linkgraph.algos.polynomials import tutte_polynomial, chromatic_polynomial
 from linkgraph.algos.line import inverse_line_graph
+from linkgraph.algos.planarity import check_planarity, PlanarEmbedding
+from linkgraph.layout import planar_layout, combinatorial_embedding_to_pos

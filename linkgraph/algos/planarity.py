@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.graph import SparkGraph
 
-__all__ = ["is_planar"]
+__all__ = ["is_planar", "check_planarity", "PlanarEmbedding"]
 
 
 def _biconnected_edge_sets(adj):
@@ -172,21 +172,29 @@ def _fragments(adj, emb_nodes, emb_edges):
     return frags
 
 
-def _demoucron_planar(edges):
-    """Demoucron face embedding on one biconnected component."""
+def _demoucron_planar(edges, *, want_faces=False):
+    """Demoucron face embedding on one biconnected component. With
+    ``want_faces`` returns the face list (vertex cycles) instead of a
+    bare boolean (None when nonplanar)."""
     adj: dict = {}
     for u, v in edges:
         adj.setdefault(u, set()).add(v)
         adj.setdefault(v, set()).add(u)
     n = len(adj)
     m = len({frozenset(e) for e in edges})
-    if n < 5:
-        return True
-    if m > 3 * n - 6:
-        return False
     cycle = _find_cycle(adj)
+    if not want_faces:
+        if n < 5:
+            return True
+        if m > 3 * n - 6:
+            return False
+    elif m > 3 * n - 6 and n >= 3:
+        return None
     if cycle is None:
-        return True  # a single edge / tree piece
+        # a single edge / tree piece: one face around it
+        if want_faces:
+            return [sorted(adj)]
+        return True
     emb_nodes = set(cycle)
     emb_edges = {
         frozenset((cycle[i], cycle[(i + 1) % len(cycle)]))
@@ -196,7 +204,7 @@ def _demoucron_planar(edges):
     while True:
         frags = _fragments(adj, emb_nodes, emb_edges)
         if not frags:
-            return True
+            return faces if want_faces else True
         best = None
         for att, path in frags:
             adm = [
@@ -205,7 +213,7 @@ def _demoucron_planar(edges):
                 if att <= set(f)
             ]
             if not adm:
-                return False
+                return None if want_faces else False
             if best is None or len(adm) < best[0]:
                 best = (len(adm), adm[0], path)
         _, fidx, path = best
@@ -254,3 +262,82 @@ def is_planar(g: SparkGraph, *, max_driver_edges: int = 5_000_000) -> bool:
         if not _demoucron_planar(comp):
             return False
     return True
+
+
+class PlanarEmbedding:
+    """Driver-side planar-embedding certificate: the Demoucron face lists
+    per biconnected component plus the undirected adjacency.
+
+    The reference's ``PlanarEmbedding`` is a half-edge rotation system
+    (``planarity.py`` class PlanarEmbedding); this certificate exposes the
+    pieces the engine's consumers use — ``faces()``, ``traverse_face``,
+    ``node_count`` — and feeds :func:`combinatorial_embedding_to_pos` /
+    ``planar_layout`` (Tutte barycentric coordinates)."""
+
+    def __init__(self, adj, component_faces):
+        self.adj = {u: set(s) for u, s in adj.items()}
+        self.component_faces = [list(map(list, fs)) for fs in component_faces]
+
+    def faces(self):
+        out = []
+        for fs in self.component_faces:
+            out.extend(fs)
+        return out
+
+    def traverse_face(self, index: int):
+        return list(self.faces()[index])
+
+    def node_count(self):
+        return len(self.adj)
+
+    def outer_face(self):
+        """The largest face — the standard choice for the drawing's
+        outer boundary."""
+        faces = self.faces()
+        if not faces:
+            return sorted(self.adj)
+        return max(faces, key=len)
+
+
+def check_planarity(g: SparkGraph, counterexample: bool = False,
+                    *, max_driver_edges: int = 5_000_000):
+    """``planarity.py:1`` ``check_planarity`` — (is_planar, certificate):
+    the certificate is a :class:`PlanarEmbedding` when planar, else None.
+    ``counterexample=True`` (extracting a Kuratowski subdivision) is not
+    implemented — the reference's LR machinery is the only practical
+    extractor; use ``is_planar`` plus the Euler bound diagnostics."""
+    if counterexample:
+        raise NotImplementedError(
+            "check_planarity(counterexample=True): Kuratowski subgraph "
+            "extraction is not implemented; the boolean + embedding "
+            "surface is."
+        )
+    arcs = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    m = arcs.count()
+    n = g.number_of_nodes()
+    if m > max_driver_edges:
+        raise ValueError(
+            f"planarity testing collects the edge list; {m} edges > "
+            f"max_driver_edges={max_driver_edges}."
+        )
+    if n >= 3 and m > 3 * n - 6:
+        return False, None
+    adj: dict = {
+        r["id"]: set() for r in g.vertices.select("id").collect()
+    }
+    for r in arcs.collect():
+        adj.setdefault(r["u"], set()).add(r["v"])
+        adj.setdefault(r["v"], set()).add(r["u"])
+    all_faces = []
+    for comp in _biconnected_edge_sets(adj):
+        faces = _demoucron_planar(comp, want_faces=True)
+        if faces is None:
+            return False, None
+        all_faces.append(faces)
+    return True, PlanarEmbedding(adj, all_faces)

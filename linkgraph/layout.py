@@ -462,3 +462,77 @@ def bfs_layout(g, start, *, align: str = "vertical", scale: float = 1.0):
     else:
         out = pos.select("id", F.col("_cross").alias("x"), F.col("_main").alias("y"))
     return rescale_layout(out, scale=scale)
+
+
+def combinatorial_embedding_to_pos(embedding, fully_triangulate: bool = False):
+    """``planar_drawing.py`` ``combinatorial_embedding_to_pos`` — node
+    positions from a planar embedding. The reference draws on an integer
+    grid via canonical orderings; this engine produces Tutte barycentric
+    coordinates instead (pin the embedding's outer face to a convex
+    polygon, every interior node at the average of its neighbors —
+    Tutte 1963: a planar straight-line drawing for 3-connected planar
+    graphs, a well-formed drawing otherwise). Returns {node: (x, y)}."""
+    import math
+
+    import numpy as np
+
+    adj = embedding.adj
+    nodes = sorted(adj)
+    if not nodes:
+        return {}
+    outer = embedding.outer_face()
+    if len(outer) < 3:
+        # degenerate (tree / edge): circular fallback
+        k = len(nodes)
+        return {
+            v: (math.cos(2 * math.pi * i / k), math.sin(2 * math.pi * i / k))
+            for i, v in enumerate(nodes)
+        }
+    pos = {}
+    kf = len(outer)
+    for i, v in enumerate(outer):
+        ang = 2 * math.pi * i / kf
+        pos[v] = (math.cos(ang), math.sin(ang))
+    interior = [v for v in nodes if v not in pos]
+    if interior:
+        idx = {v: i for i, v in enumerate(interior)}
+        n_i = len(interior)
+        A = np.zeros((n_i, n_i))
+        bx = np.zeros(n_i)
+        by = np.zeros(n_i)
+        for v in interior:
+            i = idx[v]
+            nbrs = adj[v]
+            A[i, i] = max(len(nbrs), 1)
+            for w in nbrs:
+                if w in idx:
+                    A[i, idx[w]] -= 1.0
+                else:
+                    bx[i] += pos[w][0]
+                    by[i] += pos[w][1]
+        try:
+            xs = np.linalg.solve(A, bx)
+            ys = np.linalg.solve(A, by)
+        except np.linalg.LinAlgError:
+            xs = np.linalg.lstsq(A, bx, rcond=None)[0]
+            ys = np.linalg.lstsq(A, by, rcond=None)[0]
+        for v in interior:
+            pos[v] = (float(xs[idx[v]]), float(ys[idx[v]]))
+    return pos
+
+
+def planar_layout(g, scale: float = 1.0):
+    """``layout.py`` ``planar_layout`` — positions from the planarity
+    certificate (:func:`check_planarity` + Tutte coordinates); raises
+    when the graph is not planar, like the reference. Returns the
+    engine's standard positions DataFrame (id, x, y)."""
+    from linkgraph.algos.planarity import check_planarity
+    from linkgraph.exceptions import NetworkXError
+
+    ok, emb = check_planarity(g)
+    if not ok:
+        raise NetworkXError("G is not planar.")
+    pos = combinatorial_embedding_to_pos(emb)
+    rows = [(int(v), float(x), float(y)) for v, (x, y) in pos.items()]
+    out = g.spark.createDataFrame(rows or [], "id long, x double, y double")
+    return rescale_layout(out, scale=scale)
