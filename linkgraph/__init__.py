@@ -1370,3 +1370,8 @@ from linkgraph.algos.polynomials import tutte_polynomial, chromatic_polynomial
 from linkgraph.algos.line import inverse_line_graph
 from linkgraph.algos.planarity import check_planarity, PlanarEmbedding
 from linkgraph.layout import planar_layout, combinatorial_embedding_to_pos
+from linkgraph.algos.edge_augmentation import (
+    k_edge_augmentation,
+    is_k_edge_connected,
+    is_locally_k_edge_connected,
+)
