@@ -1122,6 +1122,7 @@ from linkgraph.nonisomorphic_trees import (
 from linkgraph.random_graphs import (
     directed_configuration_model,
     directed_havel_hakimi_graph,
+    LFR_benchmark_graph,
 )
 from linkgraph.joint_degree import (
     is_valid_joint_degree,

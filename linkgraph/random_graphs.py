@@ -91,6 +91,7 @@ __all__ = [
     "random_unlabeled_tree",
     "directed_configuration_model",
     "directed_havel_hakimi_graph",
+    "LFR_benchmark_graph",
 ]
 
 _U53 = float(1 << 53)
@@ -2091,3 +2092,179 @@ def directed_havel_hakimi_graph(
         if neg_out < 0:
             heapq.heappush(zeroheap, (neg_out, target))
     return _edges_to_graph(spark, edges, n, directed=True)
+
+
+# ---------------------------------------------------------------------- #
+# LFR community benchmark (``community.py`` ``LFR_benchmark_graph``)
+# ---------------------------------------------------------------------- #
+
+
+def _zipf_rv(alpha, xmin, rng):
+    """Devroye's bounded-expected-time Zipf sampler (Non-Uniform Random
+    Variate Generation, 1986 — the reference's ``nx.utils.zipf_rv``)."""
+    a1 = alpha - 1.0
+    b = 2 ** a1
+    while True:
+        u = 1.0 - rng.random()
+        v = rng.random()
+        x = int(xmin * u ** -(1.0 / a1))
+        t = (1.0 + 1.0 / x) ** a1
+        if v * x * (t - 1.0) / (b - 1.0) <= t / b:
+            return x
+
+
+def _zipf_below(gamma, xmin, threshold, rng):
+    if threshold < xmin:
+        raise NetworkXError(
+            f"zipf range empty: threshold {threshold} < xmin {xmin} "
+            "(check min/max community bounds)"
+        )
+    while True:
+        r = _zipf_rv(gamma, xmin, rng)
+        if r <= threshold:
+            return r
+
+
+def _lfr_powerlaw_seq(gamma, low, high, condition, length, max_iters, rng):
+    for _ in range(max_iters):
+        seq = []
+        while not length(seq):
+            seq.append(_zipf_below(gamma, low, high, rng))
+        if condition(seq):
+            return seq
+    raise NetworkXError("Could not create power law sequence")
+
+
+def _hurwitz_zeta(x, q, tol):
+    z = 0.0
+    z_prev = -float("inf")
+    k = 0
+    while abs(z - z_prev) > tol:
+        z_prev = z
+        z += 1 / ((k + q) ** x)
+        k += 1
+    return z
+
+
+def _lfr_min_degree(gamma, average_degree, max_degree, tol, max_iters):
+    lo, hi = 1, max_degree
+    mid = (hi - lo) / 2 + lo
+    itrs = 0
+    avg = 0.0
+    while abs(avg - average_degree) > tol:
+        if itrs > max_iters:
+            raise NetworkXError("Could not match average_degree")
+        avg = sum(
+            (x ** (-gamma + 1)) / _hurwitz_zeta(gamma, mid, tol)
+            for x in range(int(mid), max_degree + 1)
+        )
+        if avg > average_degree:
+            hi = mid
+        else:
+            lo = mid
+        mid = (hi - lo) / 2 + lo
+        itrs += 1
+    return round(mid)
+
+
+def LFR_benchmark_graph(
+    spark: SparkSession,
+    n: int,
+    tau1: float,
+    tau2: float,
+    mu: float,
+    average_degree: float = None,
+    min_degree: int = None,
+    max_degree: int = None,
+    min_community: int = None,
+    max_community: int = None,
+    tol: float = 1e-7,
+    max_iters: int = 500,
+    seed: int = 0,
+) -> SparkGraph:
+    """``community.py`` ``LFR_benchmark_graph`` (Lancichinetti-Fortunato-
+    Radicchi 2008) — power-law degrees (exponent tau1) and community
+    sizes (tau2), mixing fraction mu of inter-community edges. The
+    assignment/wiring recurrence is driver-side like every growth
+    process; the result carries a ``community`` index column on the
+    vertices and the membership list in ``g.graph['communities']``."""
+    if not tau1 > 1:
+        raise NetworkXError("tau1 must be greater than one")
+    if not tau2 > 1:
+        raise NetworkXError("tau2 must be greater than one")
+    if not 0 <= mu <= 1:
+        raise NetworkXError("mu must be in the interval [0, 1]")
+    n = int(n)
+    if max_degree is None:
+        max_degree = n
+    elif not 0 < max_degree <= n:
+        raise NetworkXError("max_degree must be in the interval (0, n]")
+    if not ((min_degree is None) ^ (average_degree is None)):
+        raise NetworkXError(
+            "Must assign exactly one of min_degree and average_degree"
+        )
+    rng = _random.Random(int(seed))
+    if min_degree is None:
+        min_degree = _lfr_min_degree(tau1, average_degree, max_degree,
+                                     tol, max_iters)
+    deg_seq = _lfr_powerlaw_seq(
+        tau1, min_degree, max_degree,
+        lambda s: sum(s) % 2 == 0, lambda s: len(s) >= n, max_iters, rng,
+    )
+    if min_community is None:
+        min_community = min(deg_seq)
+    if max_community is None:
+        max_community = max(deg_seq)
+    comms = _lfr_powerlaw_seq(
+        tau2, min_community, max_community,
+        lambda s: sum(s) == n, lambda s: sum(s) >= n, max_iters, rng,
+    )
+    budget = max_iters * 10 * n
+    result = [set() for _ in comms]
+    free = list(range(n))
+    for _ in range(budget):
+        v = free.pop()
+        c = rng.randrange(len(comms))
+        s = round(deg_seq[v] * (1 - mu))
+        if s < comms[c]:
+            result[c].add(v)
+        else:
+            free.append(v)
+        if len(result[c]) > comms[c]:
+            free.append(result[c].pop())
+        if not free:
+            break
+    else:
+        raise NetworkXError(
+            "Could not assign communities; try increasing min_community"
+        )
+    adj = {v: set() for v in range(n)}
+    comm_of = {}
+    for ci, c in enumerate(result):
+        clist = sorted(c)
+        for u in c:
+            comm_of[u] = ci
+            while len(adj[u]) < round(deg_seq[u] * (1 - mu)):
+                v = rng.choice(clist)
+                if v != u:  # stay simple (the reference's Graph collapses
+                    adj[u].add(v)  # duplicates; self-loops add nothing)
+                    adj[v].add(u)
+                elif len(clist) == 1:
+                    break
+            while len(adj[u]) < deg_seq[u]:
+                v = rng.randrange(n)
+                if v not in c:
+                    adj[u].add(v)
+                    adj[v].add(u)
+    edges = sorted(
+        {(min(u, v), max(u, v)) for u, s in adj.items() for v in s}
+    )
+    e = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+    )
+    v_df = spark.createDataFrame(
+        [(v, comm_of.get(v, -1)) for v in range(n)], "id long, community long"
+    )
+    g = SparkGraph(e, v_df, directed=False, coalesce_edges=False)
+    g.graph = {"communities": [set(c) for c in result]}
+    return g
