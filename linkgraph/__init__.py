@@ -489,6 +489,9 @@ from linkgraph.algos.currentflow import (
     current_flow_betweenness_centrality,
     edge_current_flow_betweenness_centrality,
     kemeny_constant,
+    current_flow_betweenness_centrality_subset,
+    edge_current_flow_betweenness_centrality_subset,
+    approximate_current_flow_betweenness_centrality,
 )
 from linkgraph.algos.dfs import (
     dfs_edges,
@@ -1143,6 +1146,9 @@ from linkgraph.layout import (
     rescale_layout,
     rescale_layout_dict,
     bfs_layout,
+    kamada_kawai_layout,
+    arf_layout,
+    forceatlas2_layout,
 )
 from linkgraph.io.textforms import (
     parse_edgelist,

@@ -46,6 +46,9 @@ __all__ = [
     "current_flow_betweenness_centrality",
     "edge_current_flow_betweenness_centrality",
     "kemeny_constant",
+    "current_flow_betweenness_centrality_subset",
+    "edge_current_flow_betweenness_centrality_subset",
+    "approximate_current_flow_betweenness_centrality",
 ]
 
 
@@ -480,6 +483,227 @@ def edge_current_flow_betweenness_centrality(
         )
         .select(
             F.col("u").alias("src"), F.col("w").alias("dst"), "betweenness"
+        )
+        .localCheckpoint(eager=True)
+    )
+    arcs.unpersist()
+    deg.unpersist()
+    return out
+
+
+def _subset_edge_flows(g, sources, targets, weight, tol, max_iter):
+    """Per-edge subset current flow Σ_{s∈S, t∈T} 0.5·|F_e(s) − F_e(t)|
+    from the shared L⁺ columns, restricted to the needed columns."""
+    sources = [int(s) for s in sources]
+    targets = [int(t) for t in targets]
+    needed = sorted(set(sources) | set(targets))
+    sol, arcs, deg = _lplus_columns(g, weight, tol, max_iter)
+    sol = sol.join(
+        g.spark.createDataFrame([(s,) for s in needed], "s long"), "s", "left_semi"
+    )
+    edges = (
+        arcs.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("w"), "c")
+    )
+    fe = (
+        edges.join(
+            sol.select(F.col("s"), F.col("id").alias("u"), F.col("x").alias("xu")),
+            "u",
+        )
+        .join(
+            sol.select(F.col("s"), F.col("id").alias("w"), F.col("x").alias("xw")),
+            ["s", "w"],
+        )
+        .select(
+            "u", "w",
+            F.col("s").alias("i"),
+            (F.col("c") * (F.col("xu") - F.col("xw"))).alias("f"),
+        )
+        .persist()
+    )
+    sdf = g.spark.createDataFrame([(s,) for s in sources], "i long")
+    tdf = g.spark.createDataFrame([(t,) for t in targets], "j long")
+    fs = fe.join(sdf, "i").select("u", "w", F.col("i").alias("si"), F.col("f").alias("fs"))
+    ft = fe.join(
+        tdf.withColumnRenamed("j", "i"), "i"
+    ).select("u", "w", F.col("i").alias("tj"), F.col("f").alias("ft"))
+    per_edge = (
+        fs.join(ft, ["u", "w"])
+        .groupBy("u", "w")
+        .agg(F.sum(0.5 * F.abs(F.col("fs") - F.col("ft"))).alias("flow"))
+    )
+    fe.unpersist()
+    arcs.unpersist()
+    deg.unpersist()
+    return per_edge
+
+
+def current_flow_betweenness_centrality_subset(
+    g: SparkGraph,
+    sources,
+    targets,
+    *,
+    normalized: bool = True,
+    weight: Optional[str] = None,
+    tol: float = 1e-10,
+    max_iter: int = 2000,
+) -> DataFrame:
+    """``current_flow_betweenness_subset.py`` ``current_flow_betweenness
+    _centrality_subset`` — current-flow betweenness counting only
+    source→target supply pairs from S×T: each edge adds half its subset
+    flow to both endpoints; every node gets the reference's ``1/(2−N)``
+    endpoint correction. One S×T pair join over the per-edge flow table —
+    never a dense matrix."""
+    from linkgraph.algos.components import is_connected
+
+    if g.directed:
+        raise NotImplementedForDirected(
+            "current_flow_betweenness_centrality_subset: undirected only"
+        )
+    if not is_connected(g):
+        raise NetworkXError("Graph not connected.")
+    n = g.number_of_nodes()
+    per_edge = _subset_edge_flows(g, sources, targets, weight, tol, max_iter)
+    acc = (
+        per_edge.select(F.col("u").alias("id"), F.col("flow").alias("b"))
+        .unionByName(per_edge.select(F.col("w").alias("id"), F.col("flow").alias("b")))
+        .groupBy("id")
+        .agg(F.sum("b").alias("b"))
+    )
+    nb = (n - 1.0) * (n - 2.0) if normalized else 2.0
+    return (
+        g.vertices.select("id")
+        .join(acc, "id", "left")
+        .select(
+            "id",
+            (
+                F.coalesce("b", F.lit(0.0)) / F.lit(nb) + F.lit(1.0 / (2 - n))
+            ).alias("betweenness"),
+        )
+    )
+
+
+def edge_current_flow_betweenness_centrality_subset(
+    g: SparkGraph,
+    sources,
+    targets,
+    *,
+    normalized: bool = True,
+    weight: Optional[str] = None,
+    tol: float = 1e-10,
+    max_iter: int = 2000,
+) -> DataFrame:
+    """``current_flow_betweenness_subset.py`` edge form — (src, dst,
+    betweenness) for canonical edges."""
+    from linkgraph.algos.components import is_connected
+
+    if g.directed:
+        raise NotImplementedForDirected(
+            "edge_current_flow_betweenness_centrality_subset: undirected only"
+        )
+    if not is_connected(g):
+        raise NetworkXError("Graph not connected.")
+    n = g.number_of_nodes()
+    nb = (n - 1.0) * (n - 2.0) if normalized else 2.0
+    per_edge = _subset_edge_flows(g, sources, targets, weight, tol, max_iter)
+    return per_edge.select(
+        F.col("u").alias("src"),
+        F.col("w").alias("dst"),
+        (F.col("flow") / F.lit(nb)).alias("betweenness"),
+    )
+
+
+def approximate_current_flow_betweenness_centrality(
+    g: SparkGraph,
+    *,
+    normalized: bool = True,
+    weight: Optional[str] = None,
+    epsilon: float = 0.5,
+    kmax: int = 10000,
+    seed: int = 0,
+    sample_weight: float = 1,
+    tol: float = 1e-10,
+    max_iter: int = 2000,
+) -> DataFrame:
+    """``current_flow_betweenness.py`` ``approximate_current_flow_
+    betweenness_centrality`` (Brandes-Fleischer sampling): k random
+    (s, t) supply pairs, one batched-CG solve of ``L p = e_s − e_t`` for
+    ALL pairs at once (pair index = batch key), then one arc⋈potential
+    join accumulates ``c·|p_v − p_nbr|·c*/(2k)`` per incident node —
+    identical estimator, same ±epsilon·n·(n−1)/nb guarantee."""
+    import math as _m
+    import random as _rnd
+
+    from linkgraph.algos.components import is_connected
+
+    if g.directed:
+        raise NotImplementedForDirected(
+            "approximate_current_flow_betweenness_centrality: undirected only"
+        )
+    if not is_connected(g):
+        raise NetworkXError("Graph not connected.")
+    n = g.number_of_nodes()
+    if n < 3:
+        return g.vertices.select("id", F.lit(0.0).alias("betweenness"))
+    if epsilon <= 0:
+        raise NetworkXError(f"Epsilon must be positive. Got epsilon={epsilon}.")
+    if sample_weight <= 0:
+        raise NetworkXError(
+            f"Sample weight must be positive. Got sample_weight={sample_weight}."
+        )
+    nb = (n - 1.0) * (n - 2.0)
+    cstar = n * (n - 1) / nb
+    k = int(sample_weight * _m.ceil((cstar / epsilon) ** 2 * _m.log(n)))
+    if k > kmax:
+        raise NetworkXError(
+            f"Number random pairs k>kmax ({k}>{kmax}); increase kmax or epsilon"
+        )
+    rng = _rnd.Random(int(seed))
+    ids = sorted(r["id"] for r in g.vertices.select("id").collect())
+    pairs = [tuple(rng.sample(ids, 2)) for _ in range(k)]
+    spark = g.spark
+    arcs = _weighted_arcs(g, weight).persist()
+    deg = arcs.groupBy(F.col("src").alias("id")).agg(F.sum("c").alias("d")).persist()
+    pair_df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(pairs)], "s long, sp long, tp long"
+    )
+    rhs = (
+        pair_df.crossJoin(g.vertices.select("id"))
+        .select(
+            "s", "id", "sp", "tp",
+            (
+                F.when(F.col("id") == F.col("sp"), 1.0)
+                .when(F.col("id") == F.col("tp"), -1.0)
+                .otherwise(0.0)
+            ).alias("b"),
+        )
+    )
+    sol = _batched_cg_diag(
+        spark, g.vertices.select("id"), arcs, deg,
+        rhs.select("s", "id", "b"), tol=tol, max_iter=max_iter,
+    )
+    cstar2k = cstar / (2.0 * k)
+    pv = sol.select("s", F.col("id").alias("src"), F.col("x").alias("pv"))
+    pn = sol.select("s", F.col("id").alias("dst"), F.col("x").alias("pw"))
+    contrib = (
+        arcs.join(pv, "src")
+        .join(pn, ["s", "dst"])
+        .join(pair_df, "s")
+        .filter((F.col("src") != F.col("sp")) & (F.col("src") != F.col("tp")))
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.sum(
+                F.col("c") * F.abs(F.col("pv") - F.col("pw")) * F.lit(cstar2k)
+            ).alias("b")
+        )
+    )
+    factor = 1.0 if normalized else nb / 2.0
+    out = (
+        g.vertices.select("id")
+        .join(contrib, "id", "left")
+        .select(
+            "id",
+            (F.coalesce("b", F.lit(0.0)) * F.lit(factor)).alias("betweenness"),
         )
         .localCheckpoint(eager=True)
     )

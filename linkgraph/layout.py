@@ -536,3 +536,212 @@ def planar_layout(g, scale: float = 1.0):
     rows = [(int(v), float(x), float(y)) for v, (x, y) in pos.items()]
     out = g.spark.createDataFrame(rows or [], "id long, x double, y double")
     return rescale_layout(out, scale=scale)
+
+
+def _collect_positions_input(g, max_nodes=20000):
+    from linkgraph.exceptions import NetworkXError
+
+    ids = sorted(r["id"] for r in g.vertices.select("id").collect())
+    if len(ids) > max_nodes:
+        raise NetworkXError(f"layout is dense numerics; {len(ids)} > {max_nodes}")
+    base = g.symmetric_edges() if not g.directed else g.edges
+    edges = [
+        (r["src"], r["dst"]) for r in base.select("src", "dst").collect()
+    ]
+    return ids, edges
+
+
+def _pos_df(g, ids, arr):
+    rows = [
+        (int(v), float(arr[i][0]), float(arr[i][1]))
+        for i, v in enumerate(ids)
+    ]
+    return g.spark.createDataFrame(rows or [], "id long, x double, y double")
+
+
+def kamada_kawai_layout(
+    g, dist=None, pos: Optional[DataFrame] = None, weight="weight",
+    scale: float = 1.0, dim: int = 2, max_iter: int = 500,
+) -> DataFrame:
+    """``layout.py`` ``kamada_kawai_layout`` — minimize the Kamada-Kawai
+    stress ``Σ_{i<j} (|x_i − x_j|/d_ij − 1)²`` over graph-theoretic
+    distances. Distances come from the DISTRIBUTED all-pairs BFS kernel;
+    the optimization itself is the reference's dense numerics (SciPy
+    L-BFGS there, gradient descent with adaptive step here) — a driver
+    stage over an n×n cost, size-guarded like every layout/linalg
+    bridge."""
+    import numpy as np
+
+    from linkgraph.algos.paths import all_pairs_shortest_path_length
+
+    ids, edges = _collect_positions_input(g)
+    n = len(ids)
+    if n == 0:
+        return g.spark.createDataFrame([], "id long, x double, y double")
+    if n == 1:
+        return _pos_df(g, ids, [[0.0, 0.0]])
+    idx = {v: i for i, v in enumerate(ids)}
+    D = np.full((n, n), float(n))  # disconnected pairs: large distance
+    np.fill_diagonal(D, 0.0)
+    if dist is not None:
+        for u, row in dist.items():
+            for v, d in row.items():
+                D[idx[u], idx[v]] = d
+    else:
+        for r in all_pairs_shortest_path_length(g).collect():
+            D[idx[r["source"]], idx[r["id"]]] = float(r["distance"])
+    D = np.maximum(D, D.T)
+    np.fill_diagonal(D, 1.0)  # avoid /0; diagonal is masked below
+    if pos is not None:
+        X = np.zeros((n, 2))
+        for r in pos.collect():
+            X[idx[r["id"]]] = (r[1], r[2])
+    else:
+        rng = np.random.RandomState(42)
+        X = rng.rand(n, 2) * 2 - 1
+    mask = ~np.eye(n, dtype=bool)
+    invD = 1.0 / D
+    step = 0.1
+    prev_stress = None
+    for _ in range(int(max_iter)):
+        diff = X[:, None, :] - X[None, :, :]
+        dist_e = np.sqrt((diff ** 2).sum(axis=2))
+        dist_e[~mask] = 1.0
+        ratio = dist_e * invD
+        stress = float((((ratio - 1.0) ** 2)[mask]).sum()) / 2
+        coef = 2.0 * (ratio - 1.0) * invD / dist_e
+        coef[~mask] = 0.0
+        grad = (coef[:, :, None] * diff).sum(axis=1)
+        if prev_stress is not None and abs(prev_stress - stress) < 1e-9:
+            break
+        if prev_stress is not None and stress > prev_stress:
+            step *= 0.5
+        prev_stress = stress
+        gnorm = np.linalg.norm(grad)
+        if gnorm < 1e-12:
+            break
+        X = X - step * grad / max(gnorm / n, 1.0)
+    out = _pos_df(g, ids, X)
+    return rescale_layout(out, scale=scale)
+
+
+def arf_layout(
+    g, pos: Optional[DataFrame] = None, scaling: float = 1.0,
+    a: float = 1.1, etol: float = 1e-6, dt: float = 1e-3,
+    max_iter: int = 1000, seed: int = 42,
+) -> DataFrame:
+    """``layout.py`` ``arf_layout`` (attractive-repulsive forces, Geipel
+    2007) — the reference's exact update: node j moves by
+    ``Σ_i (K_ij − ρ/|p_i − p_j|)(p_i − p_j)·dt`` with spring constant a
+    on (directed) edge orientations and ρ = scaling·√N constant-magnitude
+    repulsion. Driver numerics, size-guarded."""
+    import numpy as np
+
+    from linkgraph.exceptions import NetworkXError
+
+    if a <= 1:
+        raise NetworkXError("The parameter a should be larger than 1")
+    ids, edges = _collect_positions_input(g)
+    n = len(ids)
+    if n == 0:
+        return g.spark.createDataFrame([], "id long, x double, y double")
+    idx = {v: i for i, v in enumerate(ids)}
+    K = np.ones((n, n)) - np.eye(n)
+    for u, v in edges:
+        if u != v:
+            K[idx[u], idx[v]] = float(a)
+    rng = np.random.RandomState(int(seed))
+    if pos is not None:
+        X = np.zeros((n, 2))
+        for r in pos.collect():
+            X[idx[r[0]]] = (r[1], r[2])
+    else:
+        X = rng.rand(n, 2)
+    rho = float(scaling) * np.sqrt(n)
+    err = etol + 1
+    it = 0
+    while err > etol:
+        diff = X[:, None, :] - X[None, :, :]
+        A = np.linalg.norm(diff, axis=-1)[..., None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            change = K[..., None] * diff - rho / A * diff
+        change = np.nansum(change, axis=0)
+        X = X + change * dt
+        err = np.linalg.norm(change, axis=-1).sum()
+        if it > int(max_iter):
+            break
+        it += 1
+    return _pos_df(g, ids, X)
+
+
+def forceatlas2_layout(
+    g, pos: Optional[DataFrame] = None, *, max_iter: int = 100,
+    jitter_tolerance: float = 1.0, scaling_ratio: float = 2.0,
+    gravity: float = 1.0, strong_gravity: bool = False,
+    dissuade_hubs: bool = False, linlog: bool = False, seed: int = 42,
+) -> DataFrame:
+    """``layout.py`` ``forceatlas2_layout`` (Jacomy et al. 2014) —
+    degree-weighted repulsion ``k_r (d_u+1)(d_v+1)/r`` against edge
+    attraction (log form under ``linlog``, out-degree damped under
+    ``dissuade_hubs``), plus gravity. Driver numerics with the adaptive
+    global speed of the paper; size-guarded."""
+    import numpy as np
+
+    ids, edges = _collect_positions_input(g)
+    n = len(ids)
+    if n == 0:
+        return g.spark.createDataFrame([], "id long, x double, y double")
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((n, n))
+    for u, v in edges:
+        if u != v:
+            A[idx[u], idx[v]] = 1.0
+            A[idx[v], idx[u]] = 1.0
+    deg = A.sum(axis=1)
+    rng = np.random.RandomState(int(seed))
+    if pos is not None:
+        X = np.zeros((n, 2))
+        for r in pos.collect():
+            X[idx[r[0]]] = (r[1], r[2])
+    else:
+        X = rng.rand(n, 2) * 2 - 1
+    mass = deg + 1.0
+    speed = 1.0
+    speed_efficiency = 1.0
+    swing_prev = None
+    for _ in range(int(max_iter)):
+        diff = X[:, None, :] - X[None, :, :]
+        dist = np.sqrt((diff ** 2).sum(axis=2))
+        np.fill_diagonal(dist, 1.0)
+        # repulsion
+        rep_c = float(scaling_ratio) * np.outer(mass, mass) / dist ** 2
+        np.fill_diagonal(rep_c, 0.0)
+        F_total = (rep_c[:, :, None] * diff / dist[:, :, None]).sum(axis=1)
+        # attraction over edges
+        att = A.copy()
+        if linlog:
+            w = np.log1p(dist)
+            att = att * w / np.maximum(dist, 1e-9)
+        if dissuade_hubs:
+            att = att / mass[:, None]
+        F_total += -(att[:, :, None] * diff).sum(axis=1)
+        # gravity toward origin
+        norms = np.sqrt((X ** 2).sum(axis=1))
+        norms = np.maximum(norms, 1e-9)
+        if strong_gravity:
+            F_total += -float(gravity) * mass[:, None] * X
+        else:
+            F_total += -float(gravity) * mass[:, None] * X / norms[:, None]
+        fnorm = np.sqrt((F_total ** 2).sum(axis=1))
+        swing = np.abs(fnorm - (swing_prev if swing_prev is not None else fnorm))
+        traction = (fnorm + (swing_prev if swing_prev is not None else fnorm)) / 2
+        global_swing = float((mass * swing).sum()) + 1e-9
+        global_traction = float((mass * traction).sum()) + 1e-9
+        target = jitter_tolerance * global_traction / global_swing
+        speed = min(speed * 1.5 if target > 1 else speed * 0.7, 10.0)
+        factor = speed / (1.0 + speed * np.sqrt(swing + 1e-9))
+        X = X + F_total * factor[:, None]
+        swing_prev = fnorm
+        if float(fnorm.mean()) < 1e-6:
+            break
+    return _pos_df(g, ids, X)
