@@ -509,7 +509,7 @@ from linkgraph.algos.approximation import (
     one_exchange,
     greedy_tsp,
 )
-from linkgraph.algos.coloring import greedy_color
+from linkgraph.algos.coloring import greedy_color, equitable_color
 from linkgraph.algos.spectral import (
     communicability,
     communicability_exp,

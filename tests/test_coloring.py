@@ -96,3 +96,47 @@ def test_guard_and_validation(spark):
     # jones_plassmann ignores the guard (scale path)
     got = _colors(linkgraph.greedy_color(g, "jones_plassmann"))
     _is_proper(G, got)
+
+
+class TestEquitableColor:
+    def test_valid_and_equitable(self, spark):
+        import networkx as nx
+        from linkgraph.graph import from_nx
+        from linkgraph.algos.coloring import equitable_color
+
+        for G, k in [
+            (nx.cycle_graph(7), 3),
+            (nx.gnp_random_graph(16, 0.3, seed=3), 12),
+            (nx.complete_graph(5), 5),
+            (nx.path_graph(10), 4),
+        ]:
+            g = from_nx(spark, G)
+            rows = equitable_color(g, k).collect()
+            colors = {r["id"]: r["color"] for r in rows}
+            # proper
+            for u, v in G.edges():
+                assert colors[u] != colors[v]
+            # equitable: class sizes differ by <= 1
+            from collections import Counter
+
+            sizes = Counter(colors.values())
+            filled = list(sizes.values()) + [0] * (k - len(sizes))
+            assert max(filled) - min(filled) <= 1
+            # matches the reference's own validity checker
+            from networkx.algorithms.coloring.equitable_coloring import (
+                is_coloring, is_equitable,
+            )
+
+            assert is_coloring(G, colors)
+            assert is_equitable(G, colors, num_colors=k)
+
+    def test_insufficient_colors_raises(self, spark):
+        import networkx as nx
+        import pytest
+        from linkgraph.graph import from_nx
+        from linkgraph.algos.coloring import equitable_color
+        from linkgraph.exceptions import NetworkXError
+
+        g = from_nx(spark, nx.complete_graph(5))
+        with pytest.raises(NetworkXError):
+            equitable_color(g, 4)
