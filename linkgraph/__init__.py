@@ -1126,6 +1126,7 @@ from linkgraph.random_graphs import (
     directed_configuration_model,
     directed_havel_hakimi_graph,
     LFR_benchmark_graph,
+    spectral_graph_forge,
 )
 from linkgraph.joint_degree import (
     is_valid_joint_degree,
@@ -1382,3 +1383,4 @@ from linkgraph.algos.edge_augmentation import (
     is_k_edge_connected,
     is_locally_k_edge_connected,
 )
+from linkgraph.io.latex import to_latex_raw, to_latex, write_latex

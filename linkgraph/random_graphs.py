@@ -92,6 +92,7 @@ __all__ = [
     "directed_configuration_model",
     "directed_havel_hakimi_graph",
     "LFR_benchmark_graph",
+    "spectral_graph_forge",
 ]
 
 _U53 = float(1 << 53)
@@ -2268,3 +2269,50 @@ def LFR_benchmark_graph(
     g = SparkGraph(e, v_df, directed=False, coalesce_edges=False)
     g.graph = {"communities": [set(c) for c in result]}
     return g
+
+
+def spectral_graph_forge(
+    spark: SparkSession, g: SparkGraph, alpha: float,
+    transformation: str = "identity", seed: int = 0,
+    *, max_nodes: int = 20000,
+) -> SparkGraph:
+    """``degree_seq.py``-adjacent ``spectral_graph_forge`` (Baldesi et
+    al. 2018) — regenerate a random graph preserving the top
+    ``alpha``-fraction of the (modularity-)spectrum: low-rank-approximate
+    B, clip to [0,1], Bernoulli-sample the upper triangle. The
+    eigensolve is dense numerics (the reference defers to numpy/scipy) —
+    driver-gated over the distributed adjacency; sampling coins are
+    seeded hash draws."""
+    import numpy as np
+
+    from linkgraph.linalg import adjacency_matrix
+
+    transformations = ["identity", "modularity"]
+    if transformation not in transformations:
+        raise NetworkXError(
+            f"{transformation!r} is not a valid transformation. "
+            f"Transformations: {transformations}"
+        )
+    alpha = min(max(float(alpha), 0.0), 1.0)
+    A, ids = adjacency_matrix(g, max_nodes=max_nodes)
+    n = A.shape[1]
+    level = round(n * alpha)
+    K = np.ones((1, n)) @ A
+    B = A.copy()
+    if transformation == "modularity":
+        B -= K.T @ K / K.sum()
+    evals, evecs = np.linalg.eigh(B)
+    order = np.argsort(np.abs(evals))[::-1]
+    evecs[:, order[np.arange(level, n)]] = 0
+    B = evecs @ np.diag(evals) @ evecs.T
+    if transformation == "modularity":
+        B += K.T @ K / K.sum()
+    B = np.clip(B, 0, 1)
+    np.fill_diagonal(B, 0)
+    rng = _random.Random(int(seed))
+    edges = []
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            if rng.random() < B[i, j]:
+                edges.append((ids[i], ids[j]))
+    return _edges_to_graph(spark, edges, [int(x) for x in ids])
