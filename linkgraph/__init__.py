@@ -1127,6 +1127,7 @@ from linkgraph.random_graphs import (
     directed_havel_hakimi_graph,
     LFR_benchmark_graph,
     spectral_graph_forge,
+    random_internet_as_graph,
 )
 from linkgraph.joint_degree import (
     is_valid_joint_degree,

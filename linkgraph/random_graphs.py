@@ -93,6 +93,7 @@ __all__ = [
     "directed_havel_hakimi_graph",
     "LFR_benchmark_graph",
     "spectral_graph_forge",
+    "random_internet_as_graph",
 ]
 
 _U53 = float(1 << 53)
@@ -2316,3 +2317,170 @@ def spectral_graph_forge(
             if rng.random() < B[i, j]:
                 edges.append((ids[i], ids[j]))
     return _edges_to_graph(spark, edges, [int(x) for x in ids])
+
+
+def random_internet_as_graph(spark: SparkSession, n: int, seed: int = 0) -> SparkGraph:
+    """``internet_as_graphs.py`` ``random_internet_as_graph`` (Elmokashfi
+    et al. 2010) — an Internet AS-level topology: a tier-1 clique (T),
+    mid-level (M), content-provider (CP) and customer (C) nodes wired by
+    preferential transit links plus M-M / CP-M / CP-CP peering. Sequential
+    policy growth, driver-side; vertices carry the ``type`` code column
+    (0=T 1=M 2=CP 3=C), edges carry ``etype`` (0=transit 1=peer) and
+    ``customer`` (node id, -1 for peer links)."""
+    from math import floor
+
+    rng = _random.Random(int(seed))
+    n = int(n)
+    n_t = min(n, round(rng.random() * 2 + 4))
+    n_m = round(0.15 * n)
+    n_cp = round(0.05 * n)
+    n_c = max(0, n - n_t - n_m - n_cp)
+    d_m = 2 + (2.5 * n) / 10000
+    d_cp = 2 + (1.5 * n) / 10000
+    d_c = 1 + (5 * n) / 100000
+    p_m_m = 1 + (2 * n) / 10000
+    p_cp_m = 0.2 + (2 * n) / 10000
+    p_cp_cp = 0.05 + (2 * n) / 100000
+    t_m, t_cp, t_c = 0.375, 0.375, 0.125
+
+    def avg_int(a, m):
+        b = 2 * m - a
+        p = (b - floor(b)) / 2
+        x1 = round(rng.random() * (floor(b) - a) + a)
+        return x1 + (1 if rng.random() < p else 0)
+
+    def weighted_pick(weights):
+        if not weights:
+            return None
+        total = sum(weights.values())
+        keys = list(weights.keys())
+        if total == 0:
+            return rng.choice(keys)
+        v = rng.random() * total
+        acc = 0.0
+        for k in keys:
+            acc += weights[k]
+            if v <= acc:
+                return k
+        return keys[-1]
+
+    regions = {r: set() for r in range(5)}
+    adj = {}
+    etype = {}
+    ecust = {}
+    ntype = {}
+    peers_deg = {}
+    customers = {}
+    providers = {}
+    kinds = {"T": set(), "M": set(), "CP": set(), "C": set()}
+
+    def put_edge(i, j, kind):
+        adj[i].add(j)
+        adj[j].add(i)
+        key = (min(i, j), max(i, j))
+        etype[key] = kind
+        ecust[key] = i if kind == "transit" else -1
+
+    # tier-1 clique, present in every region
+    for i in range(n_t):
+        adj[i] = set()
+        ntype[i] = "T"
+        peers_deg[i] = 0
+        customers[i] = set()
+        providers[i] = set()
+        for r in regions:
+            regions[r].add(i)
+        for j in range(i):
+            put_edge(i, j, "peer")
+        kinds["T"].add(i)
+
+    def become_customer(i, j):
+        customers[j].add(i)
+        providers[i].add(j)
+        for z in providers[j]:
+            customers[z].add(i)
+            providers[i].add(z)
+
+    def grow(i, kind, reg2prob, avg_deg, t_edge_prob):
+        regs = 2 if rng.random() < reg2prob else 1
+        options = set()
+        adj[i] = set()
+        ntype[i] = kind
+        peers_deg[i] = 0
+        customers[i] = set()
+        providers[i] = set()
+        kinds[kind].add(i)
+        for r in rng.sample(list(regions), regs):
+            options |= regions[r]
+            regions[r].add(i)
+        edge_num = avg_int(1, avg_deg)
+        t_opts = options & kinds["T"]
+        m_opts = (options & kinds["M"]) - {i}
+        d = 0
+        while d < edge_num and (t_opts or m_opts):
+            if not m_opts or (t_opts and rng.random() < t_edge_prob):
+                j = weighted_pick({x: len(adj[x]) for x in sorted(t_opts)})
+                t_opts.discard(j)
+            else:
+                j = weighted_pick({x: len(adj[x]) for x in sorted(m_opts)})
+                m_opts.discard(j)
+            put_edge(i, j, "transit")
+            become_customer(i, j)
+            d += 1
+
+    nid = n_t
+    for _ in range(n_m):
+        grow(nid, "M", 0.2, d_m, t_m)
+        nid += 1
+    for _ in range(n_cp):
+        grow(nid, "CP", 0.05, d_cp, t_cp)
+        nid += 1
+    for _ in range(n_c):
+        grow(nid, "C", 0, d_c, t_c)
+        nid += 1
+
+    def m_peer(m):
+        opts = kinds["M"] - customers[m] - providers[m] - {m} - adj[m]
+        if not opts:
+            return
+        j = weighted_pick({x: peers_deg[x] for x in sorted(opts)})
+        put_edge(m, j, "peer")
+        peers_deg[m] += 1
+        peers_deg[j] += 1
+
+    def cp_peer(cp):
+        opts = set()
+        for r in regions:
+            if cp in regions[r]:
+                opts |= regions[r]
+        opts = opts - {cp} - providers[cp] - adj[cp]
+        if not opts:
+            return
+        j = rng.sample(sorted(opts), 1)[0]
+        put_edge(cp, j, "peer")
+        peers_deg[cp] += 1
+        peers_deg[j] += 1
+
+    for i in sorted(kinds["M"]):
+        for _ in range(avg_int(0, p_m_m)):
+            m_peer(i)
+    for i in sorted(kinds["CP"]):
+        for _ in range(avg_int(0, p_cp_m)):
+            cp_peer(i)
+    for i in sorted(kinds["CP"]):
+        for _ in range(avg_int(0, p_cp_cp)):
+            cp_peer(i)
+
+    tcode = {"T": 0, "M": 1, "CP": 2, "C": 3}
+    v_df = spark.createDataFrame(
+        [(v, tcode[ntype[v]]) for v in sorted(ntype)], "id long, type int"
+    )
+    rows = [
+        (u, v, 1.0, 0 if etype[(u, v)] == "transit" else 1, int(ecust[(u, v)]))
+        for (u, v) in sorted(etype)
+    ]
+    e_df = spark.createDataFrame(
+        rows or [],
+        "src long, dst long, weight double, etype int, customer long",
+    )
+    return SparkGraph(e_df, v_df, directed=False, coalesce_edges=False)
