@@ -1178,7 +1178,7 @@ from linkgraph.algos.walks import (
     panther_similarity,
     panther_vector_similarity,
 )
-from linkgraph.algos.branchings import maximum_branching, minimum_branching
+from linkgraph.algos.branchings import maximum_branching, minimum_branching, ArborescenceIterator
 from linkgraph.algos.regularity import (
     is_strongly_regular,
     intersection_array,

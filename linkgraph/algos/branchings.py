@@ -292,3 +292,187 @@ def minimum_branching(g: SparkGraph) -> DataFrame:
     """``branchings.py`` ``minimum_branching`` — minimum-weight twin
     (only negative-weight arcs lower the total)."""
     return _branching(g, maximize=False)
+
+
+# ---------------------------------------------------------------------- #
+# ArborescenceIterator (``tree/branchings.py`` class ArborescenceIterator)
+# ---------------------------------------------------------------------- #
+
+
+def _driver_min_arborescence(nodes, arcs, partition, minimum):
+    """Chu-Liu/Edmonds over the collected arc list, honoring a partition
+    of forced-included / excluded arcs; returns (total weight over the
+    ORIGINAL weights, arc list) or None when infeasible. The iterator's
+    inner kernel — the distributed Edmonds above stays the one-shot API.
+    """
+    INC, EXC = 1, 2
+    big = sum(abs(w) for _, _, w in arcs) + 1.0
+    sign = 1.0 if minimum else -1.0
+    work = []
+    mod_w = {}
+    for (u, v, w) in arcs:
+        st = partition.get((u, v), 0)
+        if st == EXC:
+            continue
+        ww = sign * w - (2 * big if st == INC else 0.0)
+        work.append((u, v, ww, (u, v, w)))
+        mod_w[(u, v)] = ww
+    best = None
+    for root in nodes:
+        chosen = _chu_liu(list(nodes), work, root)
+        if chosen is None:
+            continue
+        total_mod = sum(mod_w[(u, v)] for u, v, _ in chosen)
+        if best is None or total_mod < best[0]:
+            best = (total_mod, chosen)
+    if best is None:
+        return None
+    chosen = best[1]
+    chosen_set = {(u, v) for u, v, _ in chosen}
+    for (u, v), st in partition.items():
+        if st == INC and (u, v) not in chosen_set:
+            return None
+    total = sum(w for _, _, w in chosen)
+    return total, chosen
+
+
+def _chu_liu(nodes, arcs, root):
+    """Minimum arborescence rooted at ``root`` by recursive cycle
+    contraction. ``arcs`` rows are (u, v, w, payload); returns the list
+    of chosen payloads (at the top level: original (u, v, w) triples) or
+    None when some node is unreachable."""
+    best_in = {}
+    for u, v, w, pl in arcs:
+        if v == root or u == v:
+            continue
+        if v not in best_in or w < best_in[v][2]:
+            best_in[v] = (u, v, w, pl)
+    for v in nodes:
+        if v != root and v not in best_in:
+            return None
+    # cycle among the picks?
+    color = {}
+    cycle = None
+    for v in nodes:
+        if v == root or v in color:
+            continue
+        path = []
+        x = v
+        while x != root and color.get(x) is None:
+            color[x] = v
+            path.append(x)
+            x = best_in[x][0]
+        if x != root and color.get(x) == v and x in path:
+            cycle = path[path.index(x):]
+            break
+    if cycle is None:
+        return [best_in[v][3] for v in nodes if v != root]
+    cyc = set(cycle)
+    super_id = ("C", min(map(repr, cycle)))
+    new_nodes = [n for n in nodes if n not in cyc] + [super_id]
+    new_arcs = []
+    for u, v, w, pl in arcs:
+        if u in cyc and v in cyc:
+            continue
+        if v in cyc:
+            new_arcs.append((u, super_id, w - best_in[v][2],
+                             ("__enter__", pl, v)))
+        elif u in cyc:
+            new_arcs.append((super_id, v, w, pl))
+        else:
+            new_arcs.append((u, v, w, pl))
+    sub = _chu_liu(new_nodes, new_arcs, root)
+    if sub is None:
+        return None
+    out = []
+    entered = None
+    for item in sub:
+        if isinstance(item, tuple) and len(item) == 3 and item[0] == "__enter__":
+            out.append(item[1])
+            entered = item[2]
+        else:
+            out.append(item)
+    for c in cycle:
+        if c != entered:
+            out.append(best_in[c][3])
+    return out
+
+
+class ArborescenceIterator:
+    """``tree/branchings.py`` ``ArborescenceIterator`` — every spanning
+    arborescence of a digraph in nondecreasing (or nonincreasing) weight
+    order, via the same included/excluded/open partition scheme as
+    :class:`linkgraph.algos.mst.SpanningTreeIterator`; yields directed
+    SparkGraphs. Driver-gated enumeration (output may be exponential)."""
+
+    def __init__(self, g, weight="weight", minimum: bool = True,
+                 init_partition=None, *, max_driver_edges: int = 1_000_000):
+        from linkgraph.graph import resolve_weight_column
+
+        if not g.directed:
+            raise NetworkXError("ArborescenceIterator needs a directed graph")
+        if g.edges.count() > max_driver_edges:
+            raise NetworkXError("ArborescenceIterator exceeds driver guard")
+        self.g = g
+        self.minimum = minimum
+        base = g.edges
+        from pyspark.sql import functions as F
+
+        self.arcs = [
+            (r["src"], r["dst"], float(r["w"]))
+            for r in base.select(
+                "src", "dst", resolve_weight_column(base, weight).alias("w")
+            ).collect()
+        ]
+        self.nodes = sorted(r["id"] for r in g.vertices.select("id").collect())
+        self.init_partition = {}
+        if init_partition is not None:
+            included, excluded = init_partition
+            for (u, v) in included:
+                self.init_partition[(u, v)] = 1
+            for (u, v) in excluded:
+                self.init_partition[(u, v)] = 2
+
+    def __iter__(self):
+        import heapq
+
+        sign = 1.0 if self.minimum else -1.0
+        counter = 0
+        heap = []
+        first = _driver_min_arborescence(
+            self.nodes, self.arcs, self.init_partition, self.minimum
+        )
+        if first is not None:
+            heapq.heappush(
+                heap, (sign * first[0], counter, dict(self.init_partition))
+            )
+            counter += 1
+        while heap:
+            _, _, part = heapq.heappop(heap)
+            total, tree = _driver_min_arborescence(
+                self.nodes, self.arcs, part, self.minimum
+            )
+            yield self._to_graph(tree)
+            new_part = dict(part)
+            for u, v, w in tree:
+                if part.get((u, v), 0) != 0:
+                    continue
+                p_exc = dict(new_part)
+                p_exc[(u, v)] = 2
+                got = _driver_min_arborescence(
+                    self.nodes, self.arcs, p_exc, self.minimum
+                )
+                if got is not None:
+                    heapq.heappush(heap, (sign * got[0], counter, p_exc))
+                    counter += 1
+                new_part[(u, v)] = 1
+
+    def _to_graph(self, tree):
+        from linkgraph.graph import SparkGraph
+
+        e = self.g.spark.createDataFrame(
+            [(u, v, w) for u, v, w in sorted(tree)] or [],
+            "src long, dst long, weight double",
+        )
+        return SparkGraph(e, self.g.vertices.select("id"), directed=True,
+                          coalesce_edges=False)
