@@ -1385,3 +1385,61 @@ from linkgraph.algos.edge_augmentation import (
     is_locally_k_edge_connected,
 )
 from linkgraph.io.latex import to_latex_raw, to_latex, write_latex
+from linkgraph.drawing import (
+    draw,
+    draw_networkx,
+    draw_networkx_nodes,
+    draw_networkx_edges,
+    draw_networkx_labels,
+    draw_networkx_edge_labels,
+    draw_circular,
+    draw_kamada_kawai,
+    draw_planar,
+    draw_random,
+    draw_shell,
+    draw_spectral,
+    draw_spring,
+    draw_forceatlas2,
+    draw_bipartite,
+    display,
+    apply_matplotlib_colors,
+)
+
+
+class _Config:
+    """``networkx.config`` twin — the reference exposes a mutable
+    backend/config namespace; the engine's knobs are Spark confs, so this
+    object carries only the compatibility surface."""
+
+    backends = {}
+    backend_priority = []
+    cache_converted_graphs = False
+    warnings_to_ignore = set()
+
+    def __repr__(self):  # pragma: no cover
+        return "linkgraph.config(spark-native; tuning lives in Spark confs)"
+
+
+config = _Config()
+
+
+def graph_atlas(i: int):
+    """``generators/atlas.py`` ``graph_atlas`` — the reference returns
+    graph #i of the 1253-graph table from 'An Atlas of Graphs' (Read &
+    Wilson 1998). The table is book data, not an algorithm; shipping a
+    re-typed copy would be verbatim data duplication, so this engine
+    declares it out of scope. ``nonisomorphic_trees`` /
+    ``graph_enumeration`` cover the generative slice."""
+    raise NotImplementedError(
+        "graph_atlas: the Atlas of Graphs table is licensed book data the "
+        "engine does not vendor; see nonisomorphic_trees for enumerative "
+        "generation"
+    )
+
+
+def graph_atlas_g():
+    """See :func:`graph_atlas`."""
+    raise NotImplementedError(
+        "graph_atlas_g: the Atlas of Graphs table is licensed book data "
+        "the engine does not vendor"
+    )
