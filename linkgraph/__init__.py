@@ -1443,3 +1443,31 @@ def graph_atlas_g():
         "graph_atlas_g: the Atlas of Graphs table is licensed book data "
         "the engine does not vendor"
     )
+from linkgraph.algos.bipartite import (
+    hopcroft_karp_matching,
+    eppstein_matching,
+    is_bipartite_node_set,
+    node_redundancy,
+    spectral_bipartivity,
+    biadjacency_matrix,
+    from_biadjacency_matrix,
+    collaboration_weighted_projected_graph,
+    generic_weighted_projected_graph,
+    minimum_weight_full_matching,
+    maximal_extendability,
+)
+from linkgraph.algos.community_extra import (
+    is_partition,
+    girvan_newman,
+    kernighan_lin_bisection,
+    k_clique_communities,
+    lukes_partitioning,
+    edge_betweenness_partition,
+    edge_current_flow_betweenness_partition,
+    naive_greedy_modularity_communities,
+    louvain_partitions,
+    leiden_partitions,
+    spectral_modularity_bipartition,
+    greedy_node_swap_bipartition,
+    greedy_source_expansion,
+)

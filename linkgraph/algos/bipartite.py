@@ -22,6 +22,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from linkgraph.exceptions import NetworkXError
 from linkgraph.graph import SparkGraph
 
 __all__ = [
@@ -29,6 +30,22 @@ __all__ = [
     "weighted_projected_graph",
     "overlap_weighted_projected_graph",
     "birank",
+    "hopcroft_karp_matching",
+    "eppstein_matching",
+    "is_bipartite_node_set",
+    "node_redundancy",
+    "spectral_bipartivity",
+    "biadjacency_matrix",
+    "from_biadjacency_matrix",
+    "collaboration_weighted_projected_graph",
+    "generic_weighted_projected_graph",
+    "minimum_weight_full_matching",
+    "maximal_extendability",
+    "bipartite_random_graph",
+    "gnmk_random_graph",
+    "preferential_attachment_graph",
+    "reverse_havel_hakimi_graph",
+    "alternating_havel_hakimi_graph",
 ]
 
 
@@ -626,3 +643,636 @@ def bipartite_degrees(g: SparkGraph, nodes: DataFrame, *, weight=None):
     bottom = d.join(side, "id", "left_semi")
     top = d.join(side, "id", "left_anti")
     return top, bottom
+
+
+# ---------------------------------------------------------------------- #
+# bipartite tail: matchings, redundancy, spectral bipartivity,
+# biadjacency bridges, weighted projections, generators, extendability
+# (``networkx/algorithms/bipartite/{matching,redundancy,spectral,
+# matrix,projection,generators,extendability}.py``)
+# ---------------------------------------------------------------------- #
+
+
+def hopcroft_karp_matching(g: SparkGraph, top_nodes: DataFrame) -> DataFrame:
+    """``bipartite/matching.py`` ``hopcroft_karp_matching`` — alias of
+    :func:`maximum_matching` (whose Dinitz phases ARE Hopcroft-Karp)."""
+    return maximum_matching(g, top_nodes)
+
+
+def eppstein_matching(g: SparkGraph, top_nodes: DataFrame) -> DataFrame:
+    """``bipartite/matching.py`` ``eppstein_matching`` — same maximum
+    matching, different reference schedule; one distributed kernel here."""
+    return maximum_matching(g, top_nodes)
+
+
+def is_bipartite_node_set(g: SparkGraph, nodes) -> bool:
+    """``bipartite/basic.py`` ``is_bipartite_node_set`` — True iff
+    ``nodes`` is one side of a bipartition: every edge crosses the set
+    exactly once. One membership join + one violation count."""
+    if isinstance(nodes, DataFrame):
+        side = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+    else:
+        side = g.spark.createDataFrame([(int(x),) for x in nodes], "id long")
+    side = side.distinct().persist()
+    arcs = g.symmetric_edges().select("src", "dst") if not g.directed else (
+        g.edges.select("src", "dst")
+    )
+    marked = (
+        arcs.join(
+            side.select(F.col("id").alias("src"), F.lit(1).alias("_s")),
+            "src", "left",
+        )
+        .join(
+            side.select(F.col("id").alias("dst"), F.lit(1).alias("_t")),
+            "dst", "left",
+        )
+        .select(
+            (F.coalesce("_s", F.lit(0)) + F.coalesce("_t", F.lit(0))).alias("k")
+        )
+    )
+    bad = marked.filter((F.col("k") == 0) | (F.col("k") == 2)).limit(1).count()
+    side.unpersist()
+    return bad == 0
+
+
+def node_redundancy(g: SparkGraph, nodes: Optional[DataFrame] = None) -> DataFrame:
+    """``bipartite/redundancy.py`` ``node_redundancy`` — (id, redundancy):
+    the fraction of a node's neighbor pairs that would remain connected
+    through some OTHER shared neighbor if the node vanished. A pair
+    (u, w) ⊆ N(v) qualifies iff |N(u) ∩ N(w)| ≥ 2 (v is always one), so
+    the whole table is: one wedge self-join → per-pair common-neighbor
+    counts → one membership join back to the wedges — never per-node
+    Python. Raises on nodes with fewer than two neighbors, like the
+    reference."""
+    arcs = g.symmetric_edges().select("src", "dst")
+    deg = arcs.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    ).persist()
+    scope = (
+        nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+        if nodes is not None
+        else g.vertices.select("id")
+    )
+    under = scope.join(deg, "id", "left").filter(
+        F.coalesce("d", F.lit(0)) < 2
+    )
+    if under.limit(1).count() > 0:
+        raise NetworkXError(
+            "Cannot compute redundancy coefficient for a node"
+            " that has fewer than two neighbors."
+        )
+    # wedges centered at v: neighbor pairs u < w
+    a = arcs.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    b = arcs.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = a.join(b, "v").filter(F.col("u") < F.col("w")).persist()
+    pair_counts = (
+        wedges.groupBy("u", "w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    good = pair_counts.filter(F.col("c") >= 2).select("u", "w")
+    overlap = (
+        wedges.join(good, ["u", "w"], "left_semi")
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    out = (
+        scope.join(deg, "id")
+        .join(overlap, "id", "left")
+        .select(
+            "id",
+            (
+                2.0 * F.coalesce("ov", F.lit(0))
+                / (F.col("d") * (F.col("d") - 1))
+            ).alias("redundancy"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    wedges.unpersist()
+    deg.unpersist()
+    return out
+
+
+def spectral_bipartivity(g: SparkGraph, nodes=None, weight="weight",
+                         *, max_nodes: int = 20000):
+    """``bipartite/spectral.py`` ``spectral_bipartivity`` (Estrada &
+    Rodríguez-Velázquez 2005) — ``tr cosh(A) / tr exp(A)`` via the dense
+    symmetric eigendecomposition (the reference's scipy ``expm``);
+    driver-gated numerics over the distributed adjacency. With ``nodes``
+    returns the per-node ratios as a dict like the reference."""
+    import numpy as np
+
+    from linkgraph.linalg import adjacency_matrix
+
+    A, ids = adjacency_matrix(g, weight=weight, max_nodes=max_nodes)
+    evals, evecs = np.linalg.eigh(A)
+    expA = (evecs * np.exp(evals)) @ evecs.T
+    expmA = (evecs * np.exp(-evals)) @ evecs.T
+    coshA = 0.5 * (expA + expmA)
+    if nodes is None:
+        return float(coshA.diagonal().sum() / expA.diagonal().sum())
+    index = {v: i for i, v in enumerate(ids)}
+    return {
+        n: float(coshA[index[n], index[n]] / expA[index[n], index[n]])
+        for n in nodes
+    }
+
+
+def biadjacency_matrix(g: SparkGraph, row_order, column_order=None,
+                       weight="weight", *, max_nodes: int = 20000):
+    """``bipartite/matrix.py`` ``biadjacency_matrix`` — the |U|×|V| dense
+    block (SciPy-free ndarray like the engine's other matrix bridges)."""
+    import numpy as np
+
+    from linkgraph.graph import resolve_weight_column
+
+    rows = [int(x) for x in row_order]
+    if column_order is None:
+        rowset = set(rows)
+        column_order = [
+            r["id"] for r in g.vertices.select("id").collect()
+            if r["id"] not in rowset
+        ]
+        column_order.sort()
+    cols = [int(x) for x in column_order]
+    if len(rows) + len(cols) > max_nodes:
+        raise NetworkXError("biadjacency_matrix is dense; too many nodes")
+    ri = {v: i for i, v in enumerate(rows)}
+    ci = {v: i for i, v in enumerate(cols)}
+    base = g.symmetric_edges() if not g.directed else g.edges
+    M = np.zeros((len(rows), len(cols)))
+    for r in base.select(
+        "src", "dst", resolve_weight_column(base, weight).alias("w")
+    ).collect():
+        if r["src"] in ri and r["dst"] in ci:
+            M[ri[r["src"]], ci[r["dst"]]] += float(r["w"])
+    return M
+
+
+def from_biadjacency_matrix(spark, M, *, directed: bool = False) -> SparkGraph:
+    """``bipartite/matrix.py`` ``from_biadjacency_matrix`` — rows become
+    nodes 0..n-1 (bipartite=0), columns n..n+m-1 (bipartite=1)."""
+    import numpy as np
+
+    M = np.asarray(M)
+    n, m = M.shape
+    rows = []
+    for i in range(n):
+        for j in range(m):
+            if M[i, j] != 0:
+                rows.append((i, n + j, float(M[i, j])))
+    e = spark.createDataFrame(rows or [], "src long, dst long, weight double")
+    v = spark.createDataFrame(
+        [(i, 0) for i in range(n)] + [(n + j, 1) for j in range(m)],
+        "id long, bipartite int",
+    )
+    return SparkGraph(e, v, directed=directed, coalesce_edges=False)
+
+
+def collaboration_weighted_projected_graph(
+    g: SparkGraph, nodes: DataFrame
+) -> SparkGraph:
+    """``bipartite/projection.py`` ``collaboration_weighted_projected_
+    graph`` (Newman 2001) — projected edge weight ``Σ 1/(deg(n) − 1)``
+    over shared neighbors n with degree > 1. One wedge join + one degree
+    join + one groupBy."""
+    side = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+    arcs = g.symmetric_edges().select("src", "dst")
+    deg = arcs.groupBy(F.col("src").alias("mid")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    a = arcs.select(F.col("dst").alias("mid"), F.col("src").alias("u")).join(
+        side.withColumnRenamed("id", "u"), "u", "left_semi"
+    )
+    b = arcs.select(F.col("dst").alias("mid"), F.col("src").alias("v")).join(
+        side.withColumnRenamed("id", "v"), "v", "left_semi"
+    )
+    e = (
+        a.join(b, "mid")
+        .filter(F.col("u") < F.col("v"))
+        .join(deg, "mid")
+        .groupBy(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .agg(
+            F.sum(
+                F.when(F.col("d") > 1, 1.0 / (F.col("d") - 1)).otherwise(0.0)
+            ).alias("weight")
+        )
+    )
+    return SparkGraph(e, side, directed=False, coalesce_edges=False)
+
+
+def generic_weighted_projected_graph(
+    g: SparkGraph, nodes: DataFrame, weight_function=None,
+    *, max_driver_edges: int = 1_000_000,
+) -> SparkGraph:
+    """``bipartite/projection.py`` ``generic_weighted_projected_graph`` —
+    default weight (shared-neighbor count) runs as one distributed wedge
+    join; a Python ``weight_function(adj, u, v)`` (receiving the
+    collected adjacency dict) runs driver-side under the size guard, the
+    honest analog of the reference's arbitrary-callable contract."""
+    side = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+    arcs = g.symmetric_edges().select("src", "dst")
+    if weight_function is None:
+        a = arcs.select(F.col("dst").alias("mid"), F.col("src").alias("u")).join(
+            side.withColumnRenamed("id", "u"), "u", "left_semi"
+        )
+        b = arcs.select(F.col("dst").alias("mid"), F.col("src").alias("v")).join(
+            side.withColumnRenamed("id", "v"), "v", "left_semi"
+        )
+        e = (
+            a.join(b, "mid")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy(F.col("u").alias("src"), F.col("v").alias("dst"))
+            .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        )
+        return SparkGraph(e, side, directed=False, coalesce_edges=False)
+    if g.edges.count() > max_driver_edges:
+        raise NetworkXError("generic projection callable exceeds driver guard")
+    adj = {}
+    for r in arcs.collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    members = sorted(r["id"] for r in side.collect())
+    mset = set(members)
+    rows = []
+    for u in members:
+        second = {x for nbr in adj.get(u, ()) for x in adj.get(nbr, ())} - {u}
+        for v in sorted(second & mset):
+            if u < v:
+                rows.append((u, v, float(weight_function(adj, u, v))))
+    e = g.spark.createDataFrame(
+        rows or [], "src long, dst long, weight double"
+    )
+    return SparkGraph(e, side, directed=False, coalesce_edges=False)
+
+
+def minimum_weight_full_matching(
+    g: SparkGraph, top_nodes: DataFrame, weight="weight",
+    *, max_driver_edges: int = 1_000_000,
+) -> DataFrame:
+    """``bipartite/matching.py`` ``minimum_weight_full_matching`` — the
+    assignment problem: match EVERY node of the smaller side at minimum
+    total weight. The reference defers to SciPy's LSAP; here a driver
+    Hungarian (Jonker-Volgenant style shortest augmenting paths, O(n³))
+    over the collected biadjacency, raising when no full matching exists.
+    Returns (u, v) rows with u on the top side."""
+    from linkgraph.graph import resolve_weight_column
+
+    if g.edges.count() > max_driver_edges:
+        raise NetworkXError("minimum_weight_full_matching exceeds driver guard")
+    top = sorted(
+        r["id"]
+        for r in top_nodes.select(
+            F.col(top_nodes.columns[0]).cast("long").alias("id")
+        ).collect()
+    )
+    tset = set(top)
+    bottom = sorted(
+        r["id"] for r in g.vertices.select("id").collect()
+        if r["id"] not in tset
+    )
+    base = g.symmetric_edges() if not g.directed else g.edges
+    wmap = {}
+    for r in base.select(
+        "src", "dst", resolve_weight_column(base, weight).alias("w")
+    ).collect():
+        if r["src"] in tset and r["dst"] not in tset:
+            wmap[(r["src"], r["dst"])] = float(r["w"])
+    if len(top) > len(bottom):
+        # transpose so rows are the smaller side
+        rows_, cols_ = bottom, top
+        cost = {(b, t): w for (t, b), w in wmap.items()}
+        flip = True
+    else:
+        rows_, cols_ = top, bottom
+        cost = dict(wmap)
+        flip = False
+    INF = float("inf")
+    n, m = len(rows_), len(cols_)
+    # Jonker-Volgenant: potentials + shortest augmenting path per row
+    u_pot = [0.0] * (n + 1)
+    v_pot = [0.0] * (m + 1)
+    way = [0] * (m + 1)
+    match_col = [0] * (m + 1)  # 1-indexed; 0 = free
+
+    def c(i, j):
+        return cost.get((rows_[i - 1], cols_[j - 1]), INF)
+
+    for i in range(1, n + 1):
+        match_col[0] = i
+        j0 = 0
+        minv = [INF] * (m + 1)
+        used = [False] * (m + 1)
+        while True:
+            used[j0] = True
+            i0 = match_col[j0]
+            delta = INF
+            j1 = -1
+            for j in range(1, m + 1):
+                if used[j]:
+                    continue
+                cur = c(i0, j) - u_pot[i0] - v_pot[j]
+                if cur < minv[j]:
+                    minv[j] = cur
+                    way[j] = j0
+                if minv[j] < delta:
+                    delta = minv[j]
+                    j1 = j
+            if delta == INF:
+                raise NetworkXError("no full matching exists")
+            for j in range(m + 1):
+                if used[j]:
+                    u_pot[match_col[j]] += delta
+                    v_pot[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if match_col[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            match_col[j0] = match_col[j1]
+            j0 = j1
+    pairs = []
+    for j in range(1, m + 1):
+        if match_col[j] != 0:
+            i = match_col[j]
+            r_, c_ = rows_[i - 1], cols_[j - 1]
+            pairs.append((c_, r_) if flip else (r_, c_))
+    return g.spark.createDataFrame(
+        sorted(pairs), "u long, v long"
+    )
+
+
+def maximal_extendability(g: SparkGraph, *, max_driver_edges: int = 100_000) -> int:
+    """``bipartite/extendability.py`` ``maximal_extendability`` — for a
+    connected bipartite graph with a perfect matching: the largest k such
+    that every matching of size k extends to a perfect one = the minimum
+    over (u ∈ U, v ∈ V) of vertex-disjoint u→v paths in the
+    matching-oriented residual digraph (Zhang & Zhang). |U|·|V| unit-
+    capacity flows — a driver kernel under a tight guard, like the
+    reference's per-pair ``node_disjoint_paths`` loop."""
+    from collections import deque
+
+    if g.edges.count() > max_driver_edges:
+        raise NetworkXError("maximal_extendability exceeds driver guard")
+    from linkgraph.algos.components import is_connected
+
+    if not is_connected(g):
+        raise NetworkXError("Graph G is not connected")
+    if not is_bipartite(g):
+        raise NetworkXError("Graph G is not bipartite")
+    top_df, bottom_df = sets(g)
+    U = sorted(r["id"] for r in top_df.collect())
+    V = sorted(r["id"] for r in bottom_df.collect())
+    match_rows = maximum_matching(g, g.spark.createDataFrame(
+        [(x,) for x in U], "id long"
+    )).collect()
+    pm = {}
+    for r in match_rows:
+        pm[r["u"]] = r["v"]
+        pm[r["v"]] = r["u"]
+    if len(pm) != len(U) + len(V):
+        raise NetworkXError("Graph G does not contain a perfect matching")
+    # orient: matched edges V->U, unmatched U->V
+    succ = {x: set() for x in U + V}
+    for r in g.edges.select("src", "dst").collect():
+        a, b = r["src"], r["dst"]
+        u, v = (a, b) if a in set(U) else (b, a)
+        if pm.get(v) == u:
+            succ[v].add(u)
+        else:
+            succ[u].add(v)
+    # strong connectivity of the residual
+    def reach(adjm, s):
+        seen = {s}
+        q = [s]
+        while q:
+            x = q.pop()
+            for y in adjm[x]:
+                if y not in seen:
+                    seen.add(y)
+                    q.append(y)
+        return seen
+
+    allnodes = set(U) | set(V)
+    pred = {x: set() for x in allnodes}
+    for x, ys in succ.items():
+        for y in ys:
+            pred[y].add(x)
+    s0 = U[0]
+    if reach(succ, s0) != allnodes or reach(pred, s0) != allnodes:
+        raise NetworkXError("The residual graph of G is not strongly connected")
+
+    def node_disjoint_count(s, t):
+        # unit node capacities via node splitting; BFS augmenting paths
+        cap = {}
+        for x in allnodes:
+            cap[((x, "in"), (x, "out"))] = 1 if x not in (s, t) else len(allnodes)
+        for x, ys in succ.items():
+            for y in ys:
+                cap[((x, "out"), (y, "in"))] = 1
+        adjf = {}
+        for (a, b) in cap:
+            adjf.setdefault(a, set()).add(b)
+            adjf.setdefault(b, set()).add(a)
+        flow = 0
+        source, sink = (s, "out"), (t, "in")
+        while True:
+            prev = {source: None}
+            q = deque([source])
+            while q and sink not in prev:
+                x = q.popleft()
+                for y in adjf.get(x, ()):
+                    if y not in prev and cap.get((x, y), 0) > 0:
+                        prev[y] = x
+                        q.append(y)
+            if sink not in prev:
+                return flow
+            y = sink
+            while prev[y] is not None:
+                x = prev[y]
+                cap[(x, y)] = cap.get((x, y), 0) - 1
+                cap[(y, x)] = cap.get((y, x), 0) + 1
+                y = x
+            flow += 1
+
+    k = None
+    for u in U:
+        for v in V:
+            c_ = node_disjoint_count(u, v)
+            if k is None or c_ < k:
+                k = c_
+                if k == 1:
+                    return 1
+    return int(k)
+
+
+# ---------------------------------------------------------------------- #
+# bipartite generators (``bipartite/generators.py``)
+# ---------------------------------------------------------------------- #
+
+
+def _bipartite_vertices(spark, n, m):
+    return spark.createDataFrame(
+        [(i, 0) for i in range(n)] + [(n + j, 1) for j in range(m)],
+        "id long, bipartite int",
+    )
+
+
+def bipartite_random_graph(
+    spark, n: int, m: int, p: float, seed: int = 0, directed: bool = False
+) -> SparkGraph:
+    """``bipartite/generators.py`` ``random_graph`` — bipartite G(n, m, p)
+    with top nodes 0..n-1 and bottom n..n+m-1. One hash coin per cell of
+    the n×m grid (each direction independently when directed), fully
+    distributed — the reference's skip-sampling is a sequential-stream
+    optimization of the same distribution."""
+    from linkgraph.random_graphs import _coin
+
+    n, m = int(n), int(m)
+    v = _bipartite_vertices(spark, n, m)
+    if p <= 0:
+        e = spark.createDataFrame([], "src long, dst long, weight double")
+        return SparkGraph(e, v, directed=directed, coalesce_edges=False)
+    grid = spark.range(n).select(F.col("id").alias("src")).crossJoin(
+        spark.range(m).select((F.col("id") + n).alias("dst"))
+    )
+    fwd = grid.filter(
+        (F.lit(float(p)) >= 1.0)
+        | (_coin(F.lit(int(seed)), "src", "dst", F.lit(0)) < float(p))
+    )
+    e = fwd.select("src", "dst")
+    if directed:
+        back = grid.filter(
+            (F.lit(float(p)) >= 1.0)
+            | (_coin(F.lit(int(seed)), "src", "dst", F.lit(1)) < float(p))
+        ).select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        e = e.unionByName(back)
+    e = e.withColumn("weight", F.lit(1.0))
+    return SparkGraph(e, v, directed=directed, coalesce_edges=False)
+
+
+def gnmk_random_graph(
+    spark, n: int, m: int, k: int, seed: int = 0, directed: bool = False
+) -> SparkGraph:
+    """``bipartite/generators.py`` ``gnmk_random_graph`` — exactly k
+    uniform edges of the n×m grid: hash-rank every cell, keep the k
+    smallest (one distributed top-k, no rejection loop)."""
+    n, m, k = int(n), int(m), int(k)
+    v = _bipartite_vertices(spark, n, m)
+    if n == 1 or m == 1 or k <= 0:
+        e = spark.createDataFrame([], "src long, dst long, weight double")
+        return SparkGraph(e, v, directed=directed, coalesce_edges=False)
+    grid = spark.range(n).select(F.col("id").alias("src")).crossJoin(
+        spark.range(m).select((F.col("id") + n).alias("dst"))
+    )
+    if k >= n * m:
+        e = grid.withColumn("weight", F.lit(1.0))
+        return SparkGraph(e, v, directed=directed, coalesce_edges=False)
+    e = (
+        grid.withColumn("_h", F.xxhash64(F.lit(int(seed)), "src", "dst"))
+        .orderBy("_h", "src", "dst")
+        .limit(k)
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    return SparkGraph(e, v, directed=directed, coalesce_edges=False)
+
+
+def preferential_attachment_graph(
+    spark, aseq, p: float, seed: int = 0
+) -> SparkGraph:
+    """``bipartite/generators.py`` ``preferential_attachment_graph``
+    (Guillaume-Latapy) — top stubs either create a fresh bottom node
+    (prob p) or attach to a bottom node ∝ its degree. Sequential urn,
+    driver-side; multi-edges kept in ``weight`` multiplicity."""
+    import random as _random
+
+    if p > 1:
+        raise NetworkXError(f"probability {p} > 1")
+    rng = _random.Random(int(seed))
+    aseq = [int(d) for d in aseq]
+    n = len(aseq)
+    bottom_deg = {}
+    edges = []
+    nxt = n
+    for src, d in enumerate(aseq):
+        for _ in range(d):
+            if rng.random() < p or not bottom_deg:
+                target = nxt
+                nxt += 1
+                bottom_deg[target] = 1
+            else:
+                stubs = [b for b, bd in sorted(bottom_deg.items())
+                         for _ in range(bd)]
+                target = rng.choice(stubs)
+                bottom_deg[target] += 1
+            edges.append((src, target))
+    v = spark.createDataFrame(
+        [(i, 0) for i in range(n)]
+        + [(b, 1) for b in sorted(bottom_deg)],
+        "id long, bipartite int",
+    )
+    e = spark.createDataFrame(
+        [(u, w, 1.0) for u, w in edges], "src long, dst long, weight double"
+    )
+    return SparkGraph(e, v, directed=False, coalesce_edges=True)
+
+
+def _bipartite_hh(spark, aseq, bseq, schedule: str) -> SparkGraph:
+    aseq = [int(d) for d in aseq]
+    bseq = [int(d) for d in bseq]
+    if sum(aseq) != sum(bseq):
+        raise NetworkXError(
+            f"invalid degree sequences, sum(aseq)!=sum(bseq),"
+            f"{sum(aseq)},{sum(bseq)}"
+        )
+    na, nb = len(aseq), len(bseq)
+    astubs = [[aseq[v], v] for v in range(na)]
+    bstubs = [[bseq[v - na], v] for v in range(na, na + nb)]
+    edges = []
+    if schedule == "reverse":
+        astubs.sort()
+        bstubs.sort()
+        while astubs:
+            degree, u = astubs.pop()
+            if degree == 0:
+                break
+            for target in bstubs[0:degree]:  # smallest-degree targets
+                edges.append((u, target[1]))
+                target[0] -= 1
+                if target[0] == 0:
+                    bstubs.remove(target)
+    else:  # alternating
+        while astubs:
+            astubs.sort()
+            degree, u = astubs.pop()
+            if degree == 0:
+                break
+            bstubs.sort()
+            small = bstubs[0: degree // 2]
+            large = bstubs[(-degree + degree // 2):] if degree - degree // 2 else []
+            stubs = [x for z in zip(large, small) for x in z]
+            if len(stubs) < len(small) + len(large):
+                stubs.append(large.pop())
+            for target in stubs:
+                edges.append((u, target[1]))
+                target[0] -= 1
+                if target[0] == 0:
+                    bstubs.remove(target)
+    v = _bipartite_vertices(spark, na, nb)
+    e = spark.createDataFrame(
+        [(u, w, 1.0) for u, w in edges] or [],
+        "src long, dst long, weight double",
+    )
+    return SparkGraph(e, v, directed=False, coalesce_edges=True)
+
+
+def reverse_havel_hakimi_graph(spark, aseq, bseq) -> SparkGraph:
+    """``bipartite/generators.py`` ``reverse_havel_hakimi_graph`` —
+    largest top degree connects to the SMALLEST remaining bottom degrees
+    (driver greedy; multi-edges coalesce into ``weight``)."""
+    return _bipartite_hh(spark, aseq, bseq, "reverse")
+
+
+def alternating_havel_hakimi_graph(spark, aseq, bseq) -> SparkGraph:
+    """``bipartite/generators.py`` ``alternating_havel_hakimi_graph`` —
+    alternate between the largest and smallest remaining bottom degrees."""
+    return _bipartite_hh(spark, aseq, bseq, "alternating")
