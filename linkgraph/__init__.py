@@ -364,7 +364,14 @@ from linkgraph.algos.selection import (
 )
 from linkgraph.algos.planarity import is_planar
 from linkgraph.algos.chordal import is_chordal
-from linkgraph.algos.tournament import is_tournament, score_sequence
+from linkgraph.algos.tournament import (
+    is_tournament,
+    score_sequence,
+    random_tournament,
+    hamiltonian_path,
+    is_reachable,
+    tournament_matrix,
+)
 from linkgraph.algos.degrees import s_metric, laplacian_centrality
 from linkgraph.algos.assortativity import (
     attribute_assortativity_coefficient,
@@ -504,10 +511,25 @@ from linkgraph.algos import approximation
 from linkgraph.algos.approximation import (
     christofides,
     treewidth_min_degree,
+    treewidth_min_fill_in,
     diameter_2sweep,
     randomized_partitioning,
     one_exchange,
     greedy_tsp,
+    ramsey_R2,
+    clique_removal,
+    max_clique,
+    large_clique_size,
+    maximum_independent_set,
+    min_weighted_vertex_cover,
+    min_weighted_dominating_set,
+    min_maximal_matching,
+    min_edge_dominating_set,
+    local_node_connectivity,
+    metric_closure,
+    simulated_annealing_tsp,
+    threshold_accepting_tsp,
+    traveling_salesman_problem,
 )
 from linkgraph.algos.coloring import greedy_color, equitable_color
 from linkgraph.algos.spectral import (
@@ -1470,4 +1492,36 @@ from linkgraph.algos.community_extra import (
     spectral_modularity_bipartition,
     greedy_node_swap_bipartition,
     greedy_source_expansion,
+)
+from linkgraph.algos.branchings import (
+    branching_weight,
+    greedy_branching,
+    minimal_branching,
+)
+from linkgraph.algos.tree import centroid
+from linkgraph.algos.flow import (
+    dinitz,
+    edmonds_karp,
+    shortest_augmenting_path,
+    boykov_kolmogorov,
+    preflow_push,
+    build_residual_network,
+    build_flow_dict,
+)
+from linkgraph.algos.isomorphism import (
+    GraphMatcher,
+    DiGraphMatcher,
+    MultiGraphMatcher,
+    MultiDiGraphMatcher,
+    categorical_node_match,
+    categorical_edge_match,
+    categorical_multiedge_match,
+    numerical_node_match,
+    numerical_edge_match,
+    numerical_multiedge_match,
+    generic_node_match,
+    generic_edge_match,
+    generic_multiedge_match,
+    rooted_tree_isomorphism,
+    tree_isomorphism,
 )

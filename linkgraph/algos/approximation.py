@@ -34,6 +34,21 @@ __all__ = [
     "one_exchange",
     "greedy_tsp",
     "treewidth_min_degree",
+    "ramsey_R2",
+    "clique_removal",
+    "max_clique",
+    "large_clique_size",
+    "maximum_independent_set",
+    "min_weighted_vertex_cover",
+    "min_weighted_dominating_set",
+    "min_maximal_matching",
+    "min_edge_dominating_set",
+    "local_node_connectivity",
+    "metric_closure",
+    "simulated_annealing_tsp",
+    "threshold_accepting_tsp",
+    "traveling_salesman_problem",
+    "treewidth_min_fill_in",
 ]
 
 
@@ -437,3 +452,551 @@ def treewidth_min_degree(
     if not tree_rows:
         tree = tree.limit(0)
     return int(width), bags, tree
+
+
+# ---------------------------------------------------------------------- #
+# approximation tail (``approximation/{clique,ramsey,vertex_cover,
+# dominating_set,matching,connectivity,steinertree,traveling_salesman,
+# treewidth}.py``)
+# ---------------------------------------------------------------------- #
+
+
+def _collect_simple_adj(g: SparkGraph, max_driver_edges: int = 1_000_000):
+    if g.edges.count() > max_driver_edges:
+        raise NetworkXError("approximation kernel exceeds driver guard")
+    nodes = sorted(r["id"] for r in g.vertices.select("id").collect())
+    adj = {v: set() for v in nodes}
+    for r in g.symmetric_edges().select("src", "dst").collect():
+        if r["src"] != r["dst"]:
+            adj[r["src"]].add(r["dst"])
+    return nodes, adj
+
+
+def ramsey_R2(g: SparkGraph):
+    """``approximation/ramsey.py`` ``ramsey_R2`` — (max clique found,
+    max independent set found) by the Ramsey-witness recursion. Driver
+    recursion like the reference (each step splits on one node)."""
+    _, adj = _collect_simple_adj(g)
+
+    def rec(nodes):
+        if not nodes:
+            return set(), set()
+        node = min(nodes)
+        nbrs = (adj[node] & nodes) - {node}
+        non = nodes - adj[node] - {node}
+        c1, i1 = rec(nbrs)
+        c2, i2 = rec(non)
+        c1.add(node)
+        i2.add(node)
+        return max(c1, c2, key=len), max(i1, i2, key=len)
+
+    import sys as _sys
+
+    nodes, _ = _collect_simple_adj(g)
+    old = _sys.getrecursionlimit()
+    _sys.setrecursionlimit(max(old, len(nodes) + 100))
+    try:
+        return rec(set(nodes))
+    finally:
+        _sys.setrecursionlimit(old)
+
+
+def clique_removal(g: SparkGraph):
+    """``approximation/clique.py`` ``clique_removal`` — Boppana-
+    Halldórsson: repeatedly take a Ramsey pair and delete the clique.
+    Returns (an O(n/log²n)-approx max independent set, clique cover)."""
+    nodes, adj = _collect_simple_adj(g)
+    live = set(nodes)
+
+    def rec(scope):
+        if not scope:
+            return set(), set()
+        node = min(scope)
+        nbrs = (adj[node] & scope) - {node}
+        non = scope - adj[node] - {node}
+        c1, i1 = rec(nbrs)
+        c2, i2 = rec(non)
+        c1.add(node)
+        i2.add(node)
+        return max(c1, c2, key=len), max(i1, i2, key=len)
+
+    import sys as _sys
+
+    old = _sys.getrecursionlimit()
+    _sys.setrecursionlimit(max(old, len(nodes) + 100))
+    try:
+        c_i, i_i = rec(live)
+        cliques = [c_i]
+        isets = [i_i]
+        while live:
+            live -= c_i
+            c_i, i_i = rec(live)
+            if c_i:
+                cliques.append(c_i)
+            if i_i:
+                isets.append(i_i)
+            if not c_i and not i_i:
+                break
+        return max(isets, key=len), cliques
+    finally:
+        _sys.setrecursionlimit(old)
+
+
+def max_clique(g: SparkGraph):
+    """``approximation/clique.py`` ``max_clique`` — the Boppana-
+    Halldórsson approximation: clique_removal on the complement's
+    independent set = a large clique of G."""
+    nodes, adj = _collect_simple_adj(g)
+    node_set = set(nodes)
+    comp_adj = {v: (node_set - adj[v] - {v}) for v in nodes}
+    import sys as _sys
+
+    def rec(scope):
+        if not scope:
+            return set(), set()
+        node = min(scope)
+        nbrs = (comp_adj[node] & scope) - {node}
+        non = scope - comp_adj[node] - {node}
+        c1, i1 = rec(nbrs)
+        c2, i2 = rec(non)
+        c1.add(node)
+        i2.add(node)
+        return max(c1, c2, key=len), max(i1, i2, key=len)
+
+    old = _sys.getrecursionlimit()
+    _sys.setrecursionlimit(max(old, len(nodes) + 100))
+    try:
+        live = set(nodes)
+        best = set()
+        while live:
+            c_i, i_i = rec(live)
+            if i_i and len(i_i) > len(best):
+                best = i_i  # independent in complement = clique in G
+            if not c_i:
+                break
+            live -= c_i
+        return best
+    finally:
+        _sys.setrecursionlimit(old)
+
+
+def large_clique_size(g: SparkGraph) -> int:
+    """``approximation/clique.py`` ``large_clique_size`` — the greedy
+    degree-descending clique growth; same driver shape."""
+    nodes, adj = _collect_simple_adj(g)
+    if not nodes:
+        return 0
+    best = 0
+    order = sorted(nodes, key=lambda v: (-len(adj[v]), v))
+    seed_node = order[0]
+    clique = {seed_node}
+    cand = set(adj[seed_node])
+    while cand:
+        v = max(cand, key=lambda x: (len(adj[x] & cand), -x))
+        clique.add(v)
+        cand &= adj[v]
+    return len(clique)
+
+
+def maximum_independent_set(g: SparkGraph):
+    """``approximation/clique.py`` ``maximum_independent_set`` — the
+    independent-set half of :func:`clique_removal`."""
+    iset, _ = clique_removal(g)
+    return iset
+
+
+def min_weighted_vertex_cover(g: SparkGraph, weight=None):
+    """``approximation/vertex_cover.py`` ``min_weighted_vertex_cover`` —
+    the Bar-Yehuda & Even local-ratio 2-approximation. The edge scan is
+    order-dependent (residual costs mutate) — driver loop over the
+    collected edges in canonical order; weights from a vertex column."""
+    nodes, adj = _collect_simple_adj(g)
+    cost = {v: 1.0 for v in nodes}
+    if weight is not None:
+        for r in g.vertices.select("id", weight).collect():
+            cost[r["id"]] = float(r[weight])
+    cover = set()
+    for u in nodes:
+        for v in sorted(adj[u]):
+            if u >= v:
+                continue
+            if u in cover or v in cover:
+                continue
+            if cost[u] <= cost[v]:
+                cover.add(u)
+                cost[v] -= cost[u]
+            else:
+                cover.add(v)
+                cost[u] -= cost[v]
+    return cover
+
+
+def min_weighted_dominating_set(g: SparkGraph, weight=None):
+    """``approximation/dominating_set.py`` ``min_weighted_dominating_set``
+    — the greedy (ln Δ)-approximation: repeatedly take the node with the
+    cheapest cost per newly-covered vertex."""
+    if g.directed:
+        raise NetworkXError("min_weighted_dominating_set: undirected only")
+    nodes, adj = _collect_simple_adj(g)
+    if not nodes:
+        return set()
+    cost = {v: 1.0 for v in nodes}
+    if weight is not None:
+        for r in g.vertices.select("id", weight).collect():
+            cost[r["id"]] = float(r[weight])
+    dom = set()
+    uncovered = set(nodes)
+    hoods = {v: {v} | adj[v] for v in nodes}
+    while uncovered:
+        v = min(
+            hoods,
+            key=lambda x: (
+                cost[x] / max(len(hoods[x] - (set(nodes) - uncovered)), 1)
+                if hoods[x] & uncovered
+                else float("inf"),
+                x,
+            ),
+        )
+        dom.add(v)
+        uncovered -= hoods[v]
+        del hoods[v]
+    return dom
+
+
+def min_maximal_matching(g: SparkGraph) -> DataFrame:
+    """``approximation/matching.py`` ``min_maximal_matching`` — any
+    maximal matching 2-approximates the minimum one; the engine's
+    distributed Israeli-Itai kernel IS that."""
+    from linkgraph.algos.selection import maximal_matching
+
+    return maximal_matching(g)
+
+
+def min_edge_dominating_set(g: SparkGraph) -> DataFrame:
+    """``approximation/dominating_set.py`` ``min_edge_dominating_set`` —
+    a maximal matching edge-dominates within factor 2."""
+    from linkgraph.algos.selection import maximal_matching
+
+    return maximal_matching(g)
+
+
+def local_node_connectivity(g: SparkGraph, source, target, cutoff=None) -> int:
+    """``approximation/connectivity.py`` ``local_node_connectivity``
+    (White-Newman) — count vertex-disjoint paths found by repeated
+    shortest-path probes that exclude previously-used interior nodes.
+    Sequential probe loop; each probe is a BFS on the collected
+    adjacency."""
+    from collections import deque
+
+    source, target = int(source), int(target)
+    if source == target:
+        raise NetworkXError("source and target have to be different nodes.")
+    nodes, adj = _collect_simple_adj(g)
+    possible = min(len(adj.get(source, ())), len(adj.get(target, ())))
+    if not possible:
+        return 0
+    if cutoff is None:
+        cutoff = float("inf")
+    exclude = set()
+    K = 0
+    while K < min(possible, cutoff):
+        prev = {source: None}
+        q = deque([source])
+        found = False
+        while q and not found:
+            x = q.popleft()
+            for y in sorted(adj[x]):
+                if y in prev or (y in exclude and y != target):
+                    continue
+                prev[y] = x
+                if y == target:
+                    found = True
+                    break
+                q.append(y)
+        if not found:
+            break
+        path = [target]
+        while prev[path[-1]] is not None:
+            path.append(prev[path[-1]])
+        exclude.update(p for p in path if p not in (source, target))
+        K += 1
+    return K
+
+
+def metric_closure(g: SparkGraph, weight=None) -> SparkGraph:
+    """``approximation/steinertree.py`` ``metric_closure`` — the complete
+    graph over G's nodes weighted by shortest-path distance, computed
+    with the DISTRIBUTED batched APSP kernel (one join, no driver
+    loops). Raises on disconnected input like the reference."""
+    from linkgraph.algos.sssp import all_pairs_bellman_ford_path_lengths
+
+    n = g.number_of_nodes()
+    d = all_pairs_bellman_ford_path_lengths(
+        g, weight=weight if weight is not None else F.lit(1.0)
+    )
+    reach = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    bad = reach.filter(F.col("c") < n).limit(1).count()
+    if bad:
+        raise NetworkXError("G is not a connected graph.")
+    e = (
+        d.filter(F.col("source") < F.col("id"))
+        .select(
+            F.col("source").alias("src"),
+            F.col("id").alias("dst"),
+            F.col("distance").alias("weight"),
+        )
+    )
+    return SparkGraph(e, g.vertices.select("id"), directed=False,
+                      coalesce_edges=False)
+
+
+def _cycle_cost(order, wmap):
+    return sum(wmap[(order[i], order[i + 1])] for i in range(len(order) - 1))
+
+
+def _collect_complete_weights(g, weight):
+    from linkgraph.graph import resolve_weight_column
+
+    base = g.symmetric_edges() if not g.directed else g.edges
+    wmap = {}
+    for r in base.select(
+        "src", "dst", resolve_weight_column(base, weight).alias("w")
+    ).collect():
+        wmap[(r["src"], r["dst"])] = float(r["w"])
+        if not g.directed:
+            wmap[(r["dst"], r["src"])] = float(r["w"])
+    nodes = sorted(r["id"] for r in g.vertices.select("id").collect())
+    for u in nodes:
+        for v in nodes:
+            if u != v and (u, v) not in wmap:
+                raise NetworkXError("G must be a complete graph.")
+    return nodes, wmap
+
+
+def simulated_annealing_tsp(
+    g: SparkGraph, init_cycle, weight=None, source=None, temp: float = 100,
+    move: str = "1-1", max_iterations: int = 10, N_inner: int = 100,
+    alpha: float = 0.01, seed: int = 0,
+):
+    """``traveling_salesman.py`` ``simulated_annealing_tsp`` — local
+    search over complete-graph cycles with geometric cooling; seeded
+    driver recurrence like every local-search variant. ``init_cycle`` is
+    a node list or ``"greedy"``."""
+    import math as _m
+    import random as _rnd
+
+    nodes, wmap = _collect_complete_weights(g, weight)
+    rng = _rnd.Random(int(seed))
+    if init_cycle == "greedy":
+        rows = greedy_tsp(g, weight=weight, source=source).orderBy("order").collect()
+        cycle = [r["id"] for r in rows]
+        if len(nodes) == 2:
+            return cycle
+    else:
+        cycle = [int(x) for x in init_cycle]
+        if source is None:
+            source = cycle[0]
+        elif source != cycle[0]:
+            raise NetworkXError("source must be first node in init_cycle")
+        if cycle[0] != cycle[-1]:
+            raise NetworkXError("init_cycle must be a cycle. (return to start)")
+        if len(cycle) - 1 != len(nodes):
+            raise NetworkXError(
+                "init_cycle should be a cycle over all nodes in G."
+            )
+        if len(nodes) == 2:
+            return cycle
+
+    def do_move(cyc):
+        c = list(cyc)
+        if move == "1-1":
+            i, j = rng.sample(range(1, len(c) - 1), 2)
+            c[i], c[j] = c[j], c[i]
+        else:  # "1-0"
+            i, j = rng.sample(range(1, len(c) - 1), 2)
+            node = c.pop(i)
+            c.insert(j, node)
+        return c
+
+    cost = _cycle_cost(cycle, wmap)
+    best_cycle, best_cost = list(cycle), cost
+    count = 0
+    t = float(temp)
+    while count <= int(max_iterations) and t > 0:
+        count += 1
+        for _ in range(int(N_inner)):
+            cand = do_move(cycle)
+            cand_cost = _cycle_cost(cand, wmap)
+            delta = cand_cost - cost
+            if delta <= 0 or _m.exp(-delta / t) >= rng.random():
+                cycle, cost = cand, cand_cost
+                if cost < best_cost:
+                    count = 0
+                    best_cycle, best_cost = list(cycle), cost
+        t -= t * float(alpha)
+    return best_cycle
+
+
+def threshold_accepting_tsp(
+    g: SparkGraph, init_cycle, weight=None, source=None,
+    threshold: float = 1, move: str = "1-1", max_iterations: int = 10,
+    N_inner: int = 100, alpha: float = 0.1, seed: int = 0,
+):
+    """``traveling_salesman.py`` ``threshold_accepting_tsp`` — accept
+    any move within the shrinking threshold (Dueck-Scheuer); same driver
+    shape as the annealing variant."""
+    import random as _rnd
+
+    nodes, wmap = _collect_complete_weights(g, weight)
+    rng = _rnd.Random(int(seed))
+    if init_cycle == "greedy":
+        rows = greedy_tsp(g, weight=weight, source=source).orderBy("order").collect()
+        cycle = [r["id"] for r in rows]
+        if len(nodes) == 2:
+            return cycle
+    else:
+        cycle = [int(x) for x in init_cycle]
+        if cycle[0] != cycle[-1]:
+            raise NetworkXError("init_cycle must be a cycle. (return to start)")
+        if len(nodes) == 2:
+            return cycle
+
+    def do_move(cyc):
+        c = list(cyc)
+        i, j = rng.sample(range(1, len(c) - 1), 2)
+        if move == "1-1":
+            c[i], c[j] = c[j], c[i]
+        else:
+            node = c.pop(i)
+            c.insert(j, node)
+        return c
+
+    cost = _cycle_cost(cycle, wmap)
+    best_cycle, best_cost = list(cycle), cost
+    count = 0
+    th = float(threshold) * cost / 100.0
+    while count <= int(max_iterations):
+        count += 1
+        accepted = False
+        for _ in range(int(N_inner)):
+            cand = do_move(cycle)
+            cand_cost = _cycle_cost(cand, wmap)
+            if cand_cost - cost <= th:
+                if cand_cost < cost:
+                    accepted = True
+                cycle, cost = cand, cand_cost
+                if cost < best_cost:
+                    count = 0
+                    best_cycle, best_cost = list(cycle), cost
+        if not accepted:
+            break
+        th *= 1.0 - float(alpha)
+    return best_cycle
+
+
+def traveling_salesman_problem(
+    g: SparkGraph, weight=None, nodes=None, cycle: bool = True, method=None,
+    **kwargs,
+):
+    """``traveling_salesman.py`` ``traveling_salesman_problem`` — build
+    the metric closure over the requested nodes (DISTRIBUTED APSP), run
+    the chosen heuristic (christofides default; asadpour ATSP is out of
+    scope — its held-karp relaxation needs an LP solver), and expand the
+    tour back through shortest paths. Returns the node list."""
+    from linkgraph.algos.sssp import all_pairs_bellman_ford_path_lengths
+
+    if g.directed:
+        raise NetworkXError(
+            "traveling_salesman_problem: directed (asadpour) variant needs "
+            "an LP solver and is out of scope; undirected only"
+        )
+    all_nodes = sorted(r["id"] for r in g.vertices.select("id").collect())
+    sel = sorted(int(x) for x in nodes) if nodes is not None else all_nodes
+    d = all_pairs_bellman_ford_path_lengths(
+        g, weight=weight if weight is not None else F.lit(1.0)
+    ).persist()
+    dmap = {}
+    for r in d.collect():
+        dmap[(r["source"], r["id"])] = float(r["distance"])
+    spark = g.spark
+    comp_edges = [
+        (u, v, dmap[(u, v)])
+        for i, u in enumerate(sel)
+        for v in sel[i + 1:]
+        if (u, v) in dmap
+    ]
+    if len(comp_edges) < len(sel) * (len(sel) - 1) // 2:
+        raise NetworkXError("G is not a connected graph.")
+    gg = SparkGraph(
+        spark.createDataFrame(comp_edges, "src long, dst long, weight double"),
+        spark.createDataFrame([(x,) for x in sel], "id long"),
+        directed=False,
+        coalesce_edges=False,
+    )
+    if method is None:
+        rows = christofides(gg, weight="weight", **kwargs).orderBy("order").collect()
+        tour = [r["id"] for r in rows]
+    else:
+        tour = method(gg, weight="weight", **kwargs)
+        if hasattr(tour, "collect"):
+            tour = [r["id"] for r in tour.orderBy("order").collect()]
+    if not cycle:
+        # drop the heaviest hop
+        import itertools as _it
+
+        pairs = list(zip(tour, tour[1:]))
+        u, v = max(pairs, key=lambda p: dmap[(p[0], p[1])])
+        pos = pairs.index((u, v)) + 1
+        tour = tour[pos:-1] + tour[:pos]
+    # expand through shortest paths on the ORIGINAL graph
+    from linkgraph.algos.paths import shortest_path
+
+    best_path = []
+    hops = list(zip(tour, tour[1:]))
+    for u, v in hops:
+        seg = shortest_path(g, u, v, weight=weight)
+        best_path.extend(seg[:-1])
+    if hops:
+        best_path.append(hops[-1][1])
+    return best_path
+
+
+def treewidth_min_fill_in(g: SparkGraph):
+    """``approximation/treewidth.py`` ``treewidth_min_fill_in`` — the
+    elimination-order heuristic choosing the node whose elimination adds
+    the fewest fill edges (driver-gated like ``treewidth_min_degree``).
+    Returns (width, bags DataFrame (bag, members))."""
+    nodes, adj = _collect_simple_adj(g)
+    work = {v: set(s) for v, s in adj.items()}
+    bags = []
+    width = 0
+    live = set(nodes)
+
+    def fill_in(v):
+        nbrs = sorted(work[v])
+        cnt = 0
+        for i, a in enumerate(nbrs):
+            for b in nbrs[i + 1:]:
+                if b not in work[a]:
+                    cnt += 1
+        return cnt
+
+    while live:
+        v = min(live, key=lambda x: (fill_in(x), x))
+        bag = {v} | work[v]
+        bags.append(sorted(bag))
+        width = max(width, len(bag) - 1)
+        nbrs = sorted(work[v])
+        for i, a in enumerate(nbrs):
+            for b in nbrs[i + 1:]:
+                work[a].add(b)
+                work[b].add(a)
+        for a in nbrs:
+            work[a].discard(v)
+        del work[v]
+        live.discard(v)
+    rows = [(i, members) for i, members in enumerate(bags)]
+    bags_df = g.spark.createDataFrame(
+        rows or [], "bag long, members array<long>"
+    )
+    return width, bags_df

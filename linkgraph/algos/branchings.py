@@ -476,3 +476,91 @@ class ArborescenceIterator:
         )
         return SparkGraph(e, self.g.vertices.select("id"), directed=True,
                           coalesce_edges=False)
+
+
+def branching_weight(g: SparkGraph, attr="weight", default: float = 1) -> float:
+    """``tree/branchings.py`` ``branching_weight`` — the total edge
+    weight of a branching graph; one aggregate."""
+    from pyspark.sql import functions as F
+
+    if attr in g.edges.columns:
+        col = F.coalesce(F.col(attr).cast("double"), F.lit(float(default)))
+    else:
+        col = F.lit(float(default))
+    row = g.edges.agg(F.sum(col)).collect()[0][0]
+    return float(row or 0.0)
+
+
+def greedy_branching(g: SparkGraph, attr="weight", default: float = 1,
+                     kind: str = "max", seed: int = 0) -> DataFrame:
+    """``tree/branchings.py`` ``greedy_branching`` — scan arcs by weight
+    (desc for ``max``), keep an arc when its head is still free and it
+    closes no cycle (union-find). The scan order IS the algorithm —
+    driver kernel; returns the branching arcs (src, dst, weight)."""
+    from pyspark.sql import functions as F
+
+    if kind not in ("min", "max"):
+        raise NetworkXError("Unknown value for `kind`.")
+    if attr in g.edges.columns:
+        rows = [
+            (r["src"], r["dst"],
+             float(r[attr]) if r[attr] is not None else float(default))
+            for r in g.edges.select("src", "dst", attr).collect()
+        ]
+    else:
+        rows = [
+            (r["src"], r["dst"], float(default))
+            for r in g.edges.select("src", "dst").collect()
+        ]
+    rows.sort(key=lambda t: (t[2], t[0], t[1]), reverse=(kind == "max"))
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    taken_head = set()
+    out = []
+    for u, v, w in rows:
+        if find(u) == find(v) or v in taken_head:
+            continue
+        parent[find(u)] = find(v)
+        taken_head.add(v)
+        out.append((u, v, w))
+    return g.spark.createDataFrame(
+        sorted(out) or [], "src long, dst long, weight double"
+    )
+
+
+def minimal_branching(g: SparkGraph, *, attr="weight", default: float = 1) -> DataFrame:
+    """``tree/branchings.py`` ``minimal_branching`` — minimum SPANNING
+    branching via the reference's flip ``w' = Wmax + 1 + (Wmax − Wmin)
+    − w`` (all weights positive, so the maximum branching spans) then
+    un-flip. Runs on the distributed Edmonds kernel."""
+    from pyspark.sql import functions as F
+
+    if attr in g.edges.columns:
+        col = F.coalesce(F.col(attr).cast("double"), F.lit(float(default)))
+    else:
+        col = F.lit(float(default))
+    stats = g.edges.agg(
+        F.max(col).alias("mx"), F.min(col).alias("mn")
+    ).collect()[0]
+    mx = float(stats["mx"] if stats["mx"] is not None else default)
+    mn = float(stats["mn"] if stats["mn"] is not None else default)
+    shift = mx + 1 + (mx - mn)
+    flipped = SparkGraph(
+        g.edges.select(
+            "src", "dst", (F.lit(shift) - col).alias("weight")
+        ),
+        g.vertices.select("id"),
+        directed=True,
+        coalesce_edges=False,
+    )
+    b = maximum_branching(flipped)
+    return b.select(
+        "src", "dst", (F.lit(shift) - F.col("weight")).alias("weight")
+    )

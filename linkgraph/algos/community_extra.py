@@ -118,7 +118,9 @@ def girvan_newman(g: SparkGraph, most_valuable_edge=None):
                 e2, work.vertices, directed=False, coalesce_edges=False
             )
             ncomp = number_connected_components(work)
-        yield connected_components(work)
+        yield connected_components(work).select(
+            "id", F.col("component").alias("community")
+        )
 
 
 def kernighan_lin_bisection(
@@ -428,9 +430,15 @@ def edge_betweenness_partition(
     (id, community)."""
     from linkgraph.algos.betweenness import edge_betweenness_centrality
 
+    if weight is not None:
+        raise NetworkXError(
+            "edge_betweenness_partition: the engine's Brandes kernel is "
+            "unweighted (hop counts); pass weight=None"
+        )
+
     def rank(work):
         row = (
-            edge_betweenness_centrality(work, weight=weight)
+            edge_betweenness_centrality(work)
             .orderBy(F.col("betweenness").desc(), "src", "dst")
             .limit(1)
             .collect()[0]

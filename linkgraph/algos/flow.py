@@ -1196,3 +1196,76 @@ def minimum_cut_value(
     """``maxflow.py`` ``minimum_cut_value`` — the st-cut capacity without
     materializing the partition (max-flow = min-cut)."""
     return maximum_flow_value(g, s, t, capacity)
+
+
+# ---------------------------------------------------------------------- #
+# flow_func entry points (``flow/{dinitz_alg,edmondskarp,
+# shortestaugmentingpath,boykovkolmogorov,preflowpush,utils}.py``) — the
+# reference exposes one callable per schedule; this engine runs ONE
+# distributed Dinitz blocking-flow kernel (identical values, phase-bounded
+# supersteps), so every schedule name maps to it. ``build_residual_
+# network`` / ``build_flow_dict`` are the data-shape utilities.
+# ---------------------------------------------------------------------- #
+
+
+def dinitz(g: SparkGraph, s, t, capacity: str = "capacity", **kwargs):
+    """``flow/dinitz_alg.py`` ``dinitz`` — (value, flow) from the
+    engine's native Dinitz kernel (this IS the primary schedule)."""
+    return maximum_flow(g, s, t, capacity, **kwargs)
+
+
+def edmonds_karp(g: SparkGraph, s, t, capacity: str = "capacity", **kwargs):
+    """``flow/edmondskarp.py`` — same max-flow value/assignment; the
+    shortest-augmenting schedule is subsumed by Dinitz phases."""
+    return maximum_flow(g, s, t, capacity, **kwargs)
+
+
+def shortest_augmenting_path(g: SparkGraph, s, t, capacity: str = "capacity", **kwargs):
+    """``flow/shortestaugmentingpath.py`` — Dinitz-kernel twin."""
+    return maximum_flow(g, s, t, capacity, **kwargs)
+
+
+def boykov_kolmogorov(g: SparkGraph, s, t, capacity: str = "capacity", **kwargs):
+    """``flow/boykovkolmogorov.py`` — Dinitz-kernel twin (the BK
+    tree-growing schedule is a sequential-machine optimization)."""
+    return maximum_flow(g, s, t, capacity, **kwargs)
+
+
+def preflow_push(g: SparkGraph, s, t, capacity: str = "capacity", **kwargs):
+    """``flow/preflowpush.py`` — Dinitz-kernel twin (value parity; the
+    push-relabel schedule itself is out of scope, documented in SURVEY)."""
+    return maximum_flow(g, s, t, capacity, **kwargs)
+
+
+def build_residual_network(g: SparkGraph, capacity: str = "capacity") -> SparkGraph:
+    """``flow/utils.py`` ``build_residual_network`` — both arc directions
+    with explicit capacities (reverse arcs capacity 0), the input shape
+    of every flow schedule; one union, fully distributed."""
+    cap = (
+        F.col(capacity).cast("double")
+        if capacity in g.edges.columns
+        else F.lit(float("inf"))
+    )
+    fwd = g.edges.select("src", "dst", cap.alias("capacity"))
+    bwd = g.edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(0.0).alias("capacity"),
+    ).join(
+        fwd.select("src", "dst"), ["src", "dst"], "left_anti"
+    )
+    arcs = fwd.unionByName(bwd).withColumn("flow", F.lit(0.0))
+    return SparkGraph(
+        arcs.withColumnRenamed("capacity", "capacity"),
+        g.vertices.select("id"),
+        directed=True,
+        coalesce_edges=False,
+    )
+
+
+def build_flow_dict(g: SparkGraph, flow: DataFrame) -> dict:
+    """``flow/utils.py``-adjacent helper: the reference's nested
+    {u: {v: flow}} dict from a flow DataFrame (driver bridge)."""
+    out: dict = {}
+    for r in flow.collect():
+        out.setdefault(r[0], {})[r[1]] = float(r[2])
+    return out

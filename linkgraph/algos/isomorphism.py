@@ -564,3 +564,236 @@ def vf2pp_all_isomorphisms(
     """``vf2pp.py`` ``vf2pp_all_isomorphisms`` — generator over every
     isomorphism mapping."""
     yield from _iso_mappings(g1, g2, max_driver_edges)
+
+
+# ---------------------------------------------------------------------- #
+# matcher classes + match-function factories + tree isomorphism
+# (``isomorphism/{isomorph,vf2userfunc,matchhelpers,tree_isomorphism}.py``)
+# ---------------------------------------------------------------------- #
+
+
+class GraphMatcher:
+    """``isomorphism/isomorphvf2.py`` ``GraphMatcher`` — the class
+    surface over the engine's color-refined backtracking kernel:
+    ``is_isomorphic`` / ``isomorphisms_iter`` / ``mapping`` /
+    ``subgraph_is_isomorphic``. Attribute-match callables are out of
+    scope (attributes live in DataFrame columns — filter views first)."""
+
+    def __init__(self, g1: SparkGraph, g2: SparkGraph,
+                 node_match=None, edge_match=None):
+        if node_match is not None or edge_match is not None:
+            raise NotImplementedError(
+                "GraphMatcher: express attribute constraints as "
+                "subgraph_view filters; callable matchers do not "
+                "distribute"
+            )
+        self.g1 = g1
+        self.g2 = g2
+        self.mapping = None
+
+    def is_isomorphic(self) -> bool:
+        for m in _iso_mappings(self.g1, self.g2, 1_000_000):
+            self.mapping = m
+            return True
+        return False
+
+    def isomorphisms_iter(self):
+        for m in _iso_mappings(self.g1, self.g2, 1_000_000):
+            self.mapping = m
+            yield m
+
+    def subgraph_is_isomorphic(self) -> bool:
+        return subgraph_is_isomorphic(self.g1, self.g2)
+
+
+class DiGraphMatcher(GraphMatcher):
+    """``isomorphvf2.py`` ``DiGraphMatcher`` — the directed twin (the
+    kernel reads directedness from the graphs)."""
+
+
+class MultiGraphMatcher(GraphMatcher):
+    """``vf2userfunc.py`` ``MultiGraphMatcher`` — parallel edges coalesce
+    in the engine's model; matching runs on the coalesced simple view."""
+
+
+class MultiDiGraphMatcher(DiGraphMatcher):
+    """``vf2userfunc.py`` ``MultiDiGraphMatcher``."""
+
+
+def _dict_match_factory(attrs, defaults, op):
+    if isinstance(attrs, str):
+        attrs, defaults = [attrs], [defaults]
+
+    def match(d1, d2):
+        return all(
+            op(d1.get(a, d), d2.get(a, d)) for a, d in zip(attrs, defaults)
+        )
+
+    return match
+
+
+def categorical_node_match(attr, default):
+    """``matchhelpers.py`` ``categorical_node_match`` — equality on the
+    named attribute(s); works on plain dicts (Row.asDict() included)."""
+    import operator
+
+    return _dict_match_factory(attr, default, operator.eq)
+
+
+categorical_edge_match = categorical_node_match
+
+
+def categorical_multiedge_match(attr, default):
+    """``matchhelpers.py`` — multiedge variant: some pairing of the two
+    keyed-dicts matches."""
+    single = categorical_node_match(attr, default)
+
+    def match(d1, d2):
+        vals1 = list(d1.values()) if d1 else [{}]
+        vals2 = list(d2.values()) if d2 else [{}]
+        return any(single(a, b) for a in vals1 for b in vals2)
+
+    return match
+
+
+def numerical_node_match(attr, default, rtol: float = 1e-5, atol: float = 1e-8):
+    """``matchhelpers.py`` ``numerical_node_match`` — isclose on the
+    named numeric attribute(s)."""
+    import math
+
+    def close(a, b):
+        return math.isclose(float(a), float(b), rel_tol=rtol, abs_tol=atol)
+
+    return _dict_match_factory(attr, default, close)
+
+
+numerical_edge_match = numerical_node_match
+
+
+def numerical_multiedge_match(attr, default, rtol: float = 1e-5, atol: float = 1e-8):
+    single = numerical_node_match(attr, default, rtol=rtol, atol=atol)
+
+    def match(d1, d2):
+        vals1 = list(d1.values()) if d1 else [{}]
+        vals2 = list(d2.values()) if d2 else [{}]
+        return any(single(a, b) for a in vals1 for b in vals2)
+
+    return match
+
+
+def generic_node_match(attr, default, op):
+    """``matchhelpers.py`` ``generic_node_match`` — user-supplied
+    comparison(s)."""
+    if isinstance(attr, str):
+        attrs, defaults, ops = [attr], [default], [op]
+    else:
+        attrs, defaults, ops = attr, default, op
+
+    def match(d1, d2):
+        return all(
+            o(d1.get(a, d), d2.get(a, d))
+            for a, d, o in zip(attrs, defaults, ops)
+        )
+
+    return match
+
+
+generic_edge_match = generic_node_match
+
+
+def generic_multiedge_match(attr, default, op):
+    single = generic_node_match(attr, default, op)
+
+    def match(d1, d2):
+        vals1 = list(d1.values()) if d1 else [{}]
+        vals2 = list(d2.values()) if d2 else [{}]
+        return any(single(a, b) for a in vals1 for b in vals2)
+
+    return match
+
+
+def _ahu_code(adj, root, parent):
+    """AHU canonical code of the subtree at ``root`` (iterative)."""
+    order = [(root, parent)]
+    stack = [(root, parent)]
+    children = {}
+    while stack:
+        x, p = stack.pop()
+        kids = [y for y in sorted(adj[x]) if y != p]
+        children[x] = kids
+        for y in kids:
+            order.append((y, x))
+            stack.append((y, x))
+    code = {}
+    for x, p in reversed(order):
+        code[x] = "(" + "".join(sorted(code[y] for y in children[x])) + ")"
+    return code[root]
+
+
+def rooted_tree_isomorphism(g1: SparkGraph, root1, g2: SparkGraph, root2,
+                            *, max_driver_edges: int = 1_000_000):
+    """``isomorphism/tree_isomorphism.py`` ``rooted_tree_isomorphism``
+    (Aho-Hopcroft-Ullman) — the node correspondence list when the rooted
+    trees are isomorphic, else []. Canonical-code recursion, driver-side."""
+
+    def collect(g):
+        if g.edges.count() > max_driver_edges:
+            raise NetworkXError("tree isomorphism exceeds driver guard")
+        adj = {}
+        base = g.symmetric_edges() if not g.directed else g.edges.select(
+            "src", "dst"
+        )
+        for r in base.select("src", "dst").collect():
+            adj.setdefault(r["src"], set()).add(r["dst"])
+            adj.setdefault(r["dst"], set()).add(r["src"])
+        for r in g.vertices.select("id").collect():
+            adj.setdefault(r["id"], set())
+        return adj
+
+    a1, a2 = collect(g1), collect(g2)
+    root1, root2 = int(root1), int(root2)
+    if _ahu_code(a1, root1, None) != _ahu_code(a2, root2, None):
+        return []
+    # build the mapping top-down by pairing equal-coded children
+    out = []
+    stack = [(root1, None, root2, None)]
+    while stack:
+        u, pu, v, pv = stack.pop()
+        out.append((u, v))
+        kids1 = sorted(
+            (y for y in a1[u] if y != pu),
+            key=lambda y: _ahu_code(a1, y, u),
+        )
+        kids2 = sorted(
+            (y for y in a2[v] if y != pv),
+            key=lambda y: _ahu_code(a2, y, v),
+        )
+        for y1, y2 in zip(kids1, kids2):
+            stack.append((y1, u, y2, v))
+    return out
+
+
+def tree_isomorphism(g1: SparkGraph, g2: SparkGraph,
+                     *, max_driver_edges: int = 1_000_000):
+    """``tree_isomorphism.py`` ``tree_isomorphism`` — free-tree variant:
+    root both at their centers and try the ≤2 center pairings."""
+    from linkgraph.algos.tree import is_tree
+
+    if not (is_tree(g1) and is_tree(g2)):
+        raise NetworkXError("tree_isomorphism: both graphs must be trees")
+    n1 = g1.vertices.count()
+    if n1 != g2.vertices.count():
+        return []
+    from linkgraph.algos.distance import center as _center
+
+    c1 = sorted(r["id"] for r in _center(g1).collect())
+    c2 = sorted(r["id"] for r in _center(g2).collect())
+    if len(c1) != len(c2):
+        return []
+    for r2 in c2:
+        m = rooted_tree_isomorphism(
+            g1, c1[0], g2, r2, max_driver_edges=max_driver_edges
+        )
+        if m:
+            return m
+    return []

@@ -77,3 +77,62 @@ def is_arborescence(g: SparkGraph) -> bool:
             "is_arborescence: not implemented for undirected type"
         )
     return is_tree(g) and _max_in_degree_le1(g)
+
+
+def centroid(g) -> "list[int]":
+    """``tree/decomposition.py``-adjacent ``nx.tree.centroid`` — the
+    tree's centroid node(s): remove it and every component has ≤ n/2
+    nodes. Computed by the walk-toward-the-heavy-subtree descent over
+    collected adjacency (a point query; subtree sizes via one DFS)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.exceptions import NetworkXError
+
+    if not is_tree(g):
+        raise NetworkXError("provided graph is not a tree")
+    adj = {}
+    base = g.symmetric_edges() if not g.directed else (
+        g.edges.select("src", "dst").unionByName(
+            g.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+    )
+    for r in base.select("src", "dst").collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    nodes = sorted(r["id"] for r in g.vertices.select("id").collect())
+    for v in nodes:
+        adj.setdefault(v, set())
+    n = len(nodes)
+    if n == 1:
+        return [nodes[0]]
+    root = nodes[0]
+    # subtree sizes by iterative post-order
+    parent = {root: None}
+    order = [root]
+    stack = [root]
+    while stack:
+        x = stack.pop()
+        for y in sorted(adj[x]):
+            if y != parent[x]:
+                parent[y] = x
+                order.append(y)
+                stack.append(y)
+    sizes = {v: 1 for v in nodes}
+    for x in reversed(order):
+        if parent[x] is not None:
+            sizes[parent[x]] += sizes[x]
+    prev = None
+    cur = root
+
+    def heavy(prev_, cur_):
+        cands = [x for x in adj[cur_] if x != prev_]
+        return max(cands, key=lambda x: sizes[x], default=None)
+
+    hc = heavy(prev, cur)
+    while max(n - sizes[cur], sizes.get(hc, 0)) > n / 2:
+        prev, cur = cur, hc
+        hc = heavy(prev, cur)
+    return [cur] + [
+        x for x in adj[cur] if x != prev and sizes[x] == n / 2
+    ]

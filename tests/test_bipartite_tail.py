@@ -178,12 +178,11 @@ def test_bipartite_generators(spark):
         (lb.alternating_havel_hakimi_graph, nxb.alternating_havel_hakimi_graph),
     ]:
         got = fn(spark, aseq, bseq)
-        w = {
-            r["src"]: r["s"]
-            for r in got.edges.groupBy("src").agg(
-                __import__("pyspark").sql.functions.sum("weight").alias("s")
-            ).collect()
-        }
-        assert [w.get(v, 0) for v in range(3)] == aseq
+        got_edges = sorted(
+            (r["src"], r["dst"])
+            for r in got.edges.select("src", "dst").collect()
+        )
+        want_edges = sorted((u, v) for u, v, _k in nxfn(aseq, bseq).edges)
+        assert got_edges == want_edges
     with pytest.raises(NetworkXError):
         lb.reverse_havel_hakimi_graph(spark, [2, 2], [1, 1, 1])
