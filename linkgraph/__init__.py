@@ -1525,3 +1525,9 @@ from linkgraph.algos.isomorphism import (
     rooted_tree_isomorphism,
     tree_isomorphism,
 )
+from linkgraph.algos.approximation import asadpour_atsp
+from linkgraph.algos.isomorphism import (
+    ISMAGS,
+    TimeRespectingGraphMatcher,
+    TimeRespectingDiGraphMatcher,
+)

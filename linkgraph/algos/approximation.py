@@ -1000,3 +1000,16 @@ def treewidth_min_fill_in(g: SparkGraph):
         rows or [], "bag long, members array<long>"
     )
     return width, bags_df
+
+
+def asadpour_atsp(g: SparkGraph, weight=None, seed=None, source=None):
+    """``traveling_salesman.py`` ``asadpour_atsp`` — the O(log n/log log
+    n) ATSP approximation. Its Held-Karp relaxation requires an LP
+    solver (the reference itself imports scipy.optimize); neither ships
+    in this engine's environment, so the name raises with rationale —
+    use :func:`greedy_tsp` on the directed metric closure instead."""
+    raise NotImplementedError(
+        "asadpour_atsp needs an LP solver for the Held-Karp relaxation "
+        "(the reference uses scipy.optimize.linprog, absent here); use "
+        "greedy_tsp over metric_closure for directed tours"
+    )

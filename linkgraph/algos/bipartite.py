@@ -1276,3 +1276,9 @@ def alternating_havel_hakimi_graph(spark, aseq, bseq) -> SparkGraph:
     """``bipartite/generators.py`` ``alternating_havel_hakimi_graph`` —
     alternate between the largest and smallest remaining bottom degrees."""
     return _bipartite_hh(spark, aseq, bseq, "alternating")
+
+
+# namespace-parity alias: the reference exposes this as
+# ``networkx.bipartite.random_graph``; top-level linkgraph keeps the
+# unambiguous name, the module keeps the reference's.
+random_graph = bipartite_random_graph

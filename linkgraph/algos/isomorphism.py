@@ -797,3 +797,57 @@ def tree_isomorphism(g1: SparkGraph, g2: SparkGraph,
         if m:
             return m
     return []
+
+
+class ISMAGS:
+    """``isomorphism/ismags.py`` ``ISMAGS`` — the symmetry-aware matcher.
+    The engine surfaces the non-symmetry slice (isomorphisms via the
+    color-refined kernel); symmetry-reduced enumeration and
+    largest_common_subgraph are out of scope (the analysis is a
+    sequential permutation-group computation)."""
+
+    def __init__(self, graph, subgraph, node_match=None, edge_match=None):
+        if node_match is not None or edge_match is not None:
+            raise NotImplementedError(
+                "ISMAGS: attribute matchers do not distribute; filter "
+                "views first"
+            )
+        self.graph = graph
+        self.subgraph = subgraph
+
+    def is_isomorphic(self, symmetry=False) -> bool:
+        return is_isomorphic(self.graph, self.subgraph)
+
+    def isomorphisms_iter(self, symmetry=True):
+        if symmetry:
+            raise NotImplementedError(
+                "ISMAGS symmetry-reduced enumeration is out of scope; "
+                "pass symmetry=False for plain isomorphisms"
+            )
+        yield from _iso_mappings(self.graph, self.subgraph, 1_000_000)
+
+    def subgraph_is_isomorphic(self, symmetry=False) -> bool:
+        return subgraph_is_isomorphic(self.graph, self.subgraph)
+
+    def largest_common_subgraph(self, symmetry=True):
+        raise NotImplementedError(
+            "ISMAGS.largest_common_subgraph: sequential MCS search is "
+            "out of scope"
+        )
+
+
+class TimeRespectingGraphMatcher(GraphMatcher):
+    """``isomorphism/temporalisomorphvf2.py`` — temporal matching needs
+    per-edge datetime windows walked in DFS order; out of scope (the
+    engine's time-respecting surface is ``algos/time_dependent.py``)."""
+
+    def __init__(self, *a, **k):
+        raise NotImplementedError(
+            "TimeRespectingGraphMatcher: temporal VF2 is out of scope; "
+            "see linkgraph.algos.time_dependent for the time-respecting "
+            "analytics surface"
+        )
+
+
+class TimeRespectingDiGraphMatcher(TimeRespectingGraphMatcher):
+    pass
