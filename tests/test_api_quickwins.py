@@ -155,3 +155,12 @@ def test_prefix_tree_recursive_alias(spark):
     t1, n1 = lg.prefix_tree(spark, [[1, 2, 3], [1, 2, 4]])
     t2, n2 = lg.prefix_tree_recursive(spark, [[1, 2, 3], [1, 2, 4]])
     assert t1.edges.count() == t2.edges.count()
+
+
+def test_attr_sparse_matrix_gated(spark):
+    # scipy absent in this environment: the sparse twin must raise
+    # ImportError exactly like the reference would
+    G = nx.path_graph(4)
+    g = from_nx(spark, G)
+    with pytest.raises(ImportError):
+        lg.attr_sparse_matrix(g)
