@@ -1437,10 +1437,16 @@ def q_copurchase_simple_paths(spark, sf_dir):
     # All simple paths of <= 3 edges between parts 1 and 2 on the
     # copurchase graph: the array-state frontier expansion; the oracle is
     # the same enumeration as two/three-hop joins with distinctness.
+    # Output is the '-'-joined path STRING (not the raw array): ragged
+    # arrays break the driver's pandas canonicalizer (r04 adjudication).
     from linkgraph.algos.simplepaths import all_simple_paths
 
     g = DS.copurchase_graph(spark, sf_dir)
-    return all_simple_paths(g, 1, 2, 3)
+    return all_simple_paths(g, 1, 2, 3).select(
+        F.array_join(
+            F.transform(F.col("path"), lambda x: x.cast("string")), "-"
+        ).alias("path_str")
+    )
 
 
 def q_mixed_girth(spark, sf_dir):
@@ -2067,10 +2073,16 @@ def q_mixed_simple_cycles(spark, sf_dir):
     # are open chains), each discovered once rooted at its minimum node in
     # arc direction = ascending custkeys — the closed form the oracle
     # replays with list() aggregation.
+    # Output is the '-'-joined cycle STRING (not the raw array): ragged
+    # arrays break the driver's pandas canonicalizer (r04 adjudication).
     from linkgraph.algos.cycles import simple_cycles
 
     g = DS.mixed_ring_chain_graph(spark, sf_dir)
-    return simple_cycles(g).select("cycle")
+    return simple_cycles(g).select(
+        F.array_join(
+            F.transform(F.col("cycle"), lambda x: x.cast("string")), "-"
+        ).alias("cycle_str")
+    )
 
 
 def q_chain_sssp_weight_expr(spark, sf_dir):
@@ -3234,11 +3246,16 @@ def _neardup_sql(
     fragment: bool = False,
 ) -> str:
     """Composed dedup oracle: MinHash-LSH candidates -> exact Jaccard on
-    candidates only -> min-label propagation over the dup graph (unrolled;
-    duplicate clusters are tiny so `rounds` >> their diameter) -> canonical
-    survivor = min doc_id per cluster. ``base`` selects the corpus CTE;
+    candidates only -> min-label propagation over the dup graph -> canonical
+    survivor = min doc_id per cluster. The label step is a RECURSIVE
+    transitive-closure CTE (set-semantics UNION), exact at ANY cluster
+    diameter — the r04 driver hash mismatch on ``doc_curation_summary``
+    traced to the old fixed 16-round unroll, which diverges from the
+    engine's run-to-fixpoint components whenever a dup chain needs more
+    rounds at the driver's scale. ``rounds`` is kept for signature
+    compatibility and ignored. ``base`` selects the corpus CTE;
     ``fragment=True`` returns only the CTE list (no WITH, no final SELECT)
-    for composition into a larger query."""
+    for composition into a larger query whose WITH must say RECURSIVE."""
     sig_cols = ", ".join(
         f"MIN(md5('{i}#' || shingle)) AS h{i}" for i in range(num_hashes)
     )
@@ -3249,7 +3266,7 @@ def _neardup_sql(
         for b in range(num_hashes // band_size)
     )
     shingles = _SHINGLES.replace("FROM documents", f"FROM {base}")
-    head = f"""WITH {shingles},
+    head = f"""WITH RECURSIVE {shingles},
 sig AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
 bands AS MATERIALIZED ({band_selects}),
 cand AS MATERIALIZED (
@@ -3273,25 +3290,18 @@ symd AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM dup
   UNION ALL SELECT doc_b AS u, doc_a AS v FROM dup
 ),
-l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lab FROM {base})"""
-    its = []
-    for k in range(1, rounds + 1):
-        its.append(
-            f""",
-l{k} AS MATERIALIZED (
-  SELECT l.id, LEAST(l.lab, COALESCE(m.mn, l.lab)) AS lab
-  FROM l{k - 1} l LEFT JOIN (
-    SELECT s.u AS id, MIN(p.lab) AS mn
-    FROM symd s JOIN l{k - 1} p ON p.id = s.v
-    GROUP BY s.u) m ON m.id = l.id
-)"""
-        )
-    tail = f"""
+reach AS (
+  SELECT doc_id AS id, doc_id AS lab FROM {base}
+  UNION
+  SELECT s.u AS id, r.lab FROM symd s JOIN reach r ON r.id = s.v
+),
+labs AS MATERIALIZED (SELECT id, MIN(lab) AS lab FROM reach GROUP BY id)"""
+    tail = """
 SELECT CAST(id AS BIGINT) AS doc_id, CAST(lab AS BIGINT) AS canonical_doc_id
-FROM l{rounds}"""
+FROM labs"""
     if fragment:
-        return head[len("WITH ") :] + "".join(its)
-    return head + "".join(its) + tail
+        return head[len("WITH RECURSIVE ") :]
+    return head + tail
 
 
 def _truss_sql(k: int = 3, rounds: int = 8) -> str:
@@ -3643,15 +3653,15 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_EDGES}, "
         "sym2 AS (SELECT src, dst FROM edges "
         "UNION ALL SELECT dst, src FROM edges) "
-        "SELECT [CAST(1 AS BIGINT), CAST(2 AS BIGINT)] AS path "
+        "SELECT '1-2' AS path_str "
         "FROM sym2 WHERE src = 1 AND dst = 2 "
         "UNION ALL "
-        "SELECT [CAST(1 AS BIGINT), CAST(a.dst AS BIGINT), CAST(2 AS BIGINT)] "
+        "SELECT '1-' || CAST(a.dst AS BIGINT) || '-2' "
         "FROM sym2 a JOIN sym2 b ON b.src = a.dst "
         "WHERE a.src = 1 AND b.dst = 2 AND a.dst NOT IN (1, 2) "
         "UNION ALL "
-        "SELECT [CAST(1 AS BIGINT), CAST(a.dst AS BIGINT), CAST(b.dst AS BIGINT), "
-        "CAST(2 AS BIGINT)] "
+        "SELECT '1-' || CAST(a.dst AS BIGINT) || '-' || CAST(b.dst AS BIGINT) "
+        "|| '-2' "
         "FROM sym2 a JOIN sym2 b ON b.src = a.dst JOIN sym2 c ON c.src = b.dst "
         "WHERE a.src = 1 AND c.dst = 2 AND a.dst NOT IN (1, 2) "
         "AND b.dst NOT IN (1, 2) AND b.dst <> a.dst"
@@ -3795,12 +3805,12 @@ kept AS MATERIALIZED (
   SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc_id FROM lpass)
 )"""
     sqls["doc_curation_summary"] = (
-        "WITH "
+        "WITH RECURSIVE "
         + _cur_gates
         + ",\n"
         + _neardup_sql(16, 8, 2, base="kept", fragment=True)
         + """,
-surv AS MATERIALIZED (SELECT id FROM l16 WHERE id = lab)
+surv AS MATERIALIZED (SELECT id FROM labs WHERE id = lab)
 SELECT (SELECT COUNT(*) FROM documents) AS n_input,
   (SELECT COUNT(*) FROM qpass) AS n_after_quality,
   (SELECT COUNT(*) FROM lpass) AS n_after_lang,
@@ -4696,7 +4706,8 @@ FROM rk WHERE r <= 10"""
     # Johnson cycles on the mixed digraph: exactly one cycle per even
     # nation — its customers ascending (min-rooted, arc direction).
     sqls["mixed_simple_cycles"] = (
-        "SELECT list(CAST(c_custkey AS BIGINT) ORDER BY c_custkey) AS cycle "
+        "SELECT string_agg(CAST(c_custkey AS BIGINT), '-' ORDER BY c_custkey) "
+        "AS cycle_str "
         "FROM customer WHERE c_nationkey % 2 = 0 GROUP BY c_nationkey"
     )
 
