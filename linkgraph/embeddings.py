@@ -21,6 +21,8 @@ deterministic and portable to the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -30,6 +32,58 @@ def _dot(a, b):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _pair_dot_udf():
+    """Arrow-vectorized row-wise dot product of two ``array<double>``
+    columns. Catalyst higher-order functions (``aggregate``/``zip_with``)
+    are evaluated INTERPRETED per element — measured ~20s for the ~100M
+    multiply-adds of a 10x IVF rerank — while one numpy batch op does the
+    same work in milliseconds. Returns the raw double; callers keep
+    ``F.round`` in-plan so the output boundary (and the DuckDB oracle
+    contract) is unchanged."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.values).astype("float64")
+        B = np.stack(b.values).astype("float64")
+        return pd.Series((A * B).sum(axis=1))
+
+    return dot
+
+
+def _assign_udf(cent_rows):
+    """Arrow-vectorized nearest-centroid assignment against a collected
+    codebook (the coarse quantizer is small by definition — C x d doubles,
+    the one structure IVF deliberately keeps broadcastable). Matches
+    :func:`_nearest_centroid` exactly: similarity = dot/|c| rounded
+    HALF-UP to 9 decimals, argmax breaking ties toward the smaller cid
+    (numpy argmax returns the first maximum over cid-ascending columns)."""
+    import numpy as np
+    import pandas as pd
+
+    order = sorted(cent_rows, key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in order], dtype="int64")
+    M = np.array([list(r["centroid"]) for r in order], dtype="float64")
+    cn = np.sqrt((M * M).sum(axis=1))
+    cn[cn == 0] = 1.0
+    Mt = np.ascontiguousarray((M / cn[:, None]).T)
+
+    @F.pandas_udf("long")
+    def assign(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int64")
+        V = np.stack(v.values).astype("float64")
+        S = V @ Mt
+        S = np.sign(S) * np.floor(np.abs(S) * 1e9 + 0.5) / 1e9
+        return pd.Series(cids[S.argmax(axis=1)])
+
+    return assign
 
 
 def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -214,6 +268,7 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    train_sample_cap: "int | None" = 16384,
 ) -> DataFrame:
     """IVF coarse quantizer: ``(cid BIGINT, centroid ARRAY<DOUBLE>)``.
 
@@ -227,11 +282,31 @@ def train_ivf_centroids(
     map-only); the update is ``posexplode`` → per-(cid, dim) mean → rebuild,
     i.e. one shuffle keyed on (cid, dim) per round — no driver-side vectors,
     so C and d scale past what a driver could hold.
+
+    ``train_sample_cap`` bounds the TRAINING set: when the corpus exceeds
+    it, Lloyd iterations (and the init pick) run on a deterministic seeded
+    hash-sample of ~cap vectors — k-means quality needs a bounded quorum
+    per centroid, not the whole corpus, and an uncapped default made
+    retraining dominate 10x-scale benches (r04 verdict: full-corpus Lloyd
+    was ~80%% of emb_ivf_10x wall). The final inverted-list ASSIGNMENT in
+    :func:`ivf_topk` always covers the full corpus. Corpora at or under
+    the cap (every oracle scale) train exactly as before, so the SQL
+    replay is unchanged; size it ~256x n_centroids for production. Pass
+    ``None`` to train on everything.
     """
     v = emb.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    if train_sample_cap:
+        n_corpus = v.count()
+        if n_corpus > train_sample_cap:
+            denom = 1_000_003
+            num = max(1, int(denom * train_sample_cap / n_corpus))
+            v = v.filter(
+                F.pmod(F.xxhash64(F.col("id"), F.lit(int(seed))), F.lit(denom))
+                < F.lit(num)
+            )
     init = (
         v.withColumn(
             "_h",
@@ -248,17 +323,11 @@ def train_ivf_centroids(
     )
     cents = init
     for _ in range(max(0, lloyd_iters)):
-        packed = cents.select(
-            F.collect_list(
-                F.struct(
-                    F.col("cid"),
-                    F.col("centroid").alias("cv"),
-                    F.sqrt(_dot(F.col("centroid"), F.col("centroid"))).alias("cn"),
-                )
-            ).alias("cents")
-        )
-        assigned = v.crossJoin(F.broadcast(packed)).select(
-            "id", "v", _nearest_centroid(F.col("v"), F.col("cents")).alias("cid")
+        # the codebook round-trips through the driver between Lloyd rounds
+        # (C x d doubles — the one structure IVF keeps broadcast-small);
+        # assignment itself is the Arrow-vectorized map over the corpus
+        assigned = v.select(
+            "id", "v", _assign_udf(cents.collect())(F.col("v")).alias("cid")
         )
         # ROUND(avg, 9) snaps the new centroid components to engine-stable
         # values (Spark and the oracle sum members in different orders).
@@ -290,6 +359,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     seed: int = 42,
     centroids: DataFrame = None,
+    train_sample_cap: "int | None" = 16384,
 ) -> DataFrame:
     """IVF-style approximate top-k (the third ANN path, next to
     :func:`cosine_topk` brute force and :func:`ann_topk` LSH).
@@ -305,8 +375,15 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = train_ivf_centroids(
-            emb, n_centroids, lloyd_iters, vec_col, id_col, seed
+            emb, n_centroids, lloyd_iters, vec_col, id_col, seed, train_sample_cap
         )
+    cent_rows = centroids.collect()
+    # rebuild the broadcast codebook from the collected rows so the (lazy)
+    # training plan executes exactly once
+    centroids = emb.sparkSession.createDataFrame(
+        [(int(r["cid"]), [float(x) for x in r["centroid"]]) for r in cent_rows],
+        "cid long, centroid array<double>",
+    )
     packed = centroids.select(
         F.collect_list(
             F.struct(
@@ -316,15 +393,16 @@ def ivf_topk(
             )
         ).alias("cents")
     )
+    fast_dot = _pair_dot_udf()
     v = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
     )
-    lists = v.crossJoin(F.broadcast(packed)).select(
+    lists = v.select(
         "neighbor_id",
         "_cv",
-        _nearest_centroid(F.col("_cv"), F.col("cents")).alias("cid"),
-    )
+        _assign_udf(cent_rows)(F.col("_cv")).alias("cid"),
+    ).withColumn("_cn", F.sqrt(fast_dot(F.col("_cv"), F.col("_cv"))))
     # query → its n_probe nearest centroids (explode the scored array)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -365,8 +443,8 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.sqrt(_dot(F.col("_cv"), F.col("_cv")))),
+                fast_dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
                 4,
             ).alias("cosine"),
         )
