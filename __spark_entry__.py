@@ -2085,6 +2085,50 @@ def q_mixed_simple_cycles(spark, sf_dir):
     )
 
 
+def q_chain40_weighted_betweenness(spark, sf_dir):
+    # Weighted Brandes on the gap-weighted chain of the first 40 nation-0
+    # customers PLUS one shortcut edge (rank 5 -> rank 15) priced strictly
+    # heavier than the ten chain hops it skips. Weight-shortest routing
+    # never uses the shortcut, so normalized betweenness is the closed
+    # path form 2*(r-1)*(m-r)/((m-1)(m-2)); hop-shortest routing WOULD
+    # take the 1-hop shortcut, so an unweighted kernel fails this oracle.
+    from pyspark.sql import Window
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.betweenness import betweenness_centrality
+
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").cast("long").alias("id"))
+        .orderBy("id")
+        .limit(40)
+    )
+    w = Window.orderBy("id")
+    pos = c.select("id", F.row_number().over(w).alias("r"), F.lead("id").over(w).alias("nxt"))
+    chain = pos.filter(F.col("nxt").isNotNull()).select(
+        F.col("id").alias("src"),
+        F.col("nxt").alias("dst"),
+        (F.col("nxt") - F.col("id")).cast("double").alias("weight"),
+    )
+    a = pos.filter(F.col("r") == 5).select(F.col("id").alias("src"))
+    b = pos.filter(F.col("r") == 15).select(F.col("id").alias("dst"))
+    span = (
+        pos.filter((F.col("r") >= 5) & (F.col("r") < 15))
+        .agg(F.sum(F.col("nxt") - F.col("id")).alias("s"))
+        .select((F.col("s") + 10).cast("double").alias("weight"))
+    )
+    shortcut = a.crossJoin(b).crossJoin(span)
+    g = SparkGraph(
+        chain.unionByName(shortcut),
+        vertices=c,
+        directed=False,
+        coalesce_edges=False,
+    )
+    return betweenness_centrality(g, weight="weight").select(
+        F.col("id").cast("long"), F.round("betweenness", 6).alias("betweenness")
+    )
+
+
 def q_chain_sssp_weight_expr(spark, sf_dir):
     # Derived-weight surface (§2.L row 84): Bellman-Ford over the
     # gap-weighted nation chains with weight EXPRESSION 2*weight + 1 from
@@ -2814,6 +2858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring0_incremental_closeness": q_ring0_incremental_closeness,
         "mixed_simple_cycles": q_mixed_simple_cycles,
         "chain_sssp_weight_expr": q_chain_sssp_weight_expr,
+        "chain40_weighted_betweenness": q_chain40_weighted_betweenness,
         "ring0_isomorphism_probe": q_ring0_isomorphism_probe,
         "gen_planarity_probe": q_gen_planarity_probe,
         # ---- 50-query driver cut line ----------------------------------- #
@@ -4714,6 +4759,17 @@ FROM rk WHERE r <= 10"""
     # Derived-weight Bellman-Ford telescoping: from the global minimum
     # custkey (nation nk0's chain), d(rank r) = 2*(c_r - c_1) + (r - 1);
     # other nations' chains are unreachable (absent).
+    # Closed path form on the 40-node gap-weighted chain (the heavy
+    # shortcut is never on a weight-shortest path): normalized undirected
+    # betweenness of rank r = 2*(r-1)*(40-r) / (39*38).
+    sqls["chain40_weighted_betweenness"] = (
+        "WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS id "
+        "FROM customer WHERE c_nationkey = 0 ORDER BY c_custkey LIMIT 40), "
+        "ids AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS r, "
+        "COUNT(*) OVER () AS m FROM base) "
+        "SELECT id, ROUND(2.0 * (r - 1) * (m - r) / ((m - 1.0) * (m - 2.0)) "
+        "+ 0, 6) AS betweenness FROM ids"
+    )
     sqls["chain_sssp_weight_expr"] = (
         "WITH s AS (SELECT c_custkey AS c0, c_nationkey AS nk FROM customer "
         "ORDER BY c_custkey LIMIT 1) "

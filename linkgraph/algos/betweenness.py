@@ -72,6 +72,242 @@ def _forward_levels(sources, arcs, cache, max_rounds):
     return levels
 
 
+def _weighted_levels_and_dag(sources, warcs, cache, max_rounds):
+    """Weighted Brandes forward machinery, all sources at once.
+
+    The reference's weighted forward pass is a per-source Dijkstra with
+    path counting (``betweenness.py:430`` ``_single_source_dijkstra_path
+    _basic``). A priority queue is inherently serial, so the distributed
+    twin splits it into three relational phases:
+
+    1. **Distances** — frontier Bellman-Ford keyed ``(s, v)``: per round
+       one join + groupBy-min + improvements-merge (the ``sssp.py``
+       superstep, sharded by source).
+    2. **Shortest-path DAG** — arc ``(u, v)`` belongs to source ``s``'s
+       DAG iff ``dist(s,u) + w(u,v) == dist(s,v)``. Exact float equality
+       is the reference's own semantics: Dijkstra compares the
+       independently computed candidate sum against ``seen[u]`` the same
+       way (``weighted.py:869``), so borderline ties agree bit-for-bit.
+    3. **Topological layering + path counts** — weighted DAG predecessors
+       are not level-adjacent like BFS levels, so sigma propagates by
+       distributed topological rounds: a node is emitted (its sigma
+       final) once every in-DAG predecessor is emitted; per round one
+       frontier ⋈ dag join decrements in-degrees and accumulates partial
+       sigmas. Rounds = DAG depth ≤ hop diameter; total joined rows =
+       O(k·m) like the unweighted pass.
+
+    Returns ``(levels, dag)``: ``levels[d]`` holds ``(s, v, dist,
+    sigma)`` for topological round ``d``; ``dag`` is ``(s, src, dst)``,
+    persisted (caller unpersists).
+    """
+    # -- phase 1: distances ------------------------------------------- #
+    dist = cache.truncate(
+        sources.select(
+            F.col("id").alias("s"), F.col("id").alias("v"), F.lit(0.0).alias("dist")
+        )
+    )
+    frontier = dist
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError("weighted betweenness distance pass exceeded max_rounds")
+        cand = (
+            frontier.join(warcs.withColumnRenamed("src", "v"), "v")
+            .select("s", F.col("dst").alias("v"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("s", "v")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = cache.truncate(
+            cand.join(
+                dist.select("s", "v", F.col("dist").alias("old")), ["s", "v"], "left"
+            )
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("s", "v", "dist")
+        )
+        if improved.limit(1).count() == 0:
+            cache.release(improved)
+            break
+        new_dist = cache.truncate(
+            dist.join(improved.select("s", "v"), ["s", "v"], "left_anti").unionByName(
+                improved
+            )
+        )
+        cache.release(dist)
+        dist = new_dist
+        frontier = improved
+
+    # -- phase 2: shortest-path DAG ------------------------------------ #
+    dag = (
+        dist.select("s", F.col("v").alias("src"), F.col("dist").alias("_dp"))
+        .join(warcs, "src")
+        .join(
+            dist.select("s", F.col("v").alias("dst"), F.col("dist").alias("_dw")),
+            ["s", "dst"],
+        )
+        .filter(F.col("_dp") + F.col("w") == F.col("_dw"))
+        .select("s", "src", "dst")
+        .persist()
+    )
+    dag.count()
+
+    # -- phase 3: topological sigma propagation ------------------------ #
+    lvl0 = cache.truncate(
+        sources.select(
+            F.col("id").alias("s"),
+            F.col("id").alias("v"),
+            F.lit(0.0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    indeg = dag.groupBy("s", F.col("dst").alias("v")).agg(F.count("*").alias("indeg"))
+    state = cache.truncate(
+        dist.filter(F.col("s") != F.col("v"))
+        .join(indeg, ["s", "v"])
+        .select("s", "v", "dist", "indeg", F.lit(0.0).alias("sig"))
+    )
+    levels = [lvl0]
+    frontier = lvl0
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError("weighted betweenness sigma pass exceeded max_rounds")
+        out = (
+            frontier.select("s", F.col("v").alias("src"), "sigma")
+            .join(dag, ["s", "src"])
+            .groupBy("s", F.col("dst").alias("v"))
+            .agg(F.sum("sigma").alias("_dsig"), F.count("*").alias("_darcs"))
+        )
+        st = cache.truncate(
+            state.join(out, ["s", "v"], "left").select(
+                "s",
+                "v",
+                "dist",
+                (F.col("indeg") - F.coalesce("_darcs", F.lit(0))).alias("indeg"),
+                (F.col("sig") + F.coalesce("_dsig", F.lit(0.0))).alias("sig"),
+            )
+        )
+        cache.release(state)
+        newly = cache.truncate(
+            st.filter(F.col("indeg") == 0).select(
+                "s", "v", "dist", F.col("sig").alias("sigma")
+            )
+        )
+        if newly.limit(1).count() == 0:
+            cache.release(newly)
+            state = st
+            break
+        levels.append(newly)
+        state = cache.truncate(st.filter(F.col("indeg") > 0))
+        cache.release(st)
+        frontier = newly
+    return levels, dag
+
+
+def _weighted_betweenness(g, sources, n_sources, weight, cache, max_rounds):
+    """Node deltas for the weighted kernel: ``(id, b)`` = Σ_s δ_s(v).
+
+    Backward accumulation mirrors ``_accumulate_basic`` over the weighted
+    DAG: processing topological layers deepest-first, a layer's completed
+    delta flows to ALL its DAG predecessors (which may sit any number of
+    layers earlier — hence a pending-delta table merged per layer instead
+    of the unweighted adjacent-level join).
+    """
+    from linkgraph.graph import resolve_weight_column
+
+    base = g.edges if g.directed else g.symmetric_edges()
+    warcs = (
+        base.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", resolve_weight_column(base, weight).alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    bad = warcs.filter(F.col("w") <= 0).limit(1).count()
+    if bad:
+        warcs.unpersist()
+        raise ValueError(
+            "weighted betweenness requires strictly positive weights "
+            "(the shortest-path DAG is only acyclic for w > 0; the "
+            "reference's Dijkstra kernel likewise breaks on non-positive "
+            "weights)"
+        )
+
+    levels, dag = _weighted_levels_and_dag(sources, warcs, cache, max_rounds)
+
+    from functools import reduce
+
+    sig_all = cache.truncate(
+        reduce(
+            lambda a, b: a.unionByName(b),
+            (lvl.select("s", "v", "sigma") for lvl in levels),
+        )
+    )
+
+    pending = None  # (s, v, delta) partial deltas for not-yet-processed layers
+    bet_acc = None
+    for d in range(len(levels) - 1, 0, -1):
+        lvl = levels[d]
+        if pending is not None:
+            lvl_d = lvl.join(pending, ["s", "v"], "left").select(
+                "s", "v", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta")
+            )
+            remaining = pending.join(lvl.select("s", "v"), ["s", "v"], "left_anti")
+        else:
+            lvl_d = lvl.select("s", "v", "sigma", F.lit(0.0).alias("delta"))
+            remaining = None
+        contrib = (
+            lvl_d.select("s", F.col("v").alias("dst"), "sigma", "delta")
+            .join(dag, ["s", "dst"])
+            .join(
+                sig_all.select(
+                    "s", F.col("v").alias("src"), F.col("sigma").alias("_sp")
+                ),
+                ["s", "src"],
+            )
+            .select(
+                "s",
+                F.col("src").alias("v"),
+                (F.col("_sp") / F.col("sigma") * (F.lit(1.0) + F.col("delta"))).alias(
+                    "delta"
+                ),
+            )
+            .groupBy("s", "v")
+            .agg(F.sum("delta").alias("delta"))
+        )
+        # fold this layer's (now complete) deltas into the accumulator
+        # BEFORE releasing the old pending table — lvl_d's plan reads it
+        lvl_bet = (
+            lvl_d.filter(F.col("s") != F.col("v"))
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("delta").alias("b"))
+        )
+        if bet_acc is None:
+            bet_acc = cache.truncate(lvl_bet)
+        else:
+            folded = cache.truncate(
+                bet_acc.unionByName(lvl_bet).groupBy("id").agg(F.sum("b").alias("b"))
+            )
+            cache.release(bet_acc)
+            bet_acc = folded
+        new_pending = cache.truncate(
+            remaining.unionByName(contrib).groupBy("s", "v").agg(
+                F.sum("delta").alias("delta")
+            )
+            if remaining is not None
+            else contrib
+        )
+        if pending is not None:
+            cache.release(pending)
+        pending = new_pending
+        cache.release(levels[d])
+        levels[d] = None
+    dag.unpersist()
+    warcs.unpersist()
+    return bet_acc
+
+
 def _sampled_sources(vertices, n, k, seed):
     if k is not None and k < n:
         return (
@@ -86,14 +322,23 @@ def betweenness_centrality(
     g: SparkGraph,
     k: Optional[int] = None,
     normalized: bool = True,
+    weight=None,
     *,
     seed: int = 0,
     max_rounds: int = 10_000,
 ) -> DataFrame:
     """Return DataFrame ``(id BIGINT, betweenness DOUBLE)`` for every node
-    (shortest-path betweenness, unweighted; ``endpoints=False`` like the
-    reference default). ``k`` samples that many sources by seeded hash
-    order — deterministic, and rescaled by n/k like ``betweenness.py:75``.
+    (shortest-path betweenness; ``endpoints=False`` like the reference
+    default). ``k`` samples that many sources by seeded hash order —
+    deterministic, and rescaled by n/k like ``betweenness.py:75``.
+
+    ``weight=None`` counts hops (BFS kernel). Any other value resolves
+    per :func:`linkgraph.graph.resolve_weight_column` (column name / SQL
+    expression / Column) and switches to the weighted kernel — the
+    distributed twin of ``_single_source_dijkstra_path_basic``
+    (``betweenness.py:430``): Bellman-Ford distances, shortest-path DAG
+    by exact sum equality, topological sigma layers, pending-delta
+    backward sweep. Strictly positive weights required.
     """
     spark = g.spark
     cache = SuperstepCache(spark)
@@ -102,6 +347,32 @@ def betweenness_centrality(
     if n == 0:
         return spark.createDataFrame([], "id long, betweenness double")
 
+    sources, n_sources = _sampled_sources(vertices, n, k, seed)
+
+    if weight is not None:
+        bet_acc = _weighted_betweenness(g, sources, n_sources, weight, cache, max_rounds)
+        if normalized:
+            scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else None
+        else:
+            scale = None if g.directed else 0.5
+        if scale is not None and n_sources < n:
+            scale *= n / n_sources
+        if bet_acc is None:
+            out = vertices.select("id", F.lit(0.0).alias("betweenness"))
+        else:
+            out = vertices.join(bet_acc, "id", "left").select(
+                "id",
+                (
+                    F.coalesce("b", F.lit(0.0))
+                    * F.lit(scale if scale is not None else 1.0)
+                ).alias("betweenness"),
+            )
+        out = out.persist()
+        out.count()
+        vertices.unpersist()
+        cache.close(keep_result=True)
+        return out
+
     arcs = (
         (g.edges if g.directed else g.symmetric_edges())
         .filter(F.col("src") != F.col("dst"))
@@ -109,8 +380,6 @@ def betweenness_centrality(
         .distinct()
         .persist()
     )
-
-    sources, n_sources = _sampled_sources(vertices, n, k, seed)
 
     levels = _forward_levels(sources, arcs, cache, max_rounds)
 

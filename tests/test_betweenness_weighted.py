@@ -1,0 +1,126 @@
+"""Weighted Brandes betweenness parity vs nx (Dijkstra kernel,
+``networkx/algorithms/centrality/betweenness.py:430``
+``_single_source_dijkstra_path_basic``)."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+
+from linkgraph.graph import from_nx
+from linkgraph.algos.betweenness import betweenness_centrality
+
+
+def _ours(spark, G, **kw):
+    g = from_nx(spark, G)
+    return {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(g, **kw).collect()
+    }
+
+
+def _close(got, want, tol=1e-9):
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=tol), v
+
+
+def test_weighted_path(spark):
+    G = nx.path_graph(6)
+    for i, (u, v) in enumerate(G.edges()):
+        G[u][v]["weight"] = float(i + 1)
+    _close(
+        _ours(spark, G, weight="weight"),
+        nx.betweenness_centrality(G, weight="weight"),
+    )
+
+
+def test_weight_changes_routing(spark):
+    # direct edge 0-2 is heavier than the two-hop detour: hop-shortest
+    # and weight-shortest disagree, so an unweighted kernel would differ.
+    G = nx.Graph()
+    G.add_edge(0, 1, weight=1.0)
+    G.add_edge(1, 2, weight=1.0)
+    G.add_edge(0, 2, weight=5.0)
+    G.add_edge(2, 3, weight=1.0)
+    want = nx.betweenness_centrality(G, weight="weight")
+    got = _ours(spark, G, weight="weight")
+    _close(got, want)
+    un = nx.betweenness_centrality(G)
+    assert any(abs(want[v] - un[v]) > 1e-9 for v in want)
+
+
+def test_equal_weight_diamond_sigma(spark):
+    # two equal-cost shortest paths 0->3: sigma counting must split delta
+    G = nx.Graph()
+    for u, v in [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]:
+        G.add_edge(u, v, weight=2.0)
+    _close(
+        _ours(spark, G, weight="weight"),
+        nx.betweenness_centrality(G, weight="weight"),
+    )
+
+
+def test_weighted_directed(spark):
+    G = nx.DiGraph()
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (0, 3, 3.5),
+             (3, 4, 2.0), (1, 4, 6.0), (4, 0, 1.0)]
+    for u, v, w in edges:
+        G.add_edge(u, v, weight=w)
+    _close(
+        _ours(spark, G, weight="weight"),
+        nx.betweenness_centrality(G, weight="weight"),
+    )
+    _close(
+        _ours(spark, G, weight="weight", normalized=False),
+        nx.betweenness_centrality(G, weight="weight", normalized=False),
+    )
+
+
+def test_weighted_random(spark):
+    G = nx.gnp_random_graph(20, 0.2, seed=7)
+    import random
+
+    rng = random.Random(13)
+    for u, v in G.edges():
+        G[u][v]["weight"] = float(rng.randint(1, 9))
+    _close(
+        _ours(spark, G, weight="weight"),
+        nx.betweenness_centrality(G, weight="weight"),
+    )
+
+
+def test_weighted_disconnected(spark):
+    G = nx.disjoint_union(nx.path_graph(4), nx.cycle_graph(4))
+    for u, v in G.edges():
+        G[u][v]["weight"] = 1.5
+    _close(
+        _ours(spark, G, weight="weight"),
+        nx.betweenness_centrality(G, weight="weight"),
+    )
+
+
+def test_weight_expression_column(spark):
+    # the weight-expression surface: 2*weight + 1 routed through the
+    # same resolver as the sssp family
+    G = nx.Graph()
+    G.add_edge(0, 1, weight=1.0)
+    G.add_edge(1, 2, weight=1.0)
+    G.add_edge(0, 2, weight=1.4)
+    G.add_edge(2, 3, weight=1.0)
+    H = nx.Graph()
+    for u, v in G.edges():
+        H.add_edge(u, v, weight=2 * G[u][v]["weight"] + 1)
+    _close(
+        _ours(spark, G, weight="weight * 2 + 1"),
+        nx.betweenness_centrality(H, weight="weight"),
+    )
+
+
+def test_nonpositive_weight_raises(spark):
+    G = nx.Graph()
+    G.add_edge(0, 1, weight=0.0)
+    G.add_edge(1, 2, weight=1.0)
+    g = from_nx(spark, G)
+    with pytest.raises(ValueError):
+        betweenness_centrality(g, weight="weight").collect()
