@@ -2804,8 +2804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver checks the first ~50 entries, so new or
     # not-yet-driver-verified operators come FIRST; entries already green in
     # CORRECTNESS_r02 are listed last (their record stands even if a run cap
-    # drops them). Do not alphabetize.
-    return {
+    # drops them). Do not alphabetize. The literal below keeps its historical
+    # order; _R5_WINDOW at the bottom promotes this round's priorities.
+    q = {
         # -- never driver-checked (judge-oracle-green r03; promote per
         #    VERDICT r03 next-round #1 so CORRECTNESS_r04 records them) --- #
         # -- new in the round-4 continuation ------------------------- #
@@ -2985,6 +2986,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_ring_metric_closure": q_nation_ring_metric_closure,
         "supplier_part_redundancy": q_supplier_part_redundancy,
     }
+    # Round-5 window rotation (VERDICT r04 next-round #4): the 17 entries
+    # with no driver record across r01-r04 lead (16 judge-verified + the
+    # new weighted-betweenness oracle), followed by the three r04-red rows
+    # re-shaped/fixed this round so the driver re-verifies the fixes.
+    _r5_window = [
+        "chain40_weighted_betweenness",
+        "event_line_graph",
+        "copurchase_ego2",
+        "copurchase_graphical",
+        "acctbal_visibility",
+        "event_cd_index",
+        "copurchase_dedensify",
+        "ring0_disjoint_paths",
+        "nation_ring_gomory_hu",
+        "ring_k_edge_components",
+        "nation_ring_fiedler",
+        "chain_prefix_tree",
+        "copurchase_leiden_sizes",
+        "ring12_fluidc_sizes",
+        "chain_bfs_labeled",
+        "nation_ring_metric_closure",
+        "supplier_part_redundancy",
+        "copurchase_simple_paths",
+        "mixed_simple_cycles",
+        "doc_curation_summary",
+        "doc_near_dup_survivors",
+        "emb_ivf_top10",
+        "emb_near_dup_survivors",
+    ]
+    out = {k: q[k] for k in _r5_window}
+    out.update((k, v) for k, v in q.items() if k not in out)
+    return out
 
 
 # --------------------------------------------------------------------- #

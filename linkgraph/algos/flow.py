@@ -940,23 +940,82 @@ def node_disjoint_paths(g: SparkGraph, s: int, t: int) -> "list[list[int]]":
     return out
 
 
+def _dinic_py(res, s, t):
+    """Driver-side Dinic on a residual dict ``{u: {v: cap}}`` (mutated in
+    place). Returns ``(flow_value, reach_set)`` with ``reach_set`` = the
+    residual-reachable source side after the max flow — the same
+    certificate the distributed kernel returns."""
+    from collections import deque
+
+    total = 0.0
+    while True:
+        level = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for v, c in res[u].items():
+                if c > 1e-12 and v not in level:
+                    level[v] = level[u] + 1
+                    dq.append(v)
+        if t not in level:
+            return total, set(level)
+        iters = {u: iter(list(res[u].items())) for u in level}
+        # iterative blocking-flow DFS (no recursion-depth ceiling)
+        stack = [s]
+        path = []
+        while stack:
+            u = stack[-1]
+            if u == t:
+                f = min(res[a][b] for a, b in path)
+                for a, b in path:
+                    res[a][b] -= f
+                    res[b][a] = res[b].get(a, 0.0) + f
+                total += f
+                # restart from the deepest surviving edge
+                for i, (a, b) in enumerate(path):
+                    if res[a][b] <= 1e-12:
+                        del stack[i + 1 :]
+                        del path[i:]
+                        break
+                continue
+            advanced = False
+            for v, c in iters[u]:
+                if c > 1e-12 and level.get(v) == level[u] + 1 and v in iters:
+                    # re-read the live residual (iters snapshots caps)
+                    if res[u][v] > 1e-12:
+                        stack.append(v)
+                        path.append((u, v))
+                        advanced = True
+                        break
+            if not advanced:
+                stack.pop()
+                if path:
+                    path.pop()
+
+
 def gomory_hu_tree(
     g: SparkGraph,
     capacity: str = "capacity",
     *,
     max_nodes: int = 2000,
+    max_driver_edges: int = 500_000,
 ) -> DataFrame:
     """Gomory–Hu cut tree as a DataFrame ``(u, v, weight)``
     (``networkx/algorithms/flow/gomoryhu.py:17`` ``gomory_hu_tree``,
-    Gusfield's simplification): n−1 distributed min-cut runs on the
-    ORIGINAL graph, a driver loop re-parenting nodes on the source side
-    of each cut. The tree's min-weight path edge equals every pair's
-    minimum cut value — the invariant the parity tests pin.
+    Gusfield's simplification): n−1 min-cut runs on the ORIGINAL graph,
+    a driver loop re-parenting nodes on the source side of each cut. The
+    tree's min-weight path edge equals every pair's minimum cut value —
+    the invariant the parity tests pin.
 
     The per-node loop is inherently sequential (each cut depends on the
-    re-parented tree), so the node count is guarded by ``max_nodes``; each
-    cut itself is the distributed Dinitz kernel, so the GRAPH can be
-    arbitrarily large — the guard is on n, not m.
+    re-parented tree), so the node count is guarded by ``max_nodes``.
+    Graphs whose edge table fits under ``max_driver_edges`` run the whole
+    loop driver-side with a local Dinic — n−1 DEPENDENT distributed flow
+    runs cost thousands of tiny supersteps (measured ~6 min for the
+    25-node contract ring) versus milliseconds locally, the same guard
+    rationale as the blossom/DFS family. Above the guard each cut is the
+    distributed Dinitz kernel, so the GRAPH can be arbitrarily large —
+    the hard guard is on n, not m.
     """
     if g.directed:
         raise ValueError("gomory_hu_tree is defined on undirected graphs")
@@ -976,10 +1035,34 @@ def gomory_hu_tree(
     root = ids[0]
     parent = {v: root for v in ids if v != root}
     weight = {}
+
+    m = g.edges.limit(max_driver_edges + 1).count()
+    local_adj = None
+    if m <= max_driver_edges:
+        cap_rows = (
+            g.edges.select(
+                "src", "dst", F.col(capacity).cast("double").alias("c")
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+        local_adj = {v: {} for v in ids}
+        for r in cap_rows:
+            u, v, c = r["src"], r["dst"], float(r["c"])
+            if u == v:
+                continue
+            local_adj[u][v] = local_adj[u].get(v, 0.0) + c
+            local_adj[v][u] = local_adj[v].get(u, 0.0) + c
+
     for s_node in ids[1:]:
         t_node = parent[s_node]
-        val, (reach, _) = minimum_cut(g, s_node, t_node, capacity)
-        side = {r["id"] for r in reach.collect()}
+        if local_adj is not None:
+            res = {u: dict(vs) for u, vs in local_adj.items()}
+            val, side = _dinic_py(res, s_node, t_node)
+        else:
+            val, (reach, _) = minimum_cut(g, s_node, t_node, capacity)
+            side = {r["id"] for r in reach.collect()}
         weight[s_node] = val
         for v in ids:
             if v != s_node and parent.get(v) == t_node and v in side:

@@ -485,10 +485,43 @@ def vf2pp_is_isomorphic(g1: SparkGraph, g2: SparkGraph, **kwargs) -> bool:
     return is_isomorphic(g1, g2, **kwargs)
 
 
-def _iso_mappings(g1: SparkGraph, g2: SparkGraph, max_driver_edges: int):
+def _collect_attrs(g: SparkGraph):
+    """Driver-side attribute dicts for the matcher kernel: per-node dict
+    of every non-id vertex column, per-arc dict of every non-endpoint
+    edge column (both orientations registered for undirected graphs —
+    the reference's ``G[u][v]`` is one shared dict)."""
+    nattr: dict = {}
+    for r in g.vertices.collect():
+        d = r.asDict()
+        nid = d.pop("id")
+        nattr[nid] = d
+    eattr: dict = {}
+    for r in g.edges.collect():
+        d = r.asDict()
+        u = d.pop("src")
+        v = d.pop("dst")
+        eattr[(u, v)] = d
+        if not g.directed:
+            eattr.setdefault((v, u), d)
+    return nattr, eattr
+
+
+def _iso_mappings(
+    g1: SparkGraph,
+    g2: SparkGraph,
+    max_driver_edges: int,
+    node_match=None,
+    edge_match=None,
+):
     """Yield every node bijection g1→g2 preserving adjacency (the
     VF2++-style color-refined backtracking of :func:`is_isomorphic`,
-    generalized to a generator)."""
+    generalized to a generator).
+
+    ``node_match`` / ``edge_match`` are the reference's
+    ``vf2userfunc.py`` callables over attribute dicts — evaluated inside
+    the backtracking consistency check (the structural color-refinement
+    pruning stays attribute-blind, which is a valid necessary condition
+    either way)."""
     if g1.directed != g2.directed:
         return
     n1, o1, i1 = _collect_adj_pair(g1, max_driver_edges)
@@ -504,6 +537,10 @@ def _iso_mappings(g1: SparkGraph, g2: SparkGraph, max_driver_edges: int):
 
     if Counter(c1.values()) != Counter(c2.values()):
         return
+    na1 = ea1 = na2 = ea2 = None
+    if node_match is not None or edge_match is not None:
+        na1, ea1 = _collect_attrs(g1)
+        na2, ea2 = _collect_attrs(g2)
     by_color2: dict = {}
     for v, c in c2.items():
         by_color2.setdefault(c, []).append(v)
@@ -526,6 +563,20 @@ def _iso_mappings(g1: SparkGraph, g2: SparkGraph, max_driver_edges: int):
         for x in i2.get(w, ()):
             if x in used and pre[x] not in i1.get(v, ()):
                 return False
+        if node_match is not None and not node_match(na1[v], na2[w]):
+            return False
+        if edge_match is not None:
+            for x in o1.get(v, ()):
+                if x in mapping and not edge_match(
+                    ea1[(v, x)], ea2[(w, mapping[x])]
+                ):
+                    return False
+            if directed:
+                for x in i1.get(v, ()):
+                    if x in mapping and not edge_match(
+                        ea1[(x, v)], ea2[(mapping[x], w)]
+                    ):
+                        return False
         return True
 
     def backtrack(k):
@@ -573,36 +624,50 @@ def vf2pp_all_isomorphisms(
 
 
 class GraphMatcher:
-    """``isomorphism/isomorphvf2.py`` ``GraphMatcher`` — the class
-    surface over the engine's color-refined backtracking kernel:
-    ``is_isomorphic`` / ``isomorphisms_iter`` / ``mapping`` /
-    ``subgraph_is_isomorphic``. Attribute-match callables are out of
-    scope (attributes live in DataFrame columns — filter views first)."""
+    """``isomorphism/isomorphvf2.py`` ``GraphMatcher`` /
+    ``vf2userfunc.py`` ``GraphMatcher`` — the class surface over the
+    engine's color-refined backtracking kernel: ``is_isomorphic`` /
+    ``isomorphisms_iter`` / ``mapping`` / ``subgraph_is_isomorphic``.
+
+    ``node_match`` / ``edge_match`` are the reference's attribute-dict
+    callables (build them with the ``categorical_*`` / ``numerical_*`` /
+    ``generic_*`` factories below): node attributes come from the extra
+    vertex-DataFrame columns, edge attributes from the extra edge
+    columns. The kernel is driver-gated (backtracking is inherently
+    sequential), so evaluating Python predicates inside it adds no
+    distribution boundary. ``subgraph_is_isomorphic`` remains
+    structural-only with matchers out of scope."""
 
     def __init__(self, g1: SparkGraph, g2: SparkGraph,
                  node_match=None, edge_match=None):
-        if node_match is not None or edge_match is not None:
-            raise NotImplementedError(
-                "GraphMatcher: express attribute constraints as "
-                "subgraph_view filters; callable matchers do not "
-                "distribute"
-            )
         self.g1 = g1
         self.g2 = g2
+        self.node_match = node_match
+        self.edge_match = edge_match
         self.mapping = None
 
     def is_isomorphic(self) -> bool:
-        for m in _iso_mappings(self.g1, self.g2, 1_000_000):
+        for m in _iso_mappings(
+            self.g1, self.g2, 1_000_000, self.node_match, self.edge_match
+        ):
             self.mapping = m
             return True
         return False
 
     def isomorphisms_iter(self):
-        for m in _iso_mappings(self.g1, self.g2, 1_000_000):
+        for m in _iso_mappings(
+            self.g1, self.g2, 1_000_000, self.node_match, self.edge_match
+        ):
             self.mapping = m
             yield m
 
     def subgraph_is_isomorphic(self) -> bool:
+        if self.node_match is not None or self.edge_match is not None:
+            raise NotImplementedError(
+                "subgraph_is_isomorphic: attribute matchers are only "
+                "wired into the full-isomorphism kernel; filter views "
+                "first for subgraph search"
+            )
         return subgraph_is_isomorphic(self.g1, self.g2)
 
 
@@ -613,10 +678,19 @@ class DiGraphMatcher(GraphMatcher):
 
 class MultiGraphMatcher(GraphMatcher):
     """``vf2userfunc.py`` ``MultiGraphMatcher`` — parallel edges coalesce
-    in the engine's model; matching runs on the coalesced simple view."""
+    in the engine's model; matching runs on the coalesced simple view,
+    and a multiedge ``edge_match`` (which the reference hands a
+    keyed-dict-of-dicts) sees the coalesced attrs as the single key 0."""
+
+    def __init__(self, g1: SparkGraph, g2: SparkGraph,
+                 node_match=None, edge_match=None):
+        if edge_match is not None:
+            inner = edge_match
+            edge_match = lambda d1, d2: inner({0: d1}, {0: d2})  # noqa: E731
+        super().__init__(g1, g2, node_match, edge_match)
 
 
-class MultiDiGraphMatcher(DiGraphMatcher):
+class MultiDiGraphMatcher(MultiGraphMatcher):
     """``vf2userfunc.py`` ``MultiDiGraphMatcher``."""
 
 
