@@ -8,9 +8,10 @@ reference's ``random_reference``). The distributed twin reuses
 :func:`linkgraph.algos.swap.double_edge_swap` (parallel swap rounds,
 seeded) for the references, the wedge-join transitivity, and the batched
 all-pairs BFS for L — so the whole measure is the composition of three
-already-distributed operators. ``omega`` stays out of scope: its
-``lattice_reference`` rewires toward a lattice under an acceptance test
-that is inherently one-swap-at-a-time.
+already-distributed operators. ``omega`` composes the same kernels with
+``lattice_reference`` — whose accept/reject rewiring chain is inherently
+one-swap-at-a-time and therefore runs driver-gated under
+``max_driver_edges`` with the reference's own seeded schedule.
 
 Deviation (documented): a randomized reference can disconnect; the
 reference's ``average_shortest_path_length`` would raise there, so for the
@@ -26,7 +27,7 @@ from pyspark.sql import functions as F
 from linkgraph.exceptions import NotImplementedForDirected
 from linkgraph.graph import SparkGraph
 
-__all__ = ["sigma", "random_reference"]
+__all__ = ["sigma", "random_reference", "lattice_reference", "omega"]
 
 
 def random_reference(g: SparkGraph, niter: int = 1, seed: int = 42) -> SparkGraph:
