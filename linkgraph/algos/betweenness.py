@@ -205,15 +205,10 @@ def _weighted_levels_and_dag(sources, warcs, cache, max_rounds):
     return levels, dag
 
 
-def _weighted_betweenness(g, sources, n_sources, weight, cache, max_rounds):
-    """Node deltas for the weighted kernel: ``(id, b)`` = Σ_s δ_s(v).
-
-    Backward accumulation mirrors ``_accumulate_basic`` over the weighted
-    DAG: processing topological layers deepest-first, a layer's completed
-    delta flows to ALL its DAG predecessors (which may sit any number of
-    layers earlier — hence a pending-delta table merged per layer instead
-    of the unweighted adjacent-level join).
-    """
+def _weighted_arcs(g, weight, cache_unused=None):
+    """(src, dst, w) arc table for the weighted kernels (min over
+    parallel rows like the reference's multigraph ``_weight_function``);
+    raises on non-positive weights, which would make the SP-DAG cyclic."""
     from linkgraph.graph import resolve_weight_column
 
     base = g.edges if g.directed else g.symmetric_edges()
@@ -224,8 +219,7 @@ def _weighted_betweenness(g, sources, n_sources, weight, cache, max_rounds):
         .agg(F.min("w").alias("w"))
         .persist()
     )
-    bad = warcs.filter(F.col("w") <= 0).limit(1).count()
-    if bad:
+    if warcs.filter(F.col("w") <= 0).limit(1).count():
         warcs.unpersist()
         raise ValueError(
             "weighted betweenness requires strictly positive weights "
@@ -233,7 +227,33 @@ def _weighted_betweenness(g, sources, n_sources, weight, cache, max_rounds):
             "reference's Dijkstra kernel likewise breaks on non-positive "
             "weights)"
         )
+    return warcs
 
+
+def _weighted_betweenness(
+    g,
+    sources,
+    n_sources,
+    weight,
+    cache,
+    max_rounds,
+    targets=None,
+    edges_out=False,
+):
+    """Deltas for the weighted kernel.
+
+    Returns ``(id, b)`` = Σ_s δ_s(v) (nodes) or ``(u, v, b)`` per DAG arc
+    (``edges_out=True``). ``targets`` switches to the subset accumulation
+    (``_accumulate_subset``): the per-node load seeds with 1 only at
+    target nodes instead of unconditionally.
+
+    Backward accumulation mirrors ``_accumulate_basic`` over the weighted
+    DAG: processing topological layers deepest-first, a layer's completed
+    delta flows to ALL its DAG predecessors (which may sit any number of
+    layers earlier — hence a pending-delta table merged per layer instead
+    of the unweighted adjacent-level join).
+    """
+    warcs = _weighted_arcs(g, weight)
     levels, dag = _weighted_levels_and_dag(sources, warcs, cache, max_rounds)
 
     from functools import reduce
@@ -244,9 +264,12 @@ def _weighted_betweenness(g, sources, n_sources, weight, cache, max_rounds):
             (lvl.select("s", "v", "sigma") for lvl in levels),
         )
     )
+    tgt_df = None
+    if targets is not None:
+        tgt_df = targets.select(F.col(targets.columns[0]).alias("v")).distinct()
 
     pending = None  # (s, v, delta) partial deltas for not-yet-processed layers
-    bet_acc = None
+    acc = None  # nodes: (id, b); edges: (u, v, b)
     for d in range(len(levels) - 1, 0, -1):
         lvl = levels[d]
         if pending is not None:
@@ -257,8 +280,20 @@ def _weighted_betweenness(g, sources, n_sources, weight, cache, max_rounds):
         else:
             lvl_d = lvl.select("s", "v", "sigma", F.lit(0.0).alias("delta"))
             remaining = None
-        contrib = (
-            lvl_d.select("s", F.col("v").alias("dst"), "sigma", "delta")
+        if tgt_df is not None:
+            lvl_d = lvl_d.join(
+                tgt_df.withColumn("_t", F.lit(1.0)), "v", "left"
+            ).select(
+                "s", "v", "sigma", "delta",
+                (F.col("delta") + F.coalesce("_t", F.lit(0.0))).alias("load"),
+            )
+        else:
+            lvl_d = lvl_d.select(
+                "s", "v", "sigma", "delta",
+                (F.lit(1.0) + F.col("delta")).alias("load"),
+            )
+        flows = (
+            lvl_d.select("s", F.col("v").alias("dst"), "sigma", "load")
             .join(dag, ["s", "dst"])
             .join(
                 sig_all.select(
@@ -269,28 +304,35 @@ def _weighted_betweenness(g, sources, n_sources, weight, cache, max_rounds):
             .select(
                 "s",
                 F.col("src").alias("v"),
-                (F.col("_sp") / F.col("sigma") * (F.lit(1.0) + F.col("delta"))).alias(
-                    "delta"
-                ),
+                F.col("dst").alias("w"),
+                (F.col("_sp") / F.col("sigma") * F.col("load")).alias("c"),
             )
-            .groupBy("s", "v")
-            .agg(F.sum("delta").alias("delta"))
         )
-        # fold this layer's (now complete) deltas into the accumulator
-        # BEFORE releasing the old pending table — lvl_d's plan reads it
-        lvl_bet = (
-            lvl_d.filter(F.col("s") != F.col("v"))
-            .groupBy(F.col("v").alias("id"))
-            .agg(F.sum("delta").alias("b"))
-        )
-        if bet_acc is None:
-            bet_acc = cache.truncate(lvl_bet)
+        contrib = flows.groupBy("s", "v").agg(F.sum("c").alias("delta"))
+        # fold this layer's completed quantity into the accumulator BEFORE
+        # releasing the old pending table — lvl_d's plan reads it
+        if edges_out:
+            lvl_acc = (
+                flows.groupBy(F.col("v").alias("u"), F.col("w").alias("vv"))
+                .agg(F.sum("c").alias("b"))
+                .select("u", F.col("vv").alias("v"), "b")
+            )
+            keys = ["u", "v"]
+        else:
+            lvl_acc = (
+                lvl_d.filter(F.col("s") != F.col("v"))
+                .groupBy(F.col("v").alias("id"))
+                .agg(F.sum("delta").alias("b"))
+            )
+            keys = ["id"]
+        if acc is None:
+            acc = cache.truncate(lvl_acc)
         else:
             folded = cache.truncate(
-                bet_acc.unionByName(lvl_bet).groupBy("id").agg(F.sum("b").alias("b"))
+                acc.unionByName(lvl_acc).groupBy(*keys).agg(F.sum("b").alias("b"))
             )
-            cache.release(bet_acc)
-            bet_acc = folded
+            cache.release(acc)
+            acc = folded
         new_pending = cache.truncate(
             remaining.unionByName(contrib).groupBy("s", "v").agg(
                 F.sum("delta").alias("delta")
@@ -305,7 +347,7 @@ def _weighted_betweenness(g, sources, n_sources, weight, cache, max_rounds):
         levels[d] = None
     dag.unpersist()
     warcs.unpersist()
-    return bet_acc
+    return acc
 
 
 def _sampled_sources(vertices, n, k, seed):
@@ -476,6 +518,7 @@ def edge_betweenness_centrality(
     g: SparkGraph,
     k: Optional[int] = None,
     normalized: bool = True,
+    weight=None,
     *,
     seed: int = 0,
     max_rounds: int = 10_000,
@@ -509,6 +552,56 @@ def edge_betweenness_centrality(
         vertices.unpersist()
         return out
 
+    sources, n_sources = _sampled_sources(vertices, n, k, seed)
+
+    if weight is not None:
+        acc_w = _weighted_betweenness(
+            g, sources, n_sources, weight, cache, max_rounds, edges_out=True
+        )
+        if acc_w is not None:
+            if g.directed:
+                acc_w = acc_w.select("u", F.col("v").alias("vv"), "b")
+            else:
+                acc_w = (
+                    acc_w.select(
+                        F.least("u", "v").alias("u"),
+                        F.greatest("u", "v").alias("vv"),
+                        "b",
+                    )
+                    .groupBy("u", "vv")
+                    .agg(F.sum("b").alias("b"))
+                )
+        if normalized:
+            scale = 1.0 / (n_sources * (n - 1)) if n > 1 else None
+        else:
+            corr = 1.0 if g.directed else 2.0
+            scale = float(n) / (n_sources * corr)
+            if scale == 1.0:
+                scale = None
+        acc_w = (
+            acc_w
+            if acc_w is not None
+            else spark.createDataFrame([], "u long, vv long, b double")
+        )
+        out = edge_keys.join(
+            acc_w,
+            (F.col("src") == F.col("u")) & (F.col("dst") == F.col("vv")),
+            "left",
+        ).select(
+            "src",
+            "dst",
+            (
+                F.coalesce("b", F.lit(0.0))
+                * F.lit(scale if scale is not None else 1.0)
+            ).alias("betweenness"),
+        )
+        out = out.persist()
+        out.count()
+        vertices.unpersist()
+        edge_keys.unpersist()
+        cache.close(keep_result=True)
+        return out
+
     arcs = (
         (g.edges if g.directed else g.symmetric_edges())
         .filter(F.col("src") != F.col("dst"))
@@ -516,7 +609,6 @@ def edge_betweenness_centrality(
         .distinct()
         .persist()
     )
-    sources, n_sources = _sampled_sources(vertices, n, k, seed)
     levels = _forward_levels(sources, arcs, cache, max_rounds)
 
     # ---- backward: per-arc contributions, folded level by level ------- #
@@ -1075,22 +1167,96 @@ def _subset_betweenness(
 
 
 def betweenness_centrality_subset(
-    g: SparkGraph, sources, targets, normalized: bool = False
+    g: SparkGraph, sources, targets, normalized: bool = False, weight=None
 ) -> DataFrame:
     """``betweenness_subset.py:11`` — betweenness counting only shortest
-    paths from ``sources`` to ``targets``."""
-    return _subset_betweenness(
-        g, sources, targets, normalized, edges_out=False
+    paths from ``sources`` to ``targets``. ``weight`` switches to the
+    weighted (Dijkstra-DAG) kernel with the same target-seeded
+    accumulation."""
+    if weight is None:
+        return _subset_betweenness(
+            g, sources, targets, normalized, edges_out=False
+        )
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    vertices = g.vertices.select("id").persist()
+    n = vertices.count()
+    src_df = spark.createDataFrame(
+        [(int(x),) for x in sources], "id long"
+    ).join(vertices, "id", "left_semi")
+    tgt_df = spark.createDataFrame([(int(x),) for x in targets], "id long")
+    acc = _weighted_betweenness(
+        g, src_df, None, weight, cache, 10_000, targets=tgt_df, edges_out=False
     )
+    if normalized:
+        scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else None
+    else:
+        scale = None if g.directed else 0.5
+    if acc is None:
+        out = vertices.select("id", F.lit(0.0).alias("betweenness"))
+    else:
+        out = vertices.join(acc, "id", "left").select(
+            "id",
+            (
+                F.coalesce("b", F.lit(0.0))
+                * F.lit(scale if scale is not None else 1.0)
+            ).alias("betweenness"),
+        )
+    out = out.persist()
+    out.count()
+    vertices.unpersist()
+    cache.close(keep_result=True)
+    return out
 
 
 def edge_betweenness_centrality_subset(
-    g: SparkGraph, sources, targets, normalized: bool = False
+    g: SparkGraph, sources, targets, normalized: bool = False, weight=None
 ) -> DataFrame:
-    """``betweenness_subset.py:134`` — the per-edge form."""
-    return _subset_betweenness(
-        g, sources, targets, normalized, edges_out=True
+    """``betweenness_subset.py:134`` — the per-edge form (``weight``
+    switches to the weighted kernel, per-arc accumulation)."""
+    if weight is None:
+        return _subset_betweenness(
+            g, sources, targets, normalized, edges_out=True
+        )
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    vertices = g.vertices.select("id").persist()
+    n = vertices.count()
+    src_df = spark.createDataFrame(
+        [(int(x),) for x in sources], "id long"
+    ).join(vertices, "id", "left_semi")
+    tgt_df = spark.createDataFrame([(int(x),) for x in targets], "id long")
+    acc = _weighted_betweenness(
+        g, src_df, None, weight, cache, 10_000, targets=tgt_df, edges_out=True
     )
+    if normalized:
+        scale = 1.0 / (n * (n - 1)) if n > 1 else None
+    else:
+        scale = None if g.directed else 0.5
+    if acc is None:
+        out = spark.createDataFrame([], "u long, v long, betweenness double")
+    else:
+        if not g.directed:
+            acc = (
+                acc.select(
+                    F.least("u", "v").alias("u"),
+                    F.greatest("u", "v").alias("v"),
+                    "b",
+                )
+                .groupBy("u", "v")
+                .agg(F.sum("b").alias("b"))
+            )
+        out = acc.select(
+            "u",
+            "v",
+            (F.col("b") * F.lit(scale if scale is not None else 1.0)).alias(
+                "betweenness"
+            ),
+        ).persist()
+        out.count()
+    vertices.unpersist()
+    cache.close(keep_result=True)
+    return out
 
 
 def _ids_df(g: SparkGraph, C) -> DataFrame:
@@ -1125,12 +1291,10 @@ def group_betweenness_centrality(
     ``endpoints=True`` adds the reference's endpoint count: 2 per
     reachable (group, non-group) pair + 1 per reachable in-group pair.
     ``normalized`` divides by (n−|C|)(n−|C|−1) like the reference.
+    ``weight`` swaps both forward passes for the weighted kernel
+    (distances + sigma over the Dijkstra DAG); the avoid-count join then
+    compares weighted distances with the same exact-sum semantics.
     """
-    if weight is not None:
-        raise NotImplementedError(
-            "group_betweenness_centrality: weighted form not implemented "
-            "(unweighted BFS kernel); pass weight=None"
-        )
     spark = g.spark
     c_ids = _ids_df(g, C).persist()
     missing = c_ids.join(g.vertices.select("id"), "id", "left_anti")
@@ -1150,26 +1314,57 @@ def group_betweenness_centrality(
     )
     outside = g.vertices.select("id").join(c_ids, "id", "left_anti").persist()
 
-    levels_full = _forward_levels(outside, arcs, cache, 10_000)
-    full = None
-    for lvl in levels_full:
-        part = lvl.filter(F.col("dist") > 0).select("s", "v", "dist", "sigma")
-        full = part if full is None else full.unionByName(part)
+    if weight is not None:
+        warcs = _weighted_arcs(g, weight)
+
+        def _wfwd(srcs, arc_tbl):
+            levels, dag = _weighted_levels_and_dag(srcs, arc_tbl, cache, 10_000)
+            dag.unpersist()
+            from functools import reduce
+
+            return reduce(
+                lambda a, b: a.unionByName(b),
+                (lvl.select("s", "v", "dist", "sigma") for lvl in levels),
+            )
+
+        levels_full = None
+        full = _wfwd(outside, warcs).filter(F.col("dist") > 0)
+        warcs_avoid = (
+            warcs.join(c_ids.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(c_ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .persist()
+        )
+        avoid = (
+            _wfwd(outside, warcs_avoid)
+            .filter(F.col("dist") > 0)
+            .select(
+                "s", "v",
+                F.col("dist").alias("dist_a"),
+                F.col("sigma").alias("sigma_a"),
+            )
+        )
+        warcs_avoid.unpersist()
+    else:
+        levels_full = _forward_levels(outside, arcs, cache, 10_000)
+        full = None
+        for lvl in levels_full:
+            part = lvl.filter(F.col("dist") > 0).select("s", "v", "dist", "sigma")
+            full = part if full is None else full.unionByName(part)
+
+        arcs_avoid = (
+            arcs.join(c_ids.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(c_ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .persist()
+        )
+        levels_avoid = _forward_levels(outside, arcs_avoid, cache, 10_000)
+        avoid = None
+        for lvl in levels_avoid:
+            part = lvl.filter(F.col("dist") > 0).select(
+                "s", "v", F.col("dist").alias("dist_a"), F.col("sigma").alias("sigma_a")
+            )
+            avoid = part if avoid is None else avoid.unionByName(part)
     # restrict targets to outside-the-group nodes
     full = full.join(outside.withColumnRenamed("id", "v"), "v", "left_semi")
-
-    arcs_avoid = (
-        arcs.join(c_ids.withColumnRenamed("id", "src"), "src", "left_anti")
-        .join(c_ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
-        .persist()
-    )
-    levels_avoid = _forward_levels(outside, arcs_avoid, cache, 10_000)
-    avoid = None
-    for lvl in levels_avoid:
-        part = lvl.filter(F.col("dist") > 0).select(
-            "s", "v", F.col("dist").alias("dist_a"), F.col("sigma").alias("sigma_a")
-        )
-        avoid = part if avoid is None else avoid.unionByName(part)
 
     joined = full.join(avoid, ["s", "v"], "left").select(
         (
@@ -1198,7 +1393,10 @@ def group_betweenness_centrality(
         total += scale
 
     arcs.unpersist()
-    arcs_avoid.unpersist()
+    if weight is not None:
+        warcs.unpersist()
+    else:
+        arcs_avoid.unpersist()
     outside.unpersist()
     c_ids.unpersist()
     cache.close()
@@ -1227,24 +1425,34 @@ def prominent_group(
     candidate space; the engine evaluates candidates exactly with the
     driver-collected adjacency under a combination guard (the established
     pattern for inherently sequential search), reusing the identity
-    σ(s,t|C) = σ − σ_same-length-avoiding-C per candidate."""
+    σ(s,t|C) = σ − σ_same-length-avoiding-C per candidate. ``weight``
+    switches the per-source counts to driver Dijkstra path counting
+    (``_single_source_dijkstra_path_basic`` semantics)."""
     import itertools
     from collections import deque
 
     if weight is not None:
-        raise NotImplementedError("prominent_group: unweighted only")
-    arcs = (
-        (g.edges if g.directed else g.symmetric_edges())
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    adj: dict = {}
-    for r in arcs.collect():
-        adj.setdefault(r["src"], set()).add(r["dst"])
+        warcs = _weighted_arcs(g, weight)
+        wadj: dict = {}
+        for r in warcs.collect():
+            wadj.setdefault(r["src"], {})[r["dst"]] = float(r["w"])
+        warcs.unpersist()
+        adj = {u: set(vs) for u, vs in wadj.items()}
+    else:
+        arcs = (
+            (g.edges if g.directed else g.symmetric_edges())
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+        adj = {}
+        for r in arcs.collect():
+            adj.setdefault(r["src"], set()).add(r["dst"])
     nodes = sorted(r["id"] for r in g.vertices.select("id").collect())
     for v in nodes:
         adj.setdefault(v, set())
+        if weight is not None:
+            wadj.setdefault(v, {})
     n = len(nodes)
     import math
 
@@ -1255,7 +1463,7 @@ def prominent_group(
             f"max_combinations={max_combinations}"
         )
 
-    def counts(source, banned):
+    def counts_bfs(source, banned):
         dist = {source: 0}
         sig = {source: 1.0}
         q = deque([source])
@@ -1271,6 +1479,34 @@ def prominent_group(
                 elif dist[w] == dist[u] + 1:
                     sig[w] += sig[u]
         return dist, sig
+
+    def counts_dijkstra(source, banned):
+        import heapq
+        from itertools import count as _count
+
+        dist: dict = {}
+        sig = {source: 1.0}
+        seen = {source: 0.0}
+        tick = _count()
+        q = [(0.0, next(tick), source, source)]
+        while q:
+            d, _, pred, v = heapq.heappop(q)
+            if v in dist:
+                continue
+            dist[v] = d
+            for w, wt in wadj[v].items():
+                if w in banned:
+                    continue
+                vw = d + wt
+                if w not in dist and (w not in seen or vw < seen[w]):
+                    seen[w] = vw
+                    heapq.heappush(q, (vw, next(tick), v, w))
+                    sig[w] = sig[v]
+                elif vw == seen.get(w) and w not in dist:
+                    sig[w] += sig[v]
+        return dist, sig
+
+    counts = counts_bfs if weight is None else counts_dijkstra
 
     base = {s: counts(s, frozenset()) for s in nodes}
     best = (-1.0, None)
@@ -1303,4 +1539,6 @@ def prominent_group(
             val = total
         if val > best[0]:
             best = (val, sorted(cset))
-    return best
+    # the reference truncates the winning value to 2 decimals
+    # (centrality/group.py:412 `float(f"{max_GBC:.2f}")`)
+    return float(f"{best[0]:.2f}"), best[1]

@@ -124,3 +124,94 @@ def test_nonpositive_weight_raises(spark):
     g = from_nx(spark, G)
     with pytest.raises(ValueError):
         betweenness_centrality(g, weight="weight").collect()
+
+
+# ------------------------------------------------------------------ #
+# weighted edge / subset / group forms
+# ------------------------------------------------------------------ #
+
+
+def _wgraph():
+    G = nx.Graph()
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0), (2, 3, 1.0),
+             (3, 4, 2.0), (1, 4, 6.0)]
+    for u, v, w in edges:
+        G.add_edge(u, v, weight=w)
+    return G
+
+
+def test_weighted_edge_betweenness(spark):
+    from linkgraph.algos.betweenness import edge_betweenness_centrality
+
+    G = _wgraph()
+    g = from_nx(spark, G)
+    want = nx.edge_betweenness_centrality(G, weight="weight")
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness_centrality(g, weight="weight").collect()
+    }
+    assert len(got) == len(want)
+    for (u, v), w in want.items():
+        key = (u, v) if (u, v) in got else (v, u)
+        assert got[key] == pytest.approx(w, abs=1e-9), (u, v)
+
+
+def test_weighted_subset_betweenness(spark):
+    from linkgraph.algos.betweenness import betweenness_centrality_subset
+
+    G = _wgraph()
+    g = from_nx(spark, G)
+    want = nx.betweenness_centrality_subset(
+        G, sources=[0, 4], targets=[2, 3], weight="weight"
+    )
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality_subset(
+            g, [0, 4], [2, 3], weight="weight"
+        ).collect()
+    }
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_weighted_edge_subset_betweenness(spark):
+    from linkgraph.algos.betweenness import edge_betweenness_centrality_subset
+
+    G = _wgraph()
+    g = from_nx(spark, G)
+    want = nx.edge_betweenness_centrality_subset(
+        G, sources=[0], targets=[3, 4], weight="weight"
+    )
+    got = {
+        (r["u"], r["v"]): r["betweenness"]
+        for r in edge_betweenness_centrality_subset(
+            g, [0], [3, 4], weight="weight"
+        ).collect()
+    }
+    for (u, v), w in want.items():
+        if w == 0 and (u, v) not in got and (v, u) not in got:
+            continue
+        key = (u, v) if (u, v) in got else (v, u)
+        assert got.get(key, 0.0) == pytest.approx(w, abs=1e-9), (u, v)
+
+
+def test_weighted_group_betweenness(spark):
+    from linkgraph.algos.betweenness import group_betweenness_centrality
+
+    G = _wgraph()
+    g = from_nx(spark, G)
+    for group in ([2], [1, 3]):
+        want = nx.group_betweenness_centrality(G, group, weight="weight")
+        got = group_betweenness_centrality(g, group, weight="weight")
+        assert got == pytest.approx(want, abs=1e-9), group
+
+
+def test_weighted_prominent_group(spark):
+    from linkgraph.algos.betweenness import prominent_group
+
+    G = _wgraph()
+    g = from_nx(spark, G)
+    want_val, want_grp = nx.prominent_group(G, 1, weight="weight")
+    got_val, got_grp = prominent_group(g, 1, weight="weight")
+    assert got_val == pytest.approx(want_val, abs=1e-9)
+    assert got_grp == want_grp
