@@ -875,39 +875,218 @@ def tree_isomorphism(g1: SparkGraph, g2: SparkGraph,
 
 class ISMAGS:
     """``isomorphism/ismags.py`` ``ISMAGS`` — the symmetry-aware matcher.
-    The engine surfaces the non-symmetry slice (isomorphisms via the
-    color-refined kernel); symmetry-reduced enumeration and
-    largest_common_subgraph are out of scope (the analysis is a
-    sequential permutation-group computation)."""
 
-    def __init__(self, graph, subgraph, node_match=None, edge_match=None):
-        if node_match is not None or edge_match is not None:
-            raise NotImplementedError(
-                "ISMAGS: attribute matchers do not distribute; filter "
-                "views first"
-            )
+    Reference semantics pinned against the install (verified on C4/K4/P3
+    fixtures): embeddings are NODE-INDUCED; mappings are yielded as
+    ``{graph_node: subgraph_node}``; ``symmetry=True`` keeps one mapping
+    per orbit under the (match-respecting) automorphism group of
+    ``subgraph``; ``largest_common_subgraph`` yields the maximum common
+    induced subgraph mappings.
+
+    The engine's twin: embeddings come from a driver-gated induced
+    backtracking search (sequential by nature, the same cost class the
+    reference pays); the symmetry quotient composes the automorphisms
+    from the existing color-refined kernel instead of ISMAGS'
+    permutation-group machinery — same classes, different derivation;
+    the LCS is the maximum-clique set of the MODULAR PRODUCT of the two
+    graphs (the classic reduction; driver Bron–Kerbosch under a size
+    guard)."""
+
+    def __init__(self, graph, subgraph, node_match=None, edge_match=None,
+                 cache=None):
         self.graph = graph
         self.subgraph = subgraph
+        self.node_match = node_match
+        self.edge_match = edge_match
 
-    def is_isomorphic(self, symmetry=False) -> bool:
-        return is_isomorphic(self.graph, self.subgraph)
+    # -- collected driver structures ----------------------------------- #
+    def _sides(self):
+        if not hasattr(self, "_side_data"):
+            gn, go, gi = _collect_adj_pair(self.graph, 1_000_000)
+            sn, so, si = _collect_adj_pair(self.subgraph, 1_000_000)
+            ga = sa = gea = sea = None
+            if self.node_match is not None or self.edge_match is not None:
+                ga, gea = _collect_attrs(self.graph)
+                sa, sea = _collect_attrs(self.subgraph)
+            self._side_data = (gn, go, gi, sn, so, si, ga, sa, gea, sea)
+        return self._side_data
+
+    def _autos(self):
+        """Match-respecting automorphisms of the subgraph (dicts s→s)."""
+        if not hasattr(self, "_auto_list"):
+            self._auto_list = list(
+                _iso_mappings(
+                    self.subgraph,
+                    self.subgraph,
+                    1_000_000,
+                    self.node_match,
+                    self.edge_match,
+                )
+            )
+        return self._auto_list
+
+    def _sym_filter(self, mappings):
+        seen = set()
+        autos = self._autos()
+        for m in mappings:  # m: {graph_node: subgraph_node}
+            key = tuple(sorted(m.items()))
+            if key in seen:
+                continue
+            for a in autos:
+                seen.add(tuple(sorted((g, a[s]) for g, s in m.items())))
+            yield m
+
+    def _embeddings(self):
+        """Yield every induced embedding as {graph_node: subgraph_node}."""
+        gn, go, gi, sn, so, si, ga, sa, gea, sea = self._sides()
+        nm, em = self.node_match, self.edge_match
+        directed = self.graph.directed
+        order = sorted(
+            sn, key=lambda u: (-(len(so.get(u, ())) + len(si.get(u, ()))), u)
+        )
+        mapping: dict = {}  # s -> g
+        used: set = set()
+
+        def feasible(u, v):
+            if len(go.get(v, ())) < len(so.get(u, ())):
+                return False
+            if directed and len(gi.get(v, ())) < len(si.get(u, ())):
+                return False
+            if nm is not None and not nm(ga[v], sa[u]):
+                return False
+            for u2, v2 in mapping.items():
+                a_out = u2 in so.get(u, ())
+                if a_out != (v2 in go.get(v, ())):
+                    return False
+                a_in = u2 in si.get(u, ())
+                if a_in != (v2 in gi.get(v, ())):
+                    return False
+                if em is not None:
+                    if a_out and not em(gea[(v, v2)], sea[(u, u2)]):
+                        return False
+                    if a_in and not em(gea[(v2, v)], sea[(u2, u)]):
+                        return False
+            return True
+
+        def bt(k):
+            if k == len(order):
+                yield {v: u for u, v in mapping.items()}
+                return
+            u = order[k]
+            for v in gn:
+                if v in used:
+                    continue
+                if feasible(u, v):
+                    mapping[u] = v
+                    used.add(v)
+                    yield from bt(k + 1)
+                    used.discard(v)
+                    del mapping[u]
+
+        yield from bt(0)
+
+    # -- public surface (reference method names) ----------------------- #
+    def find_isomorphisms(self, symmetry=True):
+        it = self._embeddings()
+        return self._sym_filter(it) if symmetry else it
+
+    subgraph_isomorphisms_iter = find_isomorphisms
 
     def isomorphisms_iter(self, symmetry=True):
-        if symmetry:
-            raise NotImplementedError(
-                "ISMAGS symmetry-reduced enumeration is out of scope; "
-                "pass symmetry=False for plain isomorphisms"
-            )
-        yield from _iso_mappings(self.graph, self.subgraph, 1_000_000)
+        if self.graph.number_of_nodes() != self.subgraph.number_of_nodes():
+            return iter(())
+        return self.find_isomorphisms(symmetry)
+
+    def is_isomorphic(self, symmetry=False) -> bool:
+        return any(self.isomorphisms_iter(symmetry=False))
 
     def subgraph_is_isomorphic(self, symmetry=False) -> bool:
-        return subgraph_is_isomorphic(self.graph, self.subgraph)
+        return any(self.find_isomorphisms(symmetry=False))
 
-    def largest_common_subgraph(self, symmetry=True):
-        raise NotImplementedError(
-            "ISMAGS.largest_common_subgraph: sequential MCS search is "
-            "out of scope"
-        )
+    def largest_common_subgraph(self, symmetry=True, *, max_product_nodes=2000):
+        """Maximum common induced subgraph mappings via the maximum
+        cliques of the modular product (driver Bron–Kerbosch with pivot,
+        size-guarded)."""
+        gn, go, gi, sn, so, si, ga, sa, gea, sea = self._sides()
+        nm, em = self.node_match, self.edge_match
+        directed = self.graph.directed
+        pnodes = []
+        for v in gn:
+            for u in sn:
+                if nm is not None and not nm(ga[v], sa[u]):
+                    continue
+                pnodes.append((v, u))
+        if len(pnodes) > max_product_nodes:
+            raise ValueError(
+                f"largest_common_subgraph: modular product has "
+                f"{len(pnodes)} nodes > max_product_nodes="
+                f"{max_product_nodes}"
+            )
+
+        def compatible(p, q):
+            v1, u1 = p
+            v2, u2 = q
+            if v1 == v2 or u1 == u2:
+                return False
+            a_out = v2 in go.get(v1, ())
+            b_out = u2 in so.get(u1, ())
+            if a_out != b_out:
+                return False
+            if a_out and em is not None and not em(
+                gea[(v1, v2)], sea[(u1, u2)]
+            ):
+                return False
+            if directed:
+                a_in = v2 in gi.get(v1, ())
+                b_in = u2 in si.get(u1, ())
+                if a_in != b_in:
+                    return False
+                if a_in and em is not None and not em(
+                    gea[(v2, v1)], sea[(u2, u1)]
+                ):
+                    return False
+            return True
+
+        idx = {p: i for i, p in enumerate(pnodes)}
+        nbrs = [set() for _ in pnodes]
+        for i, p in enumerate(pnodes):
+            for j in range(i + 1, len(pnodes)):
+                if compatible(p, pnodes[j]):
+                    nbrs[i].add(j)
+                    nbrs[j].add(i)
+
+        best: list = []
+        best_size = 0
+
+        def bk(r, p, x):
+            nonlocal best_size
+            if not p and not x:
+                if len(r) > best_size:
+                    best_size = len(r)
+                    best.clear()
+                if len(r) == best_size and r:
+                    best.append(list(r))
+                return
+            pivot = max(p | x, key=lambda w: len(nbrs[w] & p))
+            for w in list(p - nbrs[pivot]):
+                bk(r | {w}, p & nbrs[w], x & nbrs[w])
+                p.discard(w)
+                x.add(w)
+
+        bk(set(), set(range(len(pnodes))), set())
+        mappings = [
+            dict(pnodes[i] for i in clique) for clique in best
+        ]
+        # dedupe exact duplicates (BK can report a maximum clique once,
+        # but keep this defensive), then the symmetry quotient
+        uniq = []
+        seen = set()
+        for m in mappings:
+            key = tuple(sorted(m.items()))
+            if key not in seen:
+                seen.add(key)
+                uniq.append(m)
+        return self._sym_filter(uniq) if symmetry else iter(uniq)
 
 
 class TimeRespectingGraphMatcher(GraphMatcher):
