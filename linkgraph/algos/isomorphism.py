@@ -1089,18 +1089,102 @@ class ISMAGS:
         return self._sym_filter(uniq) if symmetry else iter(uniq)
 
 
-class TimeRespectingGraphMatcher(GraphMatcher):
-    """``isomorphism/temporalisomorphvf2.py`` — temporal matching needs
-    per-edge datetime windows walked in DFS order; out of scope (the
-    engine's time-respecting surface is ``algos/time_dependent.py``)."""
+class TimeRespectingGraphMatcher:
+    """``isomorphism/temporalisomorphvf2.py`` ``TimeRespectingGraphMatcher``
+    — time-respecting subgraph matching: every embedding must keep, for
+    each mapped node, the temporal attributes of its mapped incident
+    edges within ``delta`` of each other.
 
-    def __init__(self, *a, **k):
-        raise NotImplementedError(
-            "TimeRespectingGraphMatcher: temporal VF2 is out of scope; "
-            "see linkgraph.algos.time_dependent for the time-respecting "
-            "analytics surface"
-        )
+    The reference enforces this as an incremental ``semantic_
+    feasibility`` check inside VF2's DFS. The constraint is MONOTONE in
+    the partial mapping (a node's incident-date span only grows as the
+    mapping grows), so filtering COMPLETE induced embeddings by the
+    final-state constraint yields the identical result set — which is
+    how the engine's twin composes it over the driver-gated embedding
+    kernel. Edge dates come from the ``temporal_attribute_name`` column
+    of the G1 edge table (datetime or numeric; ``delta`` is the matching
+    ``timedelta``/number)."""
+
+    def __init__(self, g1, g2, temporal_attribute_name, delta):
+        self.g1 = g1
+        self.g2 = g2
+        self.temporal_attribute_name = temporal_attribute_name
+        self.delta = delta
+        self._ism = ISMAGS(g1, g2)
+
+    def _dates(self):
+        if not hasattr(self, "_edate"):
+            _, self._edate = _collect_attrs(self.g1)
+            self._adj: dict = {}
+            for (u, v) in self._edate:
+                self._adj.setdefault(u, set()).add(v)
+        return self._edate, self._adj
+
+    def _ok(self, mapped):
+        edate, adj = self._dates()
+        attr = self.temporal_attribute_name
+        for v in mapped:
+            dates = []
+            for n in adj.get(v, ()):
+                if n in mapped:
+                    dates.append(edate[(v, n)].get(attr))
+            if any(x is None for x in dates):
+                raise ValueError("Datetime not supplied for at least one edge.")
+            if dates and max(dates) - min(dates) > self.delta:
+                return False
+        return True
+
+    def subgraph_isomorphisms_iter(self):
+        for m in self._ism._embeddings():  # {g1_node: g2_node}
+            if self._ok(set(m)):
+                yield m
+
+    def subgraph_is_isomorphic(self) -> bool:
+        return any(self.subgraph_isomorphisms_iter())
+
+    def isomorphisms_iter(self):
+        if self.g1.number_of_nodes() != self.g2.number_of_nodes():
+            return
+        yield from self.subgraph_isomorphisms_iter()
+
+    def is_isomorphic(self) -> bool:
+        return any(self.isomorphisms_iter())
 
 
 class TimeRespectingDiGraphMatcher(TimeRespectingGraphMatcher):
-    pass
+    """``temporalisomorphvf2.py`` ``TimeRespectingDiGraphMatcher`` — the
+    directed form adds the flow condition: at every mapped node the
+    earliest mapped OUTGOING interaction must not precede the latest
+    mapped INCOMING one (``test_two``), alongside the shared span-within-
+    delta test over all incident mapped dates (``test_one``)."""
+
+    def _dates(self):
+        if not hasattr(self, "_edate"):
+            _, self._edate = _collect_attrs(self.g1)
+            self._out: dict = {}
+            self._in: dict = {}
+            for (u, v) in self._edate:
+                self._out.setdefault(u, set()).add(v)
+                self._in.setdefault(v, set()).add(u)
+        return self._edate, (self._out, self._in)
+
+    def _ok(self, mapped):
+        edate, (out, inn) = self._dates()
+        attr = self.temporal_attribute_name
+        for v in mapped:
+            succ_dates = [
+                edate[(v, n)].get(attr) for n in out.get(v, ()) if n in mapped
+            ]
+            pred_dates = [
+                edate[(n, v)].get(attr) for n in inn.get(v, ()) if n in mapped
+            ]
+            dates = pred_dates + succ_dates
+            if any(x is None for x in dates):
+                raise ValueError(
+                    "Date or datetime not supplied for at least one edge."
+                )
+            if dates and max(dates) - min(dates) > self.delta:
+                return False
+            if succ_dates and pred_dates and min(succ_dates) < max(pred_dates):
+                return False
+        return True
