@@ -661,14 +661,18 @@ class GraphMatcher:
             self.mapping = m
             yield m
 
+    def subgraph_isomorphisms_iter(self):
+        """Induced embeddings of g2 in g1 as ``{g1_node: g2_node}``
+        (``isomorphvf2.py`` ``subgraph_isomorphisms_iter``), matcher-aware
+        — via the shared ISMAGS embedding kernel. (Round 5 fix: this
+        method previously routed a SparkGraph into the tuple-pattern
+        matcher and raised TypeError on every call.)"""
+        yield from ISMAGS(
+            self.g1, self.g2, self.node_match, self.edge_match
+        )._embeddings()
+
     def subgraph_is_isomorphic(self) -> bool:
-        if self.node_match is not None or self.edge_match is not None:
-            raise NotImplementedError(
-                "subgraph_is_isomorphic: attribute matchers are only "
-                "wired into the full-isomorphism kernel; filter views "
-                "first for subgraph search"
-            )
-        return subgraph_is_isomorphic(self.g1, self.g2)
+        return any(self.subgraph_isomorphisms_iter())
 
 
 class DiGraphMatcher(GraphMatcher):

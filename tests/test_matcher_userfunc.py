@@ -133,10 +133,38 @@ def test_multigraph_matcher_coalesced(spark):
     assert MultiGraphMatcher(g1, g2, edge_match=em).is_isomorphic()
 
 
-def test_subgraph_with_matcher_raises(spark):
-    g1 = _graph(spark, [(0, 1)])
-    g2 = _graph(spark, [(0, 1)])
-    with pytest.raises(NotImplementedError):
-        GraphMatcher(
-            g1, g2, node_match=categorical_node_match("c", None)
-        ).subgraph_is_isomorphic()
+def test_subgraph_matching_parity(spark):
+    # K3 embeds in K4 (24 induced embeddings); P3 does NOT embed in K3
+    # (induced semantics) — and nx agrees on both
+    g_k4 = _graph(spark, [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)])
+    g_k3 = _graph(spark, [(0, 1), (0, 2), (1, 2)])
+    g_p3 = _graph(spark, [(0, 1), (1, 2)])
+    m = GraphMatcher(g_k4, g_k3)
+    assert m.subgraph_is_isomorphic()
+    assert len(list(m.subgraph_isomorphisms_iter())) == len(
+        list(
+            nx.isomorphism.GraphMatcher(
+                nx.complete_graph(4), nx.complete_graph(3)
+            ).subgraph_isomorphisms_iter()
+        )
+    )
+    assert not GraphMatcher(g_k3, g_p3).subgraph_is_isomorphic()
+
+
+def test_subgraph_matching_with_matcher(spark):
+    # colored subgraph search: the b-colored middle must map to the
+    # b-colored node of the host path
+    nm = categorical_node_match("c", None)
+    host = _graph(
+        spark,
+        [(0, 1), (1, 2), (2, 3)],
+        [(0, "a"), (1, "b"), (2, "a"), (3, "a")],
+        ncols="c string",
+    )
+    pat = _graph(
+        spark, [(0, 1), (1, 2)], [(0, "a"), (1, "b"), (2, "a")], ncols="c string"
+    )
+    maps = list(GraphMatcher(host, pat, node_match=nm).subgraph_isomorphisms_iter())
+    assert len(maps) == 2  # {0:0,1:1,2:2} and its reversal
+    for m in maps:
+        assert m[1] == 1  # host's b node binds the pattern's b node
