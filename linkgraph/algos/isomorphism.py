@@ -635,8 +635,9 @@ class GraphMatcher:
     vertex-DataFrame columns, edge attributes from the extra edge
     columns. The kernel is driver-gated (backtracking is inherently
     sequential), so evaluating Python predicates inside it adds no
-    distribution boundary. ``subgraph_is_isomorphic`` remains
-    structural-only with matchers out of scope."""
+    distribution boundary. ``subgraph_is_isomorphic`` /
+    ``subgraph_isomorphisms_iter`` run matcher-aware induced embedding
+    search via the shared ISMAGS kernel."""
 
     def __init__(self, g1: SparkGraph, g2: SparkGraph,
                  node_match=None, edge_match=None):
