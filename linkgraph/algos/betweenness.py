@@ -239,6 +239,7 @@ def _weighted_betweenness(
     max_rounds,
     targets=None,
     edges_out=False,
+    endpoints=False,
 ):
     """Deltas for the weighted kernel.
 
@@ -324,6 +325,18 @@ def _weighted_betweenness(
                 .groupBy(F.col("v").alias("id"))
                 .agg(F.sum("delta").alias("b"))
             )
+            if endpoints:
+                ep = (
+                    lvl_d.select(F.col("v").alias("id"))
+                    .unionByName(lvl_d.select(F.col("s").alias("id")))
+                    .groupBy("id")
+                    .agg(F.count(F.lit(1)).cast("double").alias("b"))
+                )
+                lvl_acc = (
+                    lvl_acc.unionByName(ep)
+                    .groupBy("id")
+                    .agg(F.sum("b").alias("b"))
+                )
             keys = ["id"]
         if acc is None:
             acc = cache.truncate(lvl_acc)
@@ -365,14 +378,15 @@ def betweenness_centrality(
     k: Optional[int] = None,
     normalized: bool = True,
     weight=None,
+    endpoints: bool = False,
     *,
     seed: int = 0,
     max_rounds: int = 10_000,
 ) -> DataFrame:
     """Return DataFrame ``(id BIGINT, betweenness DOUBLE)`` for every node
-    (shortest-path betweenness; ``endpoints=False`` like the reference
-    default). ``k`` samples that many sources by seeded hash order —
-    deterministic, and rescaled by n/k like ``betweenness.py:75``.
+    (shortest-path betweenness). ``k`` samples that many sources by
+    seeded hash order — deterministic, and rescaled by n/k like
+    ``betweenness.py:75``.
 
     ``weight=None`` counts hops (BFS kernel). Any other value resolves
     per :func:`linkgraph.graph.resolve_weight_column` (column name / SQL
@@ -381,6 +395,12 @@ def betweenness_centrality(
     (``betweenness.py:430``): Bellman-Ford distances, shortest-path DAG
     by exact sum equality, topological sigma layers, pending-delta
     backward sweep. Strictly positive weights required.
+
+    ``endpoints=True`` adds the reference's ``_accumulate_endpoints``
+    terms — +1 at every node reached from a source, +#reached at the
+    source — which the engine folds from the forward levels' (s, v)
+    reach rows (one extra count per level, no new pass); the rescale
+    switches to 1/(n(n−1)) like ``_rescale`` with endpoints.
     """
     spark = g.spark
     cache = SuperstepCache(spark)
@@ -392,9 +412,14 @@ def betweenness_centrality(
     sources, n_sources = _sampled_sources(vertices, n, k, seed)
 
     if weight is not None:
-        bet_acc = _weighted_betweenness(g, sources, n_sources, weight, cache, max_rounds)
+        bet_acc = _weighted_betweenness(
+            g, sources, n_sources, weight, cache, max_rounds, endpoints=endpoints
+        )
         if normalized:
-            scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else None
+            if endpoints:
+                scale = 1.0 / (n * (n - 1)) if n > 1 else None
+            else:
+                scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else None
         else:
             scale = None if g.directed else 0.5
         if scale is not None and n_sources < n:
@@ -464,17 +489,25 @@ def betweenness_centrality(
             .agg(F.sum("c").alias("delta"))
         )
         new_delta = cache.truncate(contrib)
-        if delta_next is not None:
-            cache.release(delta_next)
-        cache.release(levels[d])  # consumed; never read again
-        levels[d] = None
-        delta_next = new_delta
         # fold this level's final deltas into the accumulator
         lvl_bet = (
             new_delta.filter(F.col("s") != F.col("v"))
             .groupBy(F.col("v").alias("id"))
             .agg(F.sum("delta").alias("b"))
         )
+        if endpoints:
+            # _accumulate_endpoints terms, folded from this level's reach
+            # rows: +1 at each reached node v, +1 at its source s (reads
+            # lvl, so this fold precedes the level release below)
+            ep = (
+                lvl.select(F.col("v").alias("id"))
+                .unionByName(lvl.select(F.col("s").alias("id")))
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).cast("double").alias("b"))
+            )
+            lvl_bet = (
+                lvl_bet.unionByName(ep).groupBy("id").agg(F.sum("b").alias("b"))
+            )
         if bet_acc is None:
             bet_acc = cache.truncate(lvl_bet)
         else:
@@ -483,6 +516,11 @@ def betweenness_centrality(
             )
             cache.release(bet_acc)
             bet_acc = folded
+        if delta_next is not None:
+            cache.release(delta_next)
+        cache.release(levels[d])  # consumed; never read again
+        levels[d] = None
+        delta_next = new_delta
 
     if bet_acc is None:
         out = vertices.select("id", F.lit(0.0).alias("betweenness"))
@@ -494,7 +532,10 @@ def betweenness_centrality(
 
     # ---- rescale (betweenness.py:268 _rescale, replicated exactly) ---- #
     if normalized:
-        scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else None
+        if endpoints:
+            scale = 1.0 / (n * (n - 1)) if n > 1 else None
+        else:
+            scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else None
     else:
         scale = None if g.directed else 0.5
     if scale is not None and n_sources < n:

@@ -215,3 +215,37 @@ def test_weighted_prominent_group(spark):
     got_val, got_grp = prominent_group(g, 1, weight="weight")
     assert got_val == pytest.approx(want_val, abs=1e-9)
     assert got_grp == want_grp
+
+
+def test_endpoints_unweighted(spark):
+    from linkgraph.algos.betweenness import betweenness_centrality
+
+    for G in (nx.path_graph(5), nx.krackhardt_kite_graph(),
+              nx.disjoint_union(nx.path_graph(3), nx.cycle_graph(4))):
+        g = from_nx(spark, G)
+        for norm in (True, False):
+            want = nx.betweenness_centrality(G, normalized=norm, endpoints=True)
+            got = {
+                r["id"]: r["betweenness"]
+                for r in betweenness_centrality(
+                    g, normalized=norm, endpoints=True
+                ).collect()
+            }
+            for v in want:
+                assert got[v] == pytest.approx(want[v], abs=1e-9), (v, norm)
+
+
+def test_endpoints_weighted(spark):
+    from linkgraph.algos.betweenness import betweenness_centrality
+
+    G = _wgraph()
+    g = from_nx(spark, G)
+    want = nx.betweenness_centrality(G, weight="weight", endpoints=True)
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(
+            g, weight="weight", endpoints=True
+        ).collect()
+    }
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
