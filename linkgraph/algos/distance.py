@@ -72,6 +72,7 @@ def all_pairs_shortest_path_lengths(
     *,
     reverse: bool = False,
     max_depth: Optional[int] = None,
+    distance=None,
 ) -> DataFrame:
     """Batched multi-source BFS: ``(source BIGINT, id BIGINT, distance
     BIGINT)`` — unweighted distance from ``source`` to ``id`` following
@@ -82,6 +83,12 @@ def all_pairs_shortest_path_lengths(
 
     ``sources=None`` uses every vertex (exact all-pairs); pass a one-column
     DataFrame of landmark ids for the sampled approximation at scale.
+
+    ``distance`` (the reference's edge-attribute name on the Dijkstra
+    family, resolved per :func:`linkgraph.graph.resolve_weight_column`)
+    switches to weighted relaxation — same frontier superstep with
+    dist+w min-merge, distances come back DOUBLE; non-negative weights
+    required (the reference's Dijkstra cost class).
     """
     spark = g.spark
     if sources is None:
@@ -90,6 +97,11 @@ def all_pairs_shortest_path_lengths(
         src_df = sources.select(
             F.col(sources.columns[0]).cast("long").alias("source")
         ).join(g.vertices.select(F.col("id").alias("source")), "source", "left_semi")
+
+    if distance is not None:
+        if max_depth is not None:
+            raise ValueError("max_depth only applies to the unweighted BFS")
+        return _all_pairs_weighted(g, src_df, reverse, distance)
 
     adj = _arcs(g, reverse).persist()
     cache = SuperstepCache(spark)
@@ -123,11 +135,79 @@ def all_pairs_shortest_path_lengths(
     return visited
 
 
+def _all_pairs_weighted(g: SparkGraph, src_df, reverse: bool, distance):
+    """Weighted twin of the multi-source BFS: frontier relaxation keyed
+    ``(source, id)`` with per-round join + groupBy-min + improvements
+    merge (the sssp superstep sharded by source)."""
+    from linkgraph.graph import resolve_weight_column
+
+    spark = g.spark
+    base = g.edges if g.directed else g.symmetric_edges()
+    w_col = resolve_weight_column(base, distance)
+    adj = base.select("src", "dst", w_col.alias("w"))
+    if g.directed and reverse:
+        adj = adj.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    adj = adj.groupBy("src", "dst").agg(F.min("w").alias("w")).persist()
+    if adj.filter(F.col("w") < 0).limit(1).count():
+        adj.unpersist()
+        raise ValueError(
+            "all_pairs_shortest_path_lengths(distance=...): negative "
+            "weights are outside the Dijkstra cost class the reference "
+            "uses here"
+        )
+    cache = SuperstepCache(spark)
+    dist = cache.truncate(
+        src_df.select(
+            "source", F.col("source").alias("id"), F.lit(0.0).alias("distance")
+        )
+    )
+    frontier = dist
+    while True:
+        cand = (
+            adj.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(
+                "source",
+                F.col("dst").alias("id"),
+                (F.col("distance") + F.col("w")).alias("distance"),
+            )
+            .groupBy("source", "id")
+            .agg(F.min("distance").alias("distance"))
+        )
+        improved = cache.truncate(
+            cand.join(
+                dist.select(
+                    "source", "id", F.col("distance").alias("_old")
+                ),
+                ["source", "id"],
+                "left",
+            )
+            .filter(F.col("_old").isNull() | (F.col("distance") < F.col("_old")))
+            .select("source", "id", "distance")
+        )
+        if improved.limit(1).count() == 0:
+            cache.release(improved)
+            break
+        new_dist = cache.truncate(
+            dist.join(
+                improved.select("source", "id"), ["source", "id"], "left_anti"
+            ).unionByName(improved)
+        )
+        cache.release(dist)
+        dist = new_dist
+        frontier = improved
+    adj.unpersist()
+    cache.close(keep_result=True)
+    return dist
+
+
 def closeness_centrality(
     g: SparkGraph,
     *,
     wf_improved: bool = True,
     sources: Optional[DataFrame] = None,
+    distance=None,
 ) -> DataFrame:
     """``(id, closeness DOUBLE)`` for every vertex — exact
     ``nx.closeness_centrality`` semantics (``closeness.py:15``): incoming
@@ -136,11 +216,14 @@ def closeness_centrality(
 
     ``sources=`` restricts the BFS to landmark targets (then the result is
     the landmark estimate, only exact when sources covers all vertices).
+    ``distance=`` is the reference's weighted form (``closeness.py:15``
+    ``distance`` kwarg → Dijkstra lengths): same aggregation over the
+    weighted relaxation distances.
     """
     n_total = g.number_of_nodes()
     # BFS from u over REVERSED arcs reaches exactly the v that reach u,
     # at distance d(v, u) — so rows (source=u, id=v) give incoming distances.
-    sp = all_pairs_shortest_path_lengths(g, sources, reverse=True)
+    sp = all_pairs_shortest_path_lengths(g, sources, reverse=True, distance=distance)
     agg = sp.groupBy(F.col("source").alias("id")).agg(
         F.sum("distance").alias("totsp"),
         F.count("*").alias("n_reach"),
@@ -159,11 +242,12 @@ def closeness_centrality(
 
 
 def harmonic_centrality(
-    g: SparkGraph, *, sources: Optional[DataFrame] = None
+    g: SparkGraph, *, sources: Optional[DataFrame] = None, distance=None
 ) -> DataFrame:
     """``(id, harmonic DOUBLE)`` — ``nx.harmonic_centrality`` (``harmonic.py``):
-    Σ_{v≠u} 1/d(v, u) with incoming distances; unreachable pairs add 0."""
-    sp = all_pairs_shortest_path_lengths(g, sources, reverse=True)
+    Σ_{v≠u} 1/d(v, u) with incoming distances; unreachable pairs add 0.
+    ``distance=`` switches to weighted (Dijkstra-class) lengths."""
+    sp = all_pairs_shortest_path_lengths(g, sources, reverse=True, distance=distance)
     agg = (
         sp.filter(F.col("distance") > 0)
         .groupBy(F.col("source").alias("id"))
