@@ -240,6 +240,7 @@ def _weighted_betweenness(
     targets=None,
     edges_out=False,
     endpoints=False,
+    percolation=None,
 ):
     """Deltas for the weighted kernel.
 
@@ -319,6 +320,35 @@ def _weighted_betweenness(
                 .select("u", F.col("vv").alias("v"), "b")
             )
             keys = ["u", "v"]
+        elif percolation is not None:
+            # percolation fold: delta(s, w) * x(s) / (x_total - x(w))
+            st_df, x_total = percolation
+            lvl_acc = (
+                lvl_d.filter(F.col("s") != F.col("v"))
+                .join(
+                    F.broadcast(
+                        st_df.select(F.col("id").alias("s"), F.col("x").alias("x_s"))
+                    ),
+                    "s",
+                )
+                .join(
+                    F.broadcast(
+                        st_df.select(F.col("id").alias("v"), F.col("x").alias("x_v"))
+                    ),
+                    "v",
+                )
+                .select(
+                    F.col("v").alias("id"),
+                    (
+                        F.col("delta")
+                        * F.col("x_s")
+                        / (F.lit(x_total) - F.col("x_v"))
+                    ).alias("b"),
+                )
+                .groupBy("id")
+                .agg(F.sum("b").alias("b"))
+            )
+            keys = ["id"]
         else:
             lvl_acc = (
                 lvl_d.filter(F.col("s") != F.col("v"))
@@ -753,18 +783,21 @@ def percolation_centrality(
     *,
     attribute: str = "percolation",
     states: Optional[DataFrame] = None,
+    weight=None,
     max_rounds: int = 10_000,
 ) -> DataFrame:
     """(id, percolation): percolation centrality —
-    ``networkx/algorithms/centrality/percolation.py:16`` (unweighted
-    paths, like our betweenness). Brandes deltas with each (source s,
-    node w) dependency weighted by ``x(s) / (Σx − x(w))`` before the
-    per-node fold (``_accumulate_percolation``), then scaled ``1/(n−2)``.
+    ``networkx/algorithms/centrality/percolation.py:16``. Brandes deltas
+    with each (source s, node w) dependency weighted by
+    ``x(s) / (Σx − x(w))`` before the per-node fold
+    (``_accumulate_percolation``), then scaled ``1/(n−2)``.
 
     ``states`` is an (id, state) DataFrame; when omitted the node
     attribute column ``attribute`` supplies it (missing → 1, the
     reference default, which reduces to betweenness). Same forward pass
-    and pinned-state discipline as :func:`betweenness_centrality`.
+    and pinned-state discipline as :func:`betweenness_centrality`;
+    ``weight=`` swaps in the weighted (Dijkstra-DAG) kernel with the
+    same percolation fold.
     """
     spark = g.spark
     cache = SuperstepCache(spark)
@@ -788,6 +821,28 @@ def percolation_centrality(
         "id", F.coalesce("x", F.lit(1.0)).alias("x")
     ).persist()
     x_total = float(st.agg(F.sum("x")).first()[0] or 0.0)
+
+    if weight is not None:
+        acc = _weighted_betweenness(
+            g, vertices, None, weight, cache, max_rounds,
+            percolation=(st, x_total),
+        )
+        scale = 1.0 / (n - 2) if n > 2 else 1.0
+        base = (
+            acc
+            if acc is not None
+            else spark.createDataFrame([], "id long, b double")
+        )
+        out = vertices.join(base, "id", "left").select(
+            "id",
+            (F.coalesce("b", F.lit(0.0)) * F.lit(scale)).alias("percolation"),
+        )
+        out = out.persist()
+        out.count()
+        st.unpersist()
+        vertices.unpersist()
+        cache.close(keep_result=True)
+        return out
 
     arcs = (
         (g.edges if g.directed else g.symmetric_edges())

@@ -249,3 +249,27 @@ def test_endpoints_weighted(spark):
     }
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_weighted_percolation(spark):
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.betweenness import percolation_centrality
+
+    G = _wgraph()
+    states = {0: 0.1, 1: 0.9, 2: 0.4, 3: 0.7, 4: 0.2}
+    nx.set_node_attributes(G, states, "percolation")
+    want = nx.percolation_centrality(G, weight="weight")
+    edf = spark.createDataFrame(
+        [(u, v, d["weight"]) for u, v, d in G.edges(data=True)],
+        "src long, dst long, weight double",
+    )
+    vdf = spark.createDataFrame(
+        [(n, states[n]) for n in G], "id long, percolation double"
+    )
+    g = SparkGraph(edf, vertices=vdf, directed=False, coalesce_edges=False)
+    got = {
+        r["id"]: r["percolation"]
+        for r in percolation_centrality(g, weight="weight").collect()
+    }
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
