@@ -241,8 +241,14 @@ def _weighted_betweenness(
     edges_out=False,
     endpoints=False,
     percolation=None,
+    split="sigma",
 ):
     """Deltas for the weighted kernel.
+
+    ``split="equal"`` switches the backward rule to Newman load
+    semantics: a unit reaching w divides EQUALLY among w's DAG
+    predecessors — ``(1 + delta(w)) / indeg(w)`` — instead of
+    sigma-proportionally.
 
     Returns ``(id, b)`` = Σ_s δ_s(v) (nodes) or ``(u, v, b)`` per DAG arc
     (``edges_out=True``). ``targets`` switches to the subset accumulation
@@ -269,6 +275,11 @@ def _weighted_betweenness(
     tgt_df = None
     if targets is not None:
         tgt_df = targets.select(F.col(targets.columns[0]).alias("v")).distinct()
+    dag_indeg = None
+    if split == "equal":
+        dag_indeg = (
+            dag.groupBy("s", "dst").agg(F.count(F.lit(1)).alias("_np")).persist()
+        )
 
     pending = None  # (s, v, delta) partial deltas for not-yet-processed layers
     acc = None  # nodes: (id, b); edges: (u, v, b)
@@ -294,22 +305,35 @@ def _weighted_betweenness(
                 "s", "v", "sigma", "delta",
                 (F.lit(1.0) + F.col("delta")).alias("load"),
             )
-        flows = (
-            lvl_d.select("s", F.col("v").alias("dst"), "sigma", "load")
-            .join(dag, ["s", "dst"])
-            .join(
-                sig_all.select(
-                    "s", F.col("v").alias("src"), F.col("sigma").alias("_sp")
-                ),
-                ["s", "src"],
+        if split == "equal":
+            flows = (
+                lvl_d.select("s", F.col("v").alias("dst"), "load")
+                .join(dag, ["s", "dst"])
+                .join(dag_indeg, ["s", "dst"])
+                .select(
+                    "s",
+                    F.col("src").alias("v"),
+                    F.col("dst").alias("w"),
+                    (F.col("load") / F.col("_np")).alias("c"),
+                )
             )
-            .select(
-                "s",
-                F.col("src").alias("v"),
-                F.col("dst").alias("w"),
-                (F.col("_sp") / F.col("sigma") * F.col("load")).alias("c"),
+        else:
+            flows = (
+                lvl_d.select("s", F.col("v").alias("dst"), "sigma", "load")
+                .join(dag, ["s", "dst"])
+                .join(
+                    sig_all.select(
+                        "s", F.col("v").alias("src"), F.col("sigma").alias("_sp")
+                    ),
+                    ["s", "src"],
+                )
+                .select(
+                    "s",
+                    F.col("src").alias("v"),
+                    F.col("dst").alias("w"),
+                    (F.col("_sp") / F.col("sigma") * F.col("load")).alias("c"),
+                )
             )
-        )
         contrib = flows.groupBy("s", "v").agg(F.sum("c").alias("delta"))
         # fold this layer's completed quantity into the accumulator BEFORE
         # releasing the old pending table — lvl_d's plan reads it
@@ -389,6 +413,8 @@ def _weighted_betweenness(
         cache.release(levels[d])
         levels[d] = None
     dag.unpersist()
+    if dag_indeg is not None:
+        dag_indeg.unpersist()
     warcs.unpersist()
     return acc
 
@@ -936,6 +962,7 @@ def percolation_centrality(
 def load_centrality(
     g: SparkGraph,
     normalized: bool = True,
+    weight=None,
     *,
     max_rounds: int = 10_000,
 ) -> DataFrame:
@@ -946,13 +973,30 @@ def load_centrality(
     BFS + level-by-level backward fold as the Brandes kernel; only the
     split rule differs. Raw (unnormalized) values count both directions
     on undirected graphs, exactly like the reference; normalization is
-    1/((n-1)(n-2))."""
+    1/((n-1)(n-2)). ``weight=`` swaps in the weighted Dijkstra-DAG
+    kernel with the same equal-split backward rule."""
     spark = g.spark
     cache = SuperstepCache(spark)
     vertices = g.vertices.select("id").persist()
     n = vertices.count()
     if n == 0:
         return spark.createDataFrame([], "id long, load double")
+    if weight is not None:
+        acc = _weighted_betweenness(
+            g, vertices, None, weight, cache, max_rounds, split="equal"
+        )
+        scale = 1.0 / ((n - 1) * (n - 2)) if (normalized and n > 2) else 1.0
+        if acc is None:
+            out = vertices.select("id", F.lit(0.0).alias("load"))
+        else:
+            out = vertices.join(acc, "id", "left").select(
+                "id", (F.coalesce("b", F.lit(0.0)) * F.lit(scale)).alias("load")
+            )
+        out = out.persist()
+        out.count()
+        vertices.unpersist()
+        cache.close(keep_result=True)
+        return out
     arcs = (
         (g.edges if g.directed else g.symmetric_edges())
         .filter(F.col("src") != F.col("dst"))

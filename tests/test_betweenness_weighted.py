@@ -273,3 +273,22 @@ def test_weighted_percolation(spark):
     }
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_weighted_load_centrality(spark):
+    from linkgraph.algos.betweenness import load_centrality
+
+    G = _wgraph()
+    g = from_nx(spark, G)
+    for norm in (True, False):
+        want = nx.load_centrality(G, weight="weight", normalized=norm)
+        got = {
+            r["id"]: r["load"]
+            for r in load_centrality(g, normalized=norm, weight="weight").collect()
+        }
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), (v, norm)
+    # weighted routing must differ from unweighted here
+    un = nx.load_centrality(G)
+    w = nx.load_centrality(G, weight="weight")
+    assert any(abs(un[v] - w[v]) > 1e-9 for v in un)
