@@ -260,18 +260,24 @@ def harmonic_centrality(
     )
 
 
-def _ecc_table(g: SparkGraph, sources: Optional[DataFrame] = None) -> DataFrame:
+def _ecc_table(
+    g: SparkGraph, sources: Optional[DataFrame] = None, weight=None
+) -> DataFrame:
     """Per-node eccentricity; raises like the reference when some pair is
     unreachable (``distance_measures.py:150``: "Found infinite path
     length"). ``sources=`` computes the exact eccentricity of just those
     nodes (the reference's ``eccentricity(G, v=...)``) — k·m work instead
-    of n·m, the scale path for "how eccentric are THESE nodes"."""
+    of n·m, the scale path for "how eccentric are THESE nodes".
+    ``weight=`` uses weighted (Dijkstra-class) lengths, like the
+    reference's ``weight`` kwarg across the distance_measures family."""
     n = g.number_of_nodes()
     if sources is not None:
         k = sources.count()
     else:
         k = n
-    sp = all_pairs_shortest_path_lengths(g, sources, reverse=False).persist()
+    sp = all_pairs_shortest_path_lengths(
+        g, sources, reverse=False, distance=weight
+    ).persist()
     try:
         reached = sp.count()
         if reached != k * n:
@@ -290,11 +296,14 @@ def _ecc_table(g: SparkGraph, sources: Optional[DataFrame] = None) -> DataFrame:
     return rows
 
 
-def eccentricity(g: SparkGraph, sources: Optional[DataFrame] = None) -> DataFrame:
+def eccentricity(
+    g: SparkGraph, sources: Optional[DataFrame] = None, weight=None
+) -> DataFrame:
     """``(id, eccentricity BIGINT)`` — max distance from each node
     (``distance_measures.py:150``). ``sources=`` restricts to those nodes
-    (exact, like the reference's ``v=`` argument)."""
-    return _ecc_table(g, sources)
+    (exact, like the reference's ``v=`` argument); ``weight=`` switches
+    to weighted lengths (eccentricity comes back DOUBLE)."""
+    return _ecc_table(g, sources, weight)
 
 
 def eccentricity_bounds(g: SparkGraph, landmarks: DataFrame) -> DataFrame:
@@ -376,39 +385,47 @@ def approximate_diameter(g: SparkGraph) -> int:
     return int(sweep2.agg(F.max("distance")).first()[0])
 
 
-def diameter(g: SparkGraph) -> int:
+def diameter(g: SparkGraph, weight=None) -> int:
     """Max eccentricity (``distance_measures.py:230``)."""
-    return _ecc_table(g).agg(F.max("eccentricity")).first()[0]
+    return _ecc_table(g, weight=weight).agg(F.max("eccentricity")).first()[0]
 
 
-def radius(g: SparkGraph) -> int:
+def radius(g: SparkGraph, weight=None) -> int:
     """Min eccentricity (``distance_measures.py:292``)."""
-    return _ecc_table(g).agg(F.min("eccentricity")).first()[0]
+    return _ecc_table(g, weight=weight).agg(F.min("eccentricity")).first()[0]
 
 
-def center(g: SparkGraph) -> DataFrame:
+def center(g: SparkGraph, weight=None) -> DataFrame:
     """Nodes with ecc == radius (``distance_measures.py:320``)."""
-    ecc = _ecc_table(g)
+    ecc = _ecc_table(g, weight=weight)
     r = ecc.agg(F.min("eccentricity").alias("r"))
     return ecc.join(F.broadcast(r), ecc.eccentricity == r.r, "left_semi").select("id")
 
 
-def periphery(g: SparkGraph) -> DataFrame:
+def periphery(g: SparkGraph, weight=None) -> DataFrame:
     """Nodes with ecc == diameter (``distance_measures.py:348``)."""
-    ecc = _ecc_table(g)
+    ecc = _ecc_table(g, weight=weight)
     d = ecc.agg(F.max("eccentricity").alias("d"))
     return ecc.join(F.broadcast(d), ecc.eccentricity == d.d, "left_semi").select("id")
 
 
-def average_shortest_path_length(g: SparkGraph) -> float:
+def average_shortest_path_length(
+    g: SparkGraph, weight=None, method: Optional[str] = None
+) -> float:
     """Mean d(u, v) over ordered pairs (``generic.py:356``); raises on a
-    disconnected / non-strongly-connected graph like the reference."""
+    disconnected / non-strongly-connected graph like the reference.
+    ``weight=`` averages weighted lengths; ``method`` is accepted for
+    signature parity (every method computes the same lengths — the
+    engine's relaxation kernel already covers the Dijkstra/Bellman-Ford
+    cost classes)."""
     n = g.number_of_nodes()
     if n <= 1:
         raise ValueError(
             "the graph is empty" if n == 0 else "graph has fewer than two nodes"
         )
-    sp = all_pairs_shortest_path_lengths(g, reverse=False).persist()
+    sp = all_pairs_shortest_path_lengths(
+        g, reverse=False, distance=weight
+    ).persist()
     try:
         row = sp.agg(
             F.count("*").alias("pairs"), F.sum("distance").alias("total")

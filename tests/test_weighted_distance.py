@@ -68,3 +68,35 @@ def test_negative_distance_raises(spark):
     g = from_nx(spark, G)
     with pytest.raises(ValueError):
         all_pairs_shortest_path_lengths(g, distance="weight").collect()
+
+
+def test_weighted_ecc_family(spark):
+    from linkgraph.algos.distance import (
+        eccentricity, diameter, radius, center, periphery,
+        average_shortest_path_length,
+    )
+
+    G = _wG(False)
+    g = from_nx(spark, G)
+    want_ecc = nx.eccentricity(G, weight="weight")
+    got_ecc = {
+        r["id"]: r["eccentricity"]
+        for r in eccentricity(g, weight="weight").collect()
+    }
+    for v in want_ecc:
+        assert got_ecc[v] == pytest.approx(want_ecc[v], abs=1e-12), v
+    assert diameter(g, weight="weight") == pytest.approx(
+        nx.diameter(G, weight="weight")
+    )
+    assert radius(g, weight="weight") == pytest.approx(
+        nx.radius(G, weight="weight")
+    )
+    assert {r["id"] for r in center(g, weight="weight").collect()} == set(
+        nx.center(G, weight="weight")
+    )
+    assert {r["id"] for r in periphery(g, weight="weight").collect()} == set(
+        nx.periphery(G, weight="weight")
+    )
+    assert average_shortest_path_length(g, weight="weight") == pytest.approx(
+        nx.average_shortest_path_length(G, weight="weight")
+    )
