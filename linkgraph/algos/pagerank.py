@@ -74,6 +74,7 @@ def pagerank(
     max_iter: int = 100,
     tol: float = 1.0e-6,
     nstart: Optional[Union[dict, DataFrame]] = None,
+    weight: "Optional[str]" = "weight",
     dangling: Optional[Union[dict, DataFrame]] = None,
     *,
     hub_salt: int = 0,
@@ -151,7 +152,18 @@ def pagerank(
 
     # --- one-time edge prep: stochastic normalization ------------------- #
     # (stochastic_graph semantics, networkx/generators/stochastic.py:17)
+    # ``weight`` follows the reference kwarg: None counts every edge as 1
+    # (unweighted walk), any other value resolves per
+    # resolve_weight_column (column name / SQL expression / Column).
+    from linkgraph.graph import resolve_weight_column
+
     adj = g.symmetric_edges()
+    if weight is None:
+        adj = adj.select("src", "dst", F.lit(1.0).alias("weight"))
+    elif weight != "weight" or "weight" not in adj.columns:
+        adj = adj.select(
+            "src", "dst", resolve_weight_column(adj, weight).alias("weight")
+        )
     out_w = adj.groupBy("src").agg(
         F.sum("weight").alias("out_w"), F.count(F.lit(1)).alias("out_cnt")
     )

@@ -143,23 +143,94 @@ def _tri_deg(g: SparkGraph) -> DataFrame:
     )
 
 
-def clustering(g: SparkGraph) -> DataFrame:
+def clustering(g: SparkGraph, weight=None) -> DataFrame:
     """DataFrame (id, clustering) — local clustering coefficient
-    (``cluster.py:385-411``)."""
-    td = _tri_deg(g)
-    return td.select(
-        "id",
-        F.when(
-            F.col("deg") < 2, F.lit(0.0)
-        ).otherwise(
-            2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1))
-        ).alias("clustering"),
+    (``cluster.py:385-411``).
+
+    ``weight=`` is the reference's weighted (geometric-mean) form
+    (``cluster.py:430`` ``_weighted_triangles_and_degree_iter``):
+    c_u = 2/(d(d−1)) · Σ_triangles (ŵ_uv · ŵ_uw · ŵ_vw)^{1/3} with each
+    weight normalized by the graph's maximum — computed here by joining
+    the three corner-pair weights onto the same degree-oriented triangle
+    enumeration (three broadcast-size joins on the canonical edge key,
+    no new wedge pass)."""
+    if weight is None:
+        td = _tri_deg(g)
+        return td.select(
+            "id",
+            F.when(
+                F.col("deg") < 2, F.lit(0.0)
+            ).otherwise(
+                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1))
+            ).alias("clustering"),
+        )
+    from linkgraph.graph import resolve_weight_column
+
+    base = _simple_edges(g)  # validates undirectedness
+    raw = g.edges.filter(F.col("src") != F.col("dst"))
+    ew = (
+        raw.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            resolve_weight_column(raw, weight).alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.max("w").alias("w"))
     )
+    mx = ew.agg(F.max("w")).first()[0]
+    if mx is None or mx == 0:
+        mx = 1.0
+    nw = ew.select("u", "v", (F.col("w") / F.lit(float(mx))).alias("w")).persist()
+
+    def _wjoin(df, x, y, name):
+        side = nw.select(
+            F.col("u").alias("_u"), F.col("v").alias("_v"), F.col("w").alias(name)
+        )
+        return df.join(
+            side,
+            (F.least(x, y) == F.col("_u")) & (F.greatest(x, y) == F.col("_v")),
+        ).drop("_u", "_v")
+
+    t = _wjoin(_triangle_corners(g), F.col("a"), F.col("b"), "w_ab")
+    t = _wjoin(t, F.col("a"), F.col("c"), "w_ac")
+    t = _wjoin(t, F.col("b"), F.col("c"), "w_bc")
+    term = F.cbrt(F.col("w_ab") * F.col("w_ac") * F.col("w_bc"))
+    per = (
+        t.select(F.explode(F.array("a", "b", "c")).alias("id"), term.alias("t"))
+        .groupBy("id")
+        .agg(F.sum("t").alias("wt"))
+    )
+    deg = (
+        base.select(F.col("u").alias("id"))
+        .unionAll(base.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    out = (
+        g.vertices.select("id")
+        .join(per, "id", "left")
+        .join(deg, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.coalesce("deg", F.lit(0)) < 2, F.lit(0.0)
+            )
+            .otherwise(
+                2.0
+                * F.coalesce("wt", F.lit(0.0))
+                / (F.col("deg") * (F.col("deg") - 1))
+            )
+            .alias("clustering"),
+        )
+    )
+    return out
 
 
-def average_clustering(g: SparkGraph, count_zeros: bool = True) -> float:
-    """``cluster.py:325``."""
-    c = clustering(g)
+def average_clustering(
+    g: SparkGraph, weight=None, count_zeros: bool = True
+) -> float:
+    """``cluster.py:325`` (``weight=`` averages the weighted form)."""
+    c = clustering(g, weight=weight)
     if not count_zeros:
         c = c.filter(F.col("clustering") > 0)
     return c.agg(F.avg("clustering")).first()[0] or 0.0

@@ -1,0 +1,61 @@
+"""Weighted kwargs parity: pagerank(weight=), clustering(weight=)."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+
+from linkgraph.graph import from_nx
+
+
+def _wG():
+    G = nx.Graph()
+    for u, v, w in [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 5.0), (2, 3, 1.5),
+                    (3, 4, 2.0), (1, 4, 6.0), (0, 3, 3.0)]:
+        G.add_edge(u, v, weight=w)
+    return G
+
+
+def test_pagerank_weight_kwarg(spark):
+    from linkgraph.algos.pagerank import pagerank
+
+    from networkx.algorithms.link_analysis.pagerank_alg import _pagerank_python
+
+    G = _wG()
+    g = from_nx(spark, G)
+    # weighted (default) vs unweighted (weight=None) both match the
+    # reference's python kernel (nx.pagerank proper needs scipy, absent here)
+    for w in ("weight", None):
+        want = _pagerank_python(G, weight=w)
+        got = {r["id"]: r["rank"] for r in pagerank(g, weight=w).collect()}
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-8), (v, w)
+    # and they genuinely differ on this fixture
+    a = _pagerank_python(G)
+    b = _pagerank_python(G, weight=None)
+    assert any(abs(a[v] - b[v]) > 1e-6 for v in a)
+
+
+def test_weighted_clustering(spark):
+    from linkgraph.algos.triangles import clustering, average_clustering
+
+    G = _wG()
+    g = from_nx(spark, G)
+    want = nx.clustering(G, weight="weight")
+    got = {
+        r["id"]: r["clustering"]
+        for r in clustering(g, weight="weight").collect()
+    }
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    assert average_clustering(g, weight="weight") == pytest.approx(
+        nx.average_clustering(G, weight="weight")
+    )
+    # isolated node -> 0
+    G.add_node(99)
+    g2 = from_nx(spark, G)
+    got2 = {
+        r["id"]: r["clustering"]
+        for r in clustering(g2, weight="weight").collect()
+    }
+    assert got2[99] == 0.0
