@@ -18,7 +18,39 @@ from pyspark.sql import functions as F
 from linkgraph.graph import SparkGraph
 
 
-def degree_assortativity_coefficient(g: SparkGraph) -> float:
+def degree_assortativity_coefficient(g: SparkGraph, weight=None) -> float:
+    """``assortativity/correlation.py:21``: Pearson correlation of the
+    degree pairs across every arc. ``weight=`` is the reference's
+    weighted form — degrees become STRENGTHS (weighted degree sums)
+    while each arc still counts once in the joint distribution
+    (``pairs.py:118`` ``node_degree_xy``: unit mass per yielded pair);
+    the coefficient is then the plain Pearson over the arc-pair strength
+    values."""
+    if weight is not None:
+        from linkgraph.graph import resolve_weight_column
+
+        base = g.edges if g.directed else g.symmetric_edges()
+        arcs = base.select(
+            "src", "dst", resolve_weight_column(base, weight).alias("w")
+        )
+        sx = arcs.groupBy(F.col("src").alias("id")).agg(
+            F.sum("w").alias("dx")
+        )
+        if g.directed:
+            sy = arcs.groupBy(F.col("dst").alias("id")).agg(
+                F.sum("w").alias("dy")
+            )
+        else:
+            sy = sx.select("id", F.col("dx").alias("dy"))
+        joined = (
+            arcs.select("src", "dst")
+            .join(sx.withColumnRenamed("id", "src"), "src")
+            .join(sy.withColumnRenamed("id", "dst"), "dst")
+        )
+        r = joined.agg(
+            F.corr(F.col("dx").cast("double"), F.col("dy").cast("double"))
+        ).first()[0]
+        return float("nan") if r is None else float(r)
     if g.directed:
         arcs = g.edges.select("src", "dst")
         dx = (

@@ -363,13 +363,15 @@ def efficiency(g: SparkGraph, u, v) -> float:
     return 1.0 / float(row[0])
 
 
-def wiener_index(g: SparkGraph) -> float:
+def wiener_index(g: SparkGraph, weight=None) -> float:
     """Sum of shortest-path distances over all (un)ordered pairs
     (``wiener.py:14``); inf when not (strongly) connected, like the
-    reference. One aggregation over the batched all-pairs BFS table.
+    reference. One aggregation over the batched all-pairs BFS table
+    (``weight=`` uses the weighted relaxation lengths, the reference's
+    Dijkstra path).
     """
     n = g.number_of_nodes()
-    row = all_pairs_shortest_path_lengths(g).agg(
+    row = all_pairs_shortest_path_lengths(g, distance=weight).agg(
         F.sum("distance").alias("s"), F.count(F.lit(1)).alias("c")
     ).first()
     if (row["c"] or 0) < n * n:
@@ -534,14 +536,16 @@ def harmonic_diameter(g: SparkGraph) -> float:
     return float("inf") if s == 0.0 else n * (n - 1) / s
 
 
-def closeness_vitality(g: SparkGraph, node: int) -> float:
+def closeness_vitality(g: SparkGraph, node: int, weight=None) -> float:
     """Wiener-index drop when ``node`` is removed —
     ``networkx/algorithms/vitality.py:11`` (single-node form; the
     reference's all-nodes dict runs n+1 all-pairs sweeps, which is the
-    definition's cost — call per node of interest). Two APSP aggregates."""
-    before = wiener_index(g)
+    definition's cost — call per node of interest). Two APSP aggregates;
+    ``weight=`` threads through both."""
+    before = wiener_index(g, weight=weight)
     after = wiener_index(
-        g.remove_nodes(g.spark.createDataFrame([(int(node),)], "id bigint"))
+        g.remove_nodes(g.spark.createDataFrame([(int(node),)], "id bigint")),
+        weight=weight,
     )
     return before - after
 

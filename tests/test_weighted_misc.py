@@ -59,3 +59,34 @@ def test_weighted_clustering(spark):
         for r in clustering(g2, weight="weight").collect()
     }
     assert got2[99] == 0.0
+
+
+def test_weighted_wiener_and_vitality(spark):
+    from linkgraph.algos.neighborhood import wiener_index, closeness_vitality
+
+    G = _wG()
+    g = from_nx(spark, G)
+    assert wiener_index(g, weight="weight") == pytest.approx(
+        nx.wiener_index(G, weight="weight")
+    )
+    assert closeness_vitality(g, 2, weight="weight") == pytest.approx(
+        nx.closeness_vitality(G, node=2, weight="weight")
+    )
+
+
+def test_weighted_degree_assortativity(spark):
+    from linkgraph.algos.assortativity import degree_assortativity_coefficient
+
+    G = _wG()
+    g = from_nx(spark, G)
+    want = nx.degree_assortativity_coefficient(G, weight="weight")
+    got = degree_assortativity_coefficient(g, weight="weight")
+    assert got == pytest.approx(want, abs=1e-9)
+    D = nx.DiGraph()
+    for u, v, w in [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 3.0), (1, 3, 4.0),
+                    (3, 2, 1.0)]:
+        D.add_edge(u, v, weight=w)
+    gd = from_nx(spark, D)
+    want_d = nx.degree_assortativity_coefficient(D, weight="weight")
+    got_d = degree_assortativity_coefficient(gd, weight="weight")
+    assert got_d == pytest.approx(want_d, abs=1e-9)
