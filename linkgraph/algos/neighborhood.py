@@ -259,31 +259,75 @@ def local_bridges(
         bridges.unpersist()
 
 
-def effective_size(g: SparkGraph) -> DataFrame:
-    """(id, effective_size): Burt's effective size, unweighted undirected
-    form n − 2t/n (Borgatti's simplification, ``structuralholes.py:183``;
-    t = ties among the node's neighbors = its triangle count).
-
-    Reuses the degree-oriented triangle plan; isolates get NULL (the
-    reference's nan).
+def effective_size(g: SparkGraph, weight=None) -> DataFrame:
+    """(id, effective_size): Burt's effective size
+    (``structuralholes.py:183``). Unweighted undirected graphs use
+    Borgatti's simplification n − 2t/n over the degree-oriented triangle
+    plan, exactly like the reference; directed or ``weight=`` inputs use
+    the general redundancy form e(u) = Σ_{v∈N(u)} (1 − Σ_w p_uw·m_vw)
+    with p the strength-normalized and m the max-normalized mutual
+    weights — one wedge join over the mutual-weight table (the
+    constraint plan's shape). Isolates get NULL (reference nan).
     """
-    tri = triangles(g)
-    deg = degrees(g)
-    return tri.join(deg, "id").select(
-        "id",
-        F.when(F.col("degree") == 0, F.lit(None).cast("double"))
-        .otherwise(
-            F.col("degree") - 2.0 * F.col("triangles") / F.col("degree")
+    if weight is None and not g.directed:
+        tri = triangles(g)
+        deg = degrees(g)
+        return tri.join(deg, "id").select(
+            "id",
+            F.when(F.col("degree") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.col("degree") - 2.0 * F.col("triangles") / F.col("degree")
+            )
+            .alias("effective_size"),
         )
-        .alias("effective_size"),
+    from linkgraph.graph import resolve_weight_column
+
+    base = g.edges.filter(F.col("src") != F.col("dst"))
+    wcol = F.lit(1.0) if weight is None else resolve_weight_column(base, weight)
+    a = base.select("src", "dst", wcol.alias("w"))
+    sym = (
+        a.unionAll(
+            a.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
     )
+    norms = sym.groupBy("src").agg(
+        F.sum("w").alias("s"), F.max("w").alias("mx")
+    )
+    p = sym.join(norms, "src").select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("wn"),
+        (F.col("w") / F.col("s")).alias("p"),
+    )
+    m = sym.join(norms, "src").select(
+        F.col("src").alias("v"),
+        F.col("dst").alias("wn"),
+        (F.col("w") / F.col("mx")).alias("m"),
+    )
+    red = (
+        p.join(m, "wn")
+        .groupBy("u", "v")
+        .agg(F.sum(F.col("p") * F.col("m")).alias("red"))
+    )
+    esize = (
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(red, ["u", "v"], "left")
+        .select("u", (F.lit(1.0) - F.coalesce("red", F.lit(0.0))).alias("t"))
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.sum("t").alias("effective_size"))
+    )
+    return g.vertices.select("id").join(esize, "id", "left")
 
 
-def constraint(g: SparkGraph) -> DataFrame:
+def constraint(g: SparkGraph, weight=None) -> DataFrame:
     """(id, constraint): Burt's constraint (``structuralholes.py:281``):
     c(u) = Σ_{v∈N(u)} (p_uv + Σ_w p_uw · p_wv)², with p_uv the proportion of
     u's aggregated edge weight spent on v and w ranging over common
-    neighbors. Isolates get NULL (reference nan).
+    neighbors. Isolates get NULL (reference nan). ``weight=None``
+    follows the reference default — every edge counts 1 regardless of
+    stored weights; name a column/expression for the weighted form.
 
     Plan: normalize arc weights by source strength (one join), then the
     indirect term is one wedge self-join u→w→v re-joined to the direct arc
@@ -292,23 +336,26 @@ def constraint(g: SparkGraph) -> DataFrame:
     mutual weights a_uv + a_vu, per the reference's
     ``normalized_mutual_weight``.
     """
-    if g.directed:
-        a = g.edges.filter(F.col("src") != F.col("dst")).select(
-            "src", "dst", "weight"
-        )
-        sym = (
-            a.unionAll(
-                a.select(
-                    F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
-                )
+    from linkgraph.graph import resolve_weight_column
+
+    base = g.edges.filter(F.col("src") != F.col("dst"))
+    wcol = F.lit(1.0) if weight is None else resolve_weight_column(base, weight)
+    a = base.select("src", "dst", wcol.alias("weight"))
+    if not g.directed:
+        a = a.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        ).groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    sym = (
+        a.unionAll(
+            a.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
             )
-            .groupBy("src", "dst")
-            .agg(F.sum("weight").alias("weight"))
         )
-    else:
-        sym = g.symmetric_edges().filter(F.col("src") != F.col("dst")).select(
-            "src", "dst", "weight"
-        )
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
     strength = sym.groupBy("src").agg(F.sum("weight").alias("s"))
     p = (
         sym.join(strength, "src")

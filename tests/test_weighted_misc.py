@@ -90,3 +90,62 @@ def test_weighted_degree_assortativity(spark):
     want_d = nx.degree_assortativity_coefficient(D, weight="weight")
     got_d = degree_assortativity_coefficient(gd, weight="weight")
     assert got_d == pytest.approx(want_d, abs=1e-9)
+
+
+def test_structural_holes_weighted(spark):
+    from linkgraph.algos.neighborhood import constraint, effective_size
+
+    G = _wG()
+    g = from_nx(spark, G)
+    for w in (None, "weight"):
+        want_c = nx.constraint(G, weight=w)
+        got_c = {
+            r["id"]: r["constraint"]
+            for r in constraint(g, weight=w).collect()
+        }
+        for v in want_c:
+            assert got_c[v] == pytest.approx(want_c[v], abs=1e-9), (v, w)
+        want_e = nx.effective_size(G, weight=w)
+        got_e = {
+            r["id"]: r["effective_size"]
+            for r in effective_size(g, weight=w).collect()
+        }
+        for v in want_e:
+            assert got_e[v] == pytest.approx(want_e[v], abs=1e-9), (v, w)
+    # weighted differs from unweighted on this fixture
+    cu = nx.constraint(G)
+    cw = nx.constraint(G, weight="weight")
+    assert any(abs(cu[v] - cw[v]) > 1e-9 for v in cu)
+
+
+def test_structural_holes_directed_weighted(spark):
+    from linkgraph.algos.neighborhood import constraint, effective_size
+
+    D = nx.DiGraph()
+    for u, v, w in [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 3.0), (1, 3, 4.0),
+                    (3, 2, 1.0), (0, 2, 2.5)]:
+        D.add_edge(u, v, weight=w)
+    g = from_nx(spark, D)
+    for w in (None, "weight"):
+        want_c = nx.constraint(D, weight=w)
+        got_c = {
+            r["id"]: r["constraint"]
+            for r in constraint(g, weight=w).collect()
+        }
+        for v in want_c:
+            import math
+            if math.isnan(want_c[v]):
+                assert got_c.get(v) is None or math.isnan(got_c[v]), (v, w)
+            else:
+                assert got_c[v] == pytest.approx(want_c[v], abs=1e-9), (v, w)
+        want_e = nx.effective_size(D, weight=w)
+        got_e = {
+            r["id"]: r["effective_size"]
+            for r in effective_size(g, weight=w).collect()
+        }
+        for v in want_e:
+            import math
+            if math.isnan(want_e[v]):
+                assert got_e.get(v) is None or math.isnan(got_e[v]), (v, w)
+            else:
+                assert got_e[v] == pytest.approx(want_e[v], abs=1e-9), (v, w)
