@@ -203,7 +203,7 @@ def test_constraint_weighted(spark):
     want = nx.constraint(G, weight="weight")
     got = {
         r["id"]: r["constraint"]
-        for r in NB.constraint(from_nx(spark, G)).collect()
+        for r in NB.constraint(from_nx(spark, G), weight="weight").collect()
     }
     for n, v in want.items():
         if isinstance(v, float) and math.isnan(v):
