@@ -110,46 +110,63 @@ def s_metric(g: SparkGraph) -> float:
     return float(row["s"] or 0.0)
 
 
-def laplacian_centrality(g: SparkGraph, normalized: bool = True) -> DataFrame:
+def laplacian_centrality(
+    g: SparkGraph, normalized: bool = True, weight=None
+) -> DataFrame:
     """(id, laplacian_centrality): drop in Laplacian energy when the node
-    is removed (``networkx/algorithms/centrality/laplacian.py:12``),
-    unweighted form.
+    is removed (``networkx/algorithms/centrality/laplacian.py:12``).
 
-    Closed form — no per-node graph surgery: E(G) = tr(L²) = Σd² + 2m and
-    ΔE(v) = d_v² + d_v + 2·Σ_{u∈N(v)} d_u, so the whole measure is the
-    degree table joined to one neighbor-degree sum. Weighted graphs would
-    need the full Laplacian spectrum — not supported here (raise), like
-    the reference's separate weighted path.
+    Closed form — no per-node graph surgery and no spectrum: with
+    strengths s_i = Σ_u w_iu, E(G) = tr(L²) = Σ s² + 2·Σ w², and
+
+        ΔE(v) = s_v² + Σ_{u∈N(v)} (2·s_u·w_uv + w_uv²)
+
+    (reduces to d² + d + 2·Σ d_u when every w = 1), so the whole measure
+    is one strength table joined to one neighbor sum, for any weights.
+    ``weight=None`` is the reference default (edges count 1). Directed
+    graphs (the reference's walk_type machinery) stay unsupported.
     """
-    deg = degrees(g).persist()
-    sym = g.symmetric_edges().select("src", "dst")
+    from linkgraph.graph import resolve_weight_column
+
+    base = g.symmetric_edges().filter(F.col("src") != F.col("dst"))
+    wcol = F.lit(1.0) if weight is None else resolve_weight_column(base, weight)
+    sym = base.select("src", "dst", wcol.alias("w"))
+    strength = sym.groupBy(F.col("src").alias("id")).agg(
+        F.sum("w").alias("s")
+    ).persist()
     nbr_sum = (
-        sym.join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("nd")), "dst")
+        sym.join(
+            strength.select(F.col("id").alias("dst"), F.col("s").alias("su")),
+            "dst",
+        )
         .groupBy(F.col("src").alias("id"))
-        .agg(F.sum("nd").alias("s"))
+        .agg(
+            F.sum(2.0 * F.col("su") * F.col("w") + F.col("w") * F.col("w")).alias(
+                "t"
+            )
+        )
     )
-    row = deg.agg(
-        F.sum(F.col("degree") * F.col("degree")).alias("sq"),
-        F.sum("degree").alias("dd"),
-    ).first()
-    energy = float((row["sq"] or 0) + (row["dd"] or 0))
+    row = strength.agg(F.sum(F.col("s") * F.col("s")).alias("sq")).first()
+    wsq = sym.agg(F.sum(F.col("w") * F.col("w"))).first()[0] or 0.0
+    energy = float((row["sq"] or 0.0) + wsq)
     scale = 1.0 / energy if (normalized and energy > 0) else 1.0
     out = (
-        deg.join(nbr_sum, "id", "left")
+        g.vertices.select("id")
+        .join(strength, "id", "left")
+        .join(nbr_sum, "id", "left")
         .select(
             "id",
             (
                 (
-                    F.col("degree") * F.col("degree")
-                    + F.col("degree")
-                    + 2 * F.coalesce("s", F.lit(0))
+                    F.coalesce("s", F.lit(0.0)) * F.coalesce("s", F.lit(0.0))
+                    + F.coalesce("t", F.lit(0.0))
                 )
                 * F.lit(scale)
             ).alias("laplacian_centrality"),
         )
     )
     out = out.localCheckpoint(eager=True)
-    deg.unpersist()
+    strength.unpersist()
     return out
 
 

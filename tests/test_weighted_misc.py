@@ -149,3 +149,48 @@ def test_structural_holes_directed_weighted(spark):
                 assert got_e.get(v) is None or math.isnan(got_e[v]), (v, w)
             else:
                 assert got_e[v] == pytest.approx(want_e[v], abs=1e-9), (v, w)
+
+
+def test_weighted_laplacian_centrality(spark):
+    # the reference implementation needs scipy (absent here), so the
+    # oracle is the DEFINITION computed densely with numpy: energy =
+    # sum of squared Laplacian eigenvalues, centrality = energy drop
+    # when the node is removed
+    import numpy as np
+
+    from linkgraph.algos.degrees import laplacian_centrality
+
+    G = _wG()
+    g = from_nx(spark, G)
+    nodes = sorted(G)
+
+    def energy(H, w):
+        idx = {n: i for i, n in enumerate(sorted(H))}
+        L = np.zeros((len(idx), len(idx)))
+        for u, v, d in H.edges(data=True):
+            wt = d["weight"] if w else 1.0
+            L[idx[u], idx[u]] += wt
+            L[idx[v], idx[v]] += wt
+            L[idx[u], idx[v]] -= wt
+            L[idx[v], idx[u]] -= wt
+        return float((np.linalg.eigvalsh(L) ** 2).sum())
+
+    for w in (None, "weight"):
+        full = energy(G, w)
+        want = {}
+        for v in nodes:
+            H = G.copy()
+            H.remove_node(v)
+            want[v] = full - energy(H, w)
+        for norm in (True, False):
+            got = {
+                r["id"]: r["laplacian_centrality"]
+                for r in laplacian_centrality(
+                    g, normalized=norm, weight=w
+                ).collect()
+            }
+            scale = 1.0 / full if norm else 1.0
+            for v in nodes:
+                assert got[v] == pytest.approx(want[v] * scale, abs=1e-8), (
+                    v, w, norm,
+                )
