@@ -163,14 +163,31 @@ def transitive_closure(
     return out
 
 
+def _dag_weight_col(g, weight, default_weight, weighted):
+    """The reference's per-edge ``d.get(weight, default_weight)``:
+    ``weight`` names an edge column (missing column or NULLs fall back to
+    ``default_weight``); ``weight=None`` counts every edge as the
+    default. ``weighted`` is the engine's legacy boolean spelling."""
+    if weighted is not None:
+        weight = "weight" if weighted else None
+    if weight is None or weight not in g.edges.columns:
+        return F.lit(float(default_weight))
+    return F.coalesce(
+        F.col(weight).cast("double"), F.lit(float(default_weight))
+    )
+
+
 def dag_longest_path_length(
-    g: SparkGraph, *, weighted: bool = False, default_weight: float = 1.0
+    g: SparkGraph,
+    weight: "str | None" = "weight",
+    default_weight: float = 1.0,
+    *,
+    weighted: "bool | None" = None,
 ) -> float:
-    """``dag.py:918`` — the weight of the longest path in a DAG.
-    ``weighted=False`` counts hops (every edge = ``default_weight``),
-    matching the reference's default ``weight="weight"`` on unweighted
-    graphs. Max-relaxation over topological generations: D supersteps of
-    join + groupBy-max where D = the DAG depth."""
+    """``dag.py:918`` — the weight of the longest path in a DAG, with the
+    reference's ``weight`` attribute-name contract (missing attribute →
+    ``default_weight``). Max-relaxation over topological generations: D
+    supersteps of join + groupBy-max where D = the DAG depth."""
     _require_directed(g, "dag_longest_path_length")
     # raises on cycles up front (the reference's topological_sort does)
     gens = topological_generations(g)
@@ -179,7 +196,7 @@ def dag_longest_path_length(
         return 0.0
     spark = g.spark
     cache = SuperstepCache(spark)
-    w = F.col("weight") if weighted else F.lit(float(default_weight))
+    w = _dag_weight_col(g, weight, default_weight, weighted)
     arcs = g.edges.select("src", "dst", w.alias("w")).persist()
     dist = cache.truncate(g.vertices.select("id", F.lit(0.0).alias("dist")))
     for _ in range(int(depth)):
@@ -395,12 +412,14 @@ def transitive_closure_dag(g: SparkGraph, topo_order=None) -> SparkGraph:
 
 def dag_longest_path(
     g: SparkGraph,
-    *,
-    weighted: bool = False,
+    weight: "str | None" = "weight",
     default_weight: float = 1.0,
+    *,
+    weighted: "bool | None" = None,
     max_driver_nodes: int = 5_000_000,
 ) -> "list[int]":
-    """``dag.py:842`` — one longest path as a node list. The DP is the
+    """``dag.py:842`` — one longest path as a node list, with the
+    reference's ``weight`` attribute-name contract. The DP is the
     distributed max-relaxation of :func:`dag_longest_path_length` with a
     parent column; extraction is a size-guarded driver walk."""
     _require_directed(g, "dag_longest_path")
@@ -411,7 +430,7 @@ def dag_longest_path(
         return [row["id"]] if row else []
     spark = g.spark
     cache = SuperstepCache(spark)
-    w = F.col("weight") if weighted else F.lit(float(default_weight))
+    w = _dag_weight_col(g, weight, default_weight, weighted)
     arcs = g.edges.select("src", "dst", w.alias("w")).persist()
     dist = cache.truncate(
         g.vertices.select(

@@ -194,3 +194,23 @@ def test_weighted_laplacian_centrality(spark):
                 assert got[v] == pytest.approx(want[v] * scale, abs=1e-8), (
                     v, w, norm,
                 )
+
+
+def test_dag_longest_path_weight_contract(spark):
+    from linkgraph.algos.dag import dag_longest_path, dag_longest_path_length
+
+    D = nx.DiGraph()
+    for u, v, w in [(0, 1, 5.0), (1, 2, 1.0), (0, 3, 1.0), (3, 4, 1.0),
+                    (4, 2, 1.0), (2, 5, 2.0)]:
+        D.add_edge(u, v, weight=w)
+    g = from_nx(spark, D)
+    assert dag_longest_path_length(g) == nx.dag_longest_path_length(D)
+    assert dag_longest_path(g) == nx.dag_longest_path(D)
+    # weight=None counts hops
+    assert dag_longest_path_length(g, weight=None) == nx.dag_longest_path_length(
+        D, weight=None
+    )
+    # unknown attribute name falls back to default_weight per edge
+    assert dag_longest_path_length(g, weight="nope", default_weight=2.0) == (
+        nx.dag_longest_path_length(D, weight="nope", default_weight=2)
+    )
