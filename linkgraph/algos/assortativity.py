@@ -202,25 +202,30 @@ def degree_mixing(
     return counts.select("x", "y", (F.col("n") / total).alias("p"))
 
 
-def degree_pearson_correlation_coefficient(g: SparkGraph) -> float:
+def degree_pearson_correlation_coefficient(g: SparkGraph, weight=None) -> float:
     """Alias of :func:`degree_assortativity_coefficient` — the reference
     computes the identical Pearson r via scipy (``correlation.py:211``)."""
-    return degree_assortativity_coefficient(g)
+    return degree_assortativity_coefficient(g, weight=weight)
 
 
-def node_degree_xy(g: SparkGraph) -> DataFrame:
+def node_degree_xy(
+    g: SparkGraph, x: str = "out", y: str = "in", weight=None
+) -> DataFrame:
     """(x, y) degree pairs, one row per arc
     (``assortativity/pairs.py:118`` ``node_degree_xy``): the long form
     behind the degree mixing matrix (undirected arcs in both
-    orientations, like the reference generator)."""
+    orientations, like the reference generator; ``weight=`` makes the
+    values strengths, the arc count stays 1 per arc)."""
     from linkgraph.algos.degrees import degrees, in_degrees, out_degrees
 
+    weighted = weight is not None
     if g.directed:
-        dx = out_degrees(g)
-        dy = in_degrees(g)
+        table = {"out": out_degrees, "in": in_degrees}
+        dx = table[x](g, weighted, weight=weight)
+        dy = table[y](g, weighted, weight=weight)
         arcs = g.edges.select("src", "dst")
     else:
-        dx = dy = degrees(g)
+        dx = dy = degrees(g, weighted, weight=weight)
         arcs = g.symmetric_edges().select("src", "dst")
     return (
         arcs.join(
@@ -238,12 +243,14 @@ def node_attribute_xy(g: SparkGraph, attribute: str) -> DataFrame:
     )
 
 
-def degree_mixing_dict(g: SparkGraph) -> dict:
+def degree_mixing_dict(g: SparkGraph, weight=None) -> dict:
     """{x: {y: count}} (``mixing.py:110`` ``degree_mixing_dict``,
-    normalized=False) — driver dict over the distributed long form."""
+    normalized=False) — driver dict over the distributed long form
+    (``weight=`` keys by strengths, which may be floats)."""
+    conv = int if weight is None else float
     out: dict = {}
-    for r in degree_mixing(g).collect():
-        out.setdefault(int(r["x"]), {})[int(r["y"])] = int(r["n"])
+    for r in degree_mixing(g, weight=weight).collect():
+        out.setdefault(conv(r["x"]), {})[conv(r["y"])] = int(r["n"])
     return out
 
 
@@ -273,17 +280,21 @@ def mixing_dict(xy: DataFrame, *, normalized: bool = False) -> dict:
     return out
 
 
-def degree_mixing_matrix(g: SparkGraph, *, normalized: bool = True):
+def degree_mixing_matrix(
+    g: SparkGraph, *, weight=None, normalized: bool = True
+):
     """(matrix, mapping) — dense degree mixing matrix
-    (``mixing.py:147``); mapping = degree value → row index."""
+    (``mixing.py:147``); mapping = degree value → row index
+    (``weight=`` keys by strengths)."""
     import numpy as np
 
-    rows = degree_mixing(g).collect()
-    vals = sorted({int(r["x"]) for r in rows} | {int(r["y"]) for r in rows})
+    conv = int if weight is None else float
+    rows = degree_mixing(g, weight=weight).collect()
+    vals = sorted({conv(r["x"]) for r in rows} | {conv(r["y"]) for r in rows})
     idx = {v: i for i, v in enumerate(vals)}
     M = np.zeros((len(vals), len(vals)))
     for r in rows:
-        M[idx[int(r["x"])], idx[int(r["y"])]] = r["n"]
+        M[idx[conv(r["x"])], idx[conv(r["y"])]] = r["n"]
     if normalized and M.sum() > 0:
         M = M / M.sum()
     return M, idx

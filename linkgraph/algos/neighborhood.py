@@ -113,9 +113,9 @@ def average_neighbor_degree(
     )
 
 
-def average_degree_connectivity(g: SparkGraph) -> DataFrame:
+def average_degree_connectivity(g: SparkGraph, weight=None) -> DataFrame:
     """(degree, knn): mean neighbor degree of all nodes with a given degree
-    (``connectivity.py:13``, unweighted source=target="in+out").
+    (``connectivity.py:13``, source=target="in+out").
 
     Two joins and two aggregations; the per-k normalizer is
     k · |{v : deg(v) = k}| exactly as the reference computes it. Directed
@@ -123,25 +123,68 @@ def average_degree_connectivity(g: SparkGraph) -> DataFrame:
     and normalizer are total degree, but the neighbor sum runs over
     successors only (``G.neighbors`` of a DiGraph), matching
     ``connectivity.py``.
+
+    ``weight=`` is the reference's weighted form: the binning key stays
+    the UNWEIGHTED degree, each neighbor's (unweighted) degree is scaled
+    by the connecting edge weight, and the per-k normalizer becomes the
+    summed strength (``connectivity.py:109-119``).
     """
     succ = g.symmetric_edges()  # stored arcs when directed, both dirs else
     deg = degrees(g)
+    if weight is None:
+        per_node = (
+            succ.join(
+                deg.select(F.col("id").alias("dst"), F.col("degree").alias("ddeg")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("ddeg").alias("s"))
+        )
+        node_tbl = (
+            deg.filter(F.col("degree") > 0)
+            .join(per_node, "id", "left")
+            .select("degree", F.coalesce("s", F.lit(0)).alias("s"))
+        )
+        return (
+            node_tbl.groupBy("degree")
+            .agg((F.sum("s") / F.sum("degree")).alias("knn"))
+            .orderBy("degree")
+        )
+    from linkgraph.graph import resolve_weight_column
+
+    wsucc = succ.select(
+        "src", "dst", resolve_weight_column(succ, weight).alias("w")
+    )
     per_node = (
-        succ.join(
+        wsucc.join(
             deg.select(F.col("id").alias("dst"), F.col("degree").alias("ddeg")),
             "dst",
         )
         .groupBy(F.col("src").alias("id"))
-        .agg(F.sum("ddeg").alias("s"))
+        .agg(F.sum(F.col("w") * F.col("ddeg")).alias("s"))
     )
+    if g.directed:
+        e = g.edges
+        wcol = resolve_weight_column(e, weight)
+        both = e.select(F.col("src").alias("id"), wcol.alias("w")).unionAll(
+            e.select(F.col("dst").alias("id"), wcol.alias("w"))
+        )
+    else:
+        both = wsucc.select(F.col("src").alias("id"), "w")
+    strength = both.groupBy("id").agg(F.sum("w").alias("st"))
     node_tbl = (
         deg.filter(F.col("degree") > 0)
         .join(per_node, "id", "left")
-        .select("degree", F.coalesce("s", F.lit(0)).alias("s"))
+        .join(strength, "id", "left")
+        .select(
+            "degree",
+            F.coalesce("s", F.lit(0.0)).alias("s"),
+            F.coalesce("st", F.lit(0.0)).alias("st"),
+        )
     )
     return (
         node_tbl.groupBy("degree")
-        .agg((F.sum("s") / F.sum("degree")).alias("knn"))
+        .agg((F.sum("s") / F.sum("st")).alias("knn"))
         .orderBy("degree")
     )
 

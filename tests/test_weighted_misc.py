@@ -214,3 +214,70 @@ def test_dag_longest_path_weight_contract(spark):
     assert dag_longest_path_length(g, weight="nope", default_weight=2.0) == (
         nx.dag_longest_path_length(D, weight="nope", default_weight=2)
     )
+
+
+def test_weighted_knn_and_mixing(spark):
+    from linkgraph.algos.neighborhood import average_degree_connectivity
+    from linkgraph.algos.assortativity import (
+        node_degree_xy,
+        degree_mixing_dict,
+        degree_pearson_correlation_coefficient,
+    )
+
+    # the reference docstring example
+    P = nx.path_graph(4)
+    P.edges[1, 2]["weight"] = 3
+    for u, v in P.edges():
+        P[u][v].setdefault("weight", 1)
+    gp = from_nx(spark, P)
+    got = {
+        r["degree"]: r["knn"]
+        for r in average_degree_connectivity(gp, weight="weight").collect()
+    }
+    want = nx.average_degree_connectivity(P, weight="weight")
+    assert got == pytest.approx(want)
+
+    G = _wG()
+    g = from_nx(spark, G)
+    got2 = {
+        r["degree"]: r["knn"]
+        for r in average_degree_connectivity(g, weight="weight").collect()
+    }
+    want2 = nx.average_degree_connectivity(G, weight="weight")
+    for k in want2:
+        assert got2[k] == pytest.approx(want2[k]), k
+
+    # node_degree_xy strengths multiset parity
+    ours = sorted(
+        (r["x"], r["y"]) for r in node_degree_xy(g, weight="weight").collect()
+    )
+    ref = sorted(nx.node_degree_xy(G, weight="weight"))
+    assert len(ours) == len(ref)
+    for a, b in zip(ours, ref):
+        assert a[0] == pytest.approx(b[0]) and a[1] == pytest.approx(b[1])
+
+    # mixing dict keys = strengths
+    md = degree_mixing_dict(g, weight="weight")
+    ref_md = nx.degree_mixing_dict(G, weight="weight")
+    assert {round(k, 9) for k in md} == {round(k, 9) for k in ref_md}
+
+    assert degree_pearson_correlation_coefficient(
+        g, weight="weight"
+    ) == pytest.approx(nx.degree_assortativity_coefficient(G, weight="weight"), abs=1e-9)
+
+
+def test_directed_weighted_knn(spark):
+    from linkgraph.algos.neighborhood import average_degree_connectivity
+
+    D = nx.DiGraph()
+    for u, v, w in [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 3.0), (1, 3, 4.0),
+                    (3, 2, 1.0)]:
+        D.add_edge(u, v, weight=w)
+    g = from_nx(spark, D)
+    got = {
+        r["degree"]: r["knn"]
+        for r in average_degree_connectivity(g, weight="weight").collect()
+    }
+    want = nx.average_degree_connectivity(D, weight="weight")
+    for k in want:
+        assert got[k] == pytest.approx(want[k]), k
