@@ -438,15 +438,16 @@ def average_shortest_path_length(
         sp.unpersist()
 
 
-def barycenter(g: SparkGraph) -> DataFrame:
+def barycenter(g: SparkGraph, weight=None) -> DataFrame:
     """(id): the node(s) minimizing total shortest-path distance to every
     other node (``networkx/algorithms/distance_measures.py`` sibling
-    ``barycenter``; unweighted). Raises when any node misses part of the
-    graph, like the reference's NetworkXNoPath. One aggregation over the
-    batched all-pairs BFS plus a global-min semi-filter."""
+    ``barycenter``; ``weight=`` uses weighted lengths like the
+    reference). Raises when any node misses part of the graph, like the
+    reference's NetworkXNoPath. One aggregation over the batched
+    all-pairs table plus a global-min semi-filter."""
     n = g.number_of_nodes()
     sums = (
-        all_pairs_shortest_path_lengths(g)
+        all_pairs_shortest_path_lengths(g, distance=weight)
         .groupBy(F.col("source").alias("id"))
         .agg(F.sum("distance").alias("s"), F.count(F.lit(1)).alias("c"))
         .persist()

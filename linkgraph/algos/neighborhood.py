@@ -573,24 +573,26 @@ def local_efficiency(g: SparkGraph) -> float:
         ego_arcs.unpersist()
 
 
-def schultz_index(g: SparkGraph) -> float:
+def schultz_index(g: SparkGraph, weight=None) -> float:
     """Σ over unordered pairs of d(u,v)·(deg u + deg v)
-    (``networkx/algorithms/wiener.py`` ``schultz_index``; unweighted, inf
-    when disconnected like the reference). One APSP⋈degree join."""
-    return _degree_distance_index(g, product=False)
+    (``networkx/algorithms/wiener.py`` ``schultz_index``; inf when
+    disconnected like the reference; ``weight=`` makes the DISTANCES
+    weighted — degrees stay counts, per the reference). One APSP⋈degree
+    join."""
+    return _degree_distance_index(g, product=False, weight=weight)
 
 
-def gutman_index(g: SparkGraph) -> float:
+def gutman_index(g: SparkGraph, weight=None) -> float:
     """Σ over unordered pairs of d(u,v)·deg(u)·deg(v)
     (``wiener.py`` ``gutman_index``)."""
-    return _degree_distance_index(g, product=True)
+    return _degree_distance_index(g, product=True, weight=weight)
 
 
-def _degree_distance_index(g: SparkGraph, product: bool) -> float:
+def _degree_distance_index(g: SparkGraph, product: bool, weight=None) -> float:
     from linkgraph.algos.degrees import degrees as _degrees
 
     n = g.number_of_nodes()
-    sp = all_pairs_shortest_path_lengths(g).persist()
+    sp = all_pairs_shortest_path_lengths(g, distance=weight).persist()
     try:
         if sp.count() < n * n:
             return float("inf")
@@ -610,14 +612,15 @@ def _degree_distance_index(g: SparkGraph, product: bool) -> float:
         sp.unpersist()
 
 
-def harmonic_diameter(g: SparkGraph) -> float:
+def harmonic_diameter(g: SparkGraph, weight=None) -> float:
     """n(n−1) / Σ over ordered pairs of 1/d(u,v) — the harmonic mean
     distance (``networkx/algorithms/distance_measures.py``
     ``harmonic_diameter``; unreachable pairs contribute 0, so it is finite
-    on disconnected graphs unless NO pair is reachable)."""
+    on disconnected graphs unless NO pair is reachable; ``weight=`` →
+    weighted lengths)."""
     n = g.number_of_nodes()
     row = (
-        all_pairs_shortest_path_lengths(g)
+        all_pairs_shortest_path_lengths(g, distance=weight)
         .filter(F.col("distance") > 0)
         .agg(F.sum(1.0 / F.col("distance")))
         .first()

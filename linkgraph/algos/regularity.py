@@ -154,13 +154,14 @@ def global_parameters(b: "list[int]", c: "list[int]"):
     ]
 
 
-def hyper_wiener_index(g: SparkGraph) -> float:
+def hyper_wiener_index(g: SparkGraph, weight=None) -> float:
     """``distance_measures.py`` ``hyper_wiener_index`` —
     ½ Σ_{pairs} (d + d²) over distinct unordered pairs, from the batched
-    all-pairs BFS in one aggregation."""
+    all-pairs table in one aggregation (``weight=`` → weighted
+    lengths)."""
     from linkgraph.algos.distance import all_pairs_shortest_path_lengths
 
-    d = all_pairs_shortest_path_lengths(g).filter(
+    d = all_pairs_shortest_path_lengths(g, distance=weight).filter(
         F.col("source") < F.col("id")
     )
     row = d.agg(

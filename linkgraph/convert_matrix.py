@@ -47,11 +47,18 @@ def _check_size(n: int, max_nodes: int, what: str) -> None:
 
 
 def to_csr_arrays(
-    g: SparkGraph, nodelist=None, *, max_nodes: int = DEFAULT_MAX_NODES
+    g: SparkGraph,
+    nodelist=None,
+    *,
+    weight: "str | None" = "weight",
+    max_nodes: int = DEFAULT_MAX_NODES,
 ):
     """Return ``(indptr, indices, data, ids)`` NumPy arrays — the CSR of
     the (symmetrized, weight-summed) adjacency in ascending-id (or given
-    ``nodelist``) order. ``ids[i]`` is the node id of matrix row i."""
+    ``nodelist``) order. ``ids[i]`` is the node id of matrix row i.
+    ``weight`` follows the reference's matrix-builder contract: an edge
+    column name (missing column → every entry 1), or None for the
+    unweighted 0/1 adjacency."""
     import numpy as np
 
     if nodelist is not None:
@@ -63,9 +70,12 @@ def to_csr_arrays(
     n = len(ids)
     _check_size(n, max_nodes, "to_csr_arrays")
     idx = {int(v): i for i, v in enumerate(ids)}
-    edges = (g.symmetric_edges() if not g.directed else g.edges).select(
-        "src", "dst", "weight"
-    )
+    base = g.symmetric_edges() if not g.directed else g.edges
+    if weight is None or weight not in base.columns:
+        wcol = F.lit(1.0)
+    else:
+        wcol = F.col(weight).cast("double")
+    edges = base.select("src", "dst", wcol.alias("weight"))
     # one driver collect (the egress), then vectorized CSR assembly
     rows, cols, vals = [], [], []
     for r in edges.collect():
@@ -98,6 +108,7 @@ def to_scipy_sparse_array(
     g: SparkGraph,
     nodelist=None,
     *,
+    weight: "str | None" = "weight",
     fmt: str = "csr",
     max_nodes: int = DEFAULT_MAX_NODES,
 ):
@@ -110,18 +121,26 @@ def to_scipy_sparse_array(
             "the dependency-free (indptr, indices, data, ids) form"
         ) from exc
     indptr, indices, data, ids = to_csr_arrays(
-        g, nodelist, max_nodes=max_nodes
+        g, nodelist, weight=weight, max_nodes=max_nodes
     )
     n = len(ids)
     return sp.csr_array((data, indices, indptr), shape=(n, n)).asformat(fmt)
 
 
-def to_numpy_array(g: SparkGraph, nodelist=None, *, max_nodes: int = 20_000):
+def to_numpy_array(
+    g: SparkGraph,
+    nodelist=None,
+    *,
+    weight: "str | None" = "weight",
+    max_nodes: int = 20_000,
+):
     """Dense adjacency (``convert_matrix.py:882``); the tighter default cap
     reflects the O(n²) footprint. SciPy-free."""
     import numpy as np
 
-    indptr, indices, data, ids = to_csr_arrays(g, nodelist, max_nodes=max_nodes)
+    indptr, indices, data, ids = to_csr_arrays(
+        g, nodelist, weight=weight, max_nodes=max_nodes
+    )
     n = len(ids)
     A = np.zeros((n, n))
     for i in range(n):

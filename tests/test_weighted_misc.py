@@ -281,3 +281,49 @@ def test_directed_weighted_knn(spark):
     want = nx.average_degree_connectivity(D, weight="weight")
     for k in want:
         assert got[k] == pytest.approx(want[k]), k
+
+
+def test_weighted_index_family(spark):
+    from linkgraph.algos.distance import barycenter
+    from linkgraph.algos.neighborhood import (
+        schultz_index, gutman_index, harmonic_diameter,
+    )
+    from linkgraph.algos.regularity import hyper_wiener_index
+
+    G = _wG()
+    g = from_nx(spark, G)
+    assert {r["id"] for r in barycenter(g, weight="weight").collect()} == set(
+        nx.barycenter(G, weight="weight")
+    )
+    assert schultz_index(g, weight="weight") == pytest.approx(
+        nx.schultz_index(G, weight="weight")
+    )
+    assert gutman_index(g, weight="weight") == pytest.approx(
+        nx.gutman_index(G, weight="weight")
+    )
+    assert harmonic_diameter(g, weight="weight") == pytest.approx(
+        nx.harmonic_diameter(G, weight="weight")
+    )
+    # weighted all-pairs via the dijkstra table
+    want_hw = 0.0
+    import itertools
+    for u, v in itertools.combinations(sorted(G), 2):
+        d = nx.dijkstra_path_length(G, u, v)
+        want_hw += 0.5 * (d + d * d)
+    assert hyper_wiener_index(g, weight="weight") == pytest.approx(want_hw)
+
+
+def test_to_numpy_array_weight_contract(spark):
+    import numpy as np
+
+    from linkgraph.convert_matrix import to_numpy_array
+
+    G = _wG()
+    g = from_nx(spark, G)
+    A_w = to_numpy_array(g)
+    want_w = nx.to_numpy_array(G)  # nx default weight="weight"
+    assert np.allclose(A_w, want_w)
+    A_u = to_numpy_array(g, weight=None)
+    want_u = nx.to_numpy_array(G, weight=None)
+    assert np.allclose(A_u, want_u)
+    assert not np.allclose(A_w, A_u)
