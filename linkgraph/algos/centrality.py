@@ -247,6 +247,14 @@ def eigenvector_centrality_numpy(g, weight=None, **kwargs):
     return eigenvector_centrality(g, weight=weight, **kwargs)
 
 
-def katz_centrality_numpy(g, alpha: float = 0.1, beta: float = 1.0, **kwargs):
-    """``katz.py`` ``katz_centrality_numpy`` — dense twin; same values."""
-    return katz_centrality(g, alpha=alpha, beta=beta, **kwargs)
+def katz_centrality_numpy(
+    g, alpha: float = 0.1, beta: float = 1.0, normalized: bool = True,
+    weight=None, **kwargs,
+):
+    """``katz.py`` ``katz_centrality_numpy`` — dense twin; same values.
+    ``weight`` follows the reference contract (None = unweighted, a
+    truthy name = the weight column)."""
+    return katz_centrality(
+        g, alpha=alpha, beta=beta, normalized=normalized,
+        weight=bool(weight), **kwargs,
+    )

@@ -365,14 +365,17 @@ def ancestors(g: SparkGraph, source) -> DataFrame:
     return d.filter(F.col("distance") > 0).select("id")
 
 
-def quotient_graph(g: SparkGraph, partition: DataFrame) -> SparkGraph:
+def quotient_graph(
+    g: SparkGraph, partition: DataFrame, weight: "str | None" = "weight"
+) -> SparkGraph:
     """Block quotient of a node partition —
     ``networkx/algorithms/minors/contraction.py:60`` ``quotient_graph``
     with the default relation (blocks adjacent iff some edge joins them)
-    and default edge data (weight = sum of the joining edges' weights,
-    i.e. their count when unweighted). ``partition`` is an (id, block)
-    DataFrame covering every node exactly once (raises otherwise, like
-    the reference's NetworkXException).
+    and default edge data (weight = sum of the joining edges' ``weight``
+    attribute per the reference kwarg; missing column or ``weight=None``
+    counts edges). ``partition`` is an (id, block) DataFrame covering
+    every node exactly once (raises otherwise, like the reference's
+    NetworkXException).
 
     One edges⋈labels⋈labels tagging pass + a hash aggregation — the same
     coarsening join the Louvain level loop uses internally, exposed as the
@@ -387,8 +390,13 @@ def quotient_graph(g: SparkGraph, partition: DataFrame) -> SparkGraph:
     )
     lab_s = part.select(F.col("id").alias("src"), F.col("block").alias("bu"))
     lab_d = part.select(F.col("id").alias("dst"), F.col("block").alias("bv"))
+    if weight is None or weight not in g.edges.columns:
+        wsel = F.lit(1.0).alias("weight")
+    else:
+        wsel = F.col(weight).cast("double").alias("weight")
     tagged = (
-        g.edges.join(lab_s, "src")
+        g.edges.select("src", "dst", wsel)
+        .join(lab_s, "src")
         .join(lab_d, "dst")
         .filter(F.col("bu") != F.col("bv"))
     )

@@ -1315,6 +1315,20 @@ def _expo_weight(seed, tag):
     return -F.log(F.lit(1.0) - u)
 
 
+def _with_node_weight(spark, pos, weight_dict, default_col):
+    """Attach the node_weight column: the caller's {node: weight} dict
+    (the reference's ``weight=`` kwarg) or the seeded default."""
+    if weight_dict is None:
+        return pos.withColumn("node_weight", default_col)
+    wdf = spark.createDataFrame(
+        [(int(k), float(v)) for k, v in weight_dict.items()],
+        "id long, node_weight double",
+    )
+    return pos.join(wdf, "id", "left").withColumn(
+        "node_weight", F.coalesce("node_weight", default_col)
+    )
+
+
 def thresholded_random_geometric_graph(
     spark: SparkSession,
     n: int,
@@ -1322,16 +1336,16 @@ def thresholded_random_geometric_graph(
     theta: float,
     dim: int = 2,
     seed: int = 0,
+    weight: "dict | None" = None,
 ) -> SparkGraph:
     """``geometric.py`` ``thresholded_random_geometric_graph`` — geometric
     proximity (grid-bucket join, never all-pairs) AND weight threshold
-    ``w_u + w_v >= theta`` with Exponential(1) node weights. Positions and
-    weights ride as vertex columns (the reference's attributes)."""
-    pos = (
-        _positions(spark, n, int(dim), seed)
-        .withColumn("node_weight", _expo_weight(seed, 101))
-        .persist()
-    )
+    ``w_u + w_v >= theta``. ``weight`` is the reference's optional
+    {node: weight} dict; omitted → seeded Exponential(1) weights.
+    Positions and weights ride as vertex columns (the reference's
+    attributes)."""
+    pos = _positions(spark, n, int(dim), seed)
+    pos = _with_node_weight(spark, pos, weight, _expo_weight(seed, 101)).persist()
     cand = _cell_join(pos.drop("node_weight"), float(radius), int(dim))
     w = pos.select("id", "node_weight")
     e = (
@@ -1352,6 +1366,7 @@ def geographical_threshold_graph(
     dim: int = 2,
     seed: int = 0,
     p_dist: str = None,
+    weight: "dict | None" = None,
 ) -> SparkGraph:
     """``geometric.py`` ``geographical_threshold_graph`` (Masuda et al.
     2005) — join nodes u, v iff ``(w_u + w_v) * p_dist(r) >= theta`` with
@@ -1361,11 +1376,8 @@ def geographical_threshold_graph(
     unbounded in distance (heavy nodes join far away), so the candidate
     set is the full id< pair join — the model's own density, not a plan
     choice."""
-    pos = (
-        _positions(spark, n, int(dim), seed)
-        .withColumn("node_weight", _expo_weight(seed, 103))
-        .persist()
-    )
+    pos = _positions(spark, n, int(dim), seed)
+    pos = _with_node_weight(spark, pos, weight, _expo_weight(seed, 103)).persist()
     right = pos.select(*[F.col(c).alias(f"r_{c}") for c in pos.columns])
     dist2 = None
     for d in range(int(dim)):
