@@ -243,12 +243,14 @@ def spring_layout(
     seed: int = 42,
     scale: float = 1.0,
     pos: Optional[DataFrame] = None,
+    weight: "Optional[str]" = "weight",
 ) -> DataFrame:
     """``layout.py`` ``spring_layout`` (Fruchterman-Reingold). The
     repulsion term is an all-pairs join per iteration — the reference's
     dense numpy path materializes the same n×n matrix, so the cost class
     matches; at web scale use ``spectral_layout`` (CG solves, no n²).
-    Deterministic per seed."""
+    Deterministic per seed. ``weight`` scales each edge's attraction like
+    the reference's adjacency entries (None → every edge 1)."""
     n = g.number_of_nodes()
     if n == 0:
         return g.vertices.select("id", F.lit(0.0).alias("x0"), F.lit(0.0).alias("x1"))
@@ -256,13 +258,21 @@ def spring_layout(
         k = 1.0 / math.sqrt(n)
     p = pos if pos is not None else random_layout(g, dim=2, seed=seed)
     p = p.select("id", F.col("x0").cast("double"), F.col("x1").cast("double"))
-    arcs = (
-        g.symmetric_edges().select("src", "dst")
-        if not g.directed
-        else g.edges.select("src", "dst").unionByName(
-            g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    base = g.symmetric_edges() if not g.directed else g.edges
+    if weight is None or weight not in base.columns:
+        wsel = F.lit(1.0).alias("_w")
+    else:
+        wsel = F.col(weight).cast("double").alias("_w")
+    half = base.select("src", "dst", wsel)
+    if g.directed:
+        half = half.unionByName(
+            half.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "_w"
+            )
         )
-    ).distinct().persist()
+    arcs = (
+        half.groupBy("src", "dst").agg(F.max("_w").alias("_w")).persist()
+    )
     t = 0.1
     dt = t / (int(iterations) + 1)
     from linkgraph.iterutils import SuperstepCache
@@ -296,8 +306,8 @@ def spring_layout(
         ady = F.col("x1") - F.col("jx1")
         adist = F.greatest(F.sqrt(adx * adx + ady * ady), F.lit(eps))
         att = att_pair.groupBy(F.col("src").alias("id")).agg(
-            F.sum(-adx / adist * (adist * adist / F.lit(k))).alias("ax"),
-            F.sum(-ady / adist * (adist * adist / F.lit(k))).alias("ay"),
+            F.sum(-adx / adist * (F.col("_w") * adist * adist / F.lit(k))).alias("ax"),
+            F.sum(-ady / adist * (F.col("_w") * adist * adist / F.lit(k))).alias("ay"),
         )
         disp = (
             p.join(rep, "id", "left")
