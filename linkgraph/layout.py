@@ -689,12 +689,15 @@ def forceatlas2_layout(
     jitter_tolerance: float = 1.0, scaling_ratio: float = 2.0,
     gravity: float = 1.0, strong_gravity: bool = False,
     dissuade_hubs: bool = False, linlog: bool = False, seed: int = 42,
+    weight: "Optional[str]" = None,
 ) -> DataFrame:
     """``layout.py`` ``forceatlas2_layout`` (Jacomy et al. 2014) —
     degree-weighted repulsion ``k_r (d_u+1)(d_v+1)/r`` against edge
     attraction (log form under ``linlog``, out-degree damped under
-    ``dissuade_hubs``), plus gravity. Driver numerics with the adaptive
-    global speed of the paper; size-guarded."""
+    ``dissuade_hubs``), plus gravity. ``weight`` names the edge column
+    scaling each attraction entry (the reference default None = 1).
+    Driver numerics with the adaptive global speed of the paper;
+    size-guarded."""
     import numpy as np
 
     ids, edges = _collect_positions_input(g)
@@ -702,11 +705,16 @@ def forceatlas2_layout(
     if n == 0:
         return g.spark.createDataFrame([], "id long, x double, y double")
     idx = {v: i for i, v in enumerate(ids)}
+    ew = {}
+    if weight is not None and weight in g.edges.columns:
+        for r in g.edges.select("src", "dst", F.col(weight).cast("double")).collect():
+            ew[(r[0], r[1])] = float(r[2] if r[2] is not None else 1.0)
     A = np.zeros((n, n))
     for u, v in edges:
         if u != v:
-            A[idx[u], idx[v]] = 1.0
-            A[idx[v], idx[u]] = 1.0
+            wv = ew.get((u, v), ew.get((v, u), 1.0))
+            A[idx[u], idx[v]] = wv
+            A[idx[v], idx[u]] = wv
     deg = A.sum(axis=1)
     rng = np.random.RandomState(int(seed))
     if pos is not None:
