@@ -93,8 +93,23 @@ def _bfs_forest(g: SparkGraph, e: DataFrame, cache: SuperstepCache) -> DataFrame
     return cache.truncate(out)
 
 
-def bridges(g: SparkGraph, seed: int = 42) -> DataFrame:
-    """(u, v): all bridges, canonical u < v (``bridges.py:12``)."""
+def bridges(g: SparkGraph, root=None, seed: int = 42) -> DataFrame:
+    """(u, v): all bridges, canonical u < v (``bridges.py:12``).
+    ``root=`` restricts to the connected component containing that node
+    (the reference kwarg; raises NodeNotFound on an absent root)."""
+    if root is not None:
+        from linkgraph.exceptions import NodeNotFound
+        from linkgraph.algos.components import connected_components
+
+        if not g.vertices.filter(F.col("id") == int(root)).limit(1).count():
+            raise NodeNotFound(f"node {root} not in G")
+        cc = connected_components(g.undirected_view() if g.directed else g)
+        comp = cc.filter(F.col("id") == int(root)).select("component")
+        members = cc.join(comp, "component", "left_semi").select("id")
+        out = bridges(g, seed=seed)
+        return (
+            out.join(members.withColumnRenamed("id", "u"), "u", "left_semi")
+        )
     e = _simple(g).persist()
     cache = SuperstepCache(g.spark)
     try:

@@ -204,11 +204,12 @@ def _all_pairs_weighted(g: SparkGraph, src_df, reverse: bool, distance):
 
 def closeness_centrality(
     g: SparkGraph,
+    u=None,
     *,
     wf_improved: bool = True,
     sources: Optional[DataFrame] = None,
     distance=None,
-) -> DataFrame:
+):
     """``(id, closeness DOUBLE)`` for every vertex — exact
     ``nx.closeness_centrality`` semantics (``closeness.py:15``): incoming
     distances, (n_r−1)/Σd, Wasserman-Faust (n_r−1)/(N−1) factor when
@@ -220,6 +221,17 @@ def closeness_centrality(
     ``distance`` kwarg → Dijkstra lengths): same aggregation over the
     weighted relaxation distances.
     """
+    if u is not None:
+        # the reference's single-node form returns a float
+        one = g.spark.createDataFrame([(int(u),)], "id long")
+        row = (
+            closeness_centrality(
+                g, wf_improved=wf_improved, sources=one, distance=distance
+            )
+            .filter(F.col("id") == int(u))
+            .first()
+        )
+        return float(row["closeness"]) if row else 0.0
     n_total = g.number_of_nodes()
     # BFS from u over REVERSED arcs reaches exactly the v that reach u,
     # at distance d(v, u) — so rows (source=u, id=v) give incoming distances.

@@ -629,14 +629,19 @@ def harmonic_diameter(g: SparkGraph, weight=None) -> float:
     return float("inf") if s == 0.0 else n * (n - 1) / s
 
 
-def closeness_vitality(g: SparkGraph, node: int, weight=None) -> float:
+def closeness_vitality(
+    g: SparkGraph, node: int, weight=None, wiener_index: "float | None" = None
+) -> float:
     """Wiener-index drop when ``node`` is removed —
     ``networkx/algorithms/vitality.py:11`` (single-node form; the
     reference's all-nodes dict runs n+1 all-pairs sweeps, which is the
     definition's cost — call per node of interest). Two APSP aggregates;
     ``weight=`` threads through both."""
-    before = wiener_index(g, weight=weight)
-    after = wiener_index(
+    before = (
+        wiener_index if wiener_index is not None
+        else globals()["wiener_index"](g, weight=weight)
+    )
+    after = globals()["wiener_index"](
         g.remove_nodes(g.spark.createDataFrame([(int(node),)], "id bigint")),
         weight=weight,
     )

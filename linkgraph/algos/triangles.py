@@ -143,7 +143,7 @@ def _tri_deg(g: SparkGraph) -> DataFrame:
     )
 
 
-def clustering(g: SparkGraph, weight=None) -> DataFrame:
+def clustering(g: SparkGraph, nodes=None, weight=None) -> DataFrame:
     """DataFrame (id, clustering) — local clustering coefficient
     (``cluster.py:385-411``).
 
@@ -154,6 +154,11 @@ def clustering(g: SparkGraph, weight=None) -> DataFrame:
     the three corner-pair weights onto the same degree-oriented triangle
     enumeration (three broadcast-size joins on the canonical edge key,
     no new wedge pass)."""
+    if nodes is not None:
+        keep = g.spark.createDataFrame(
+            [(int(x),) for x in nodes], "id long"
+        )
+        return clustering(g, weight=weight).join(keep, "id", "left_semi")
     if weight is None:
         td = _tri_deg(g)
         return td.select(
@@ -227,10 +232,11 @@ def clustering(g: SparkGraph, weight=None) -> DataFrame:
 
 
 def average_clustering(
-    g: SparkGraph, weight=None, count_zeros: bool = True
+    g: SparkGraph, nodes=None, weight=None, count_zeros: bool = True
 ) -> float:
-    """``cluster.py:325`` (``weight=`` averages the weighted form)."""
-    c = clustering(g, weight=weight)
+    """``cluster.py:325`` (``weight=`` averages the weighted form;
+    ``nodes=`` averages over that subset like the reference)."""
+    c = clustering(g, nodes=nodes, weight=weight)
     if not count_zeros:
         c = c.filter(F.col("clustering") > 0)
     return c.agg(F.avg("clustering")).first()[0] or 0.0

@@ -327,3 +327,37 @@ def test_to_numpy_array_weight_contract(spark):
     want_u = nx.to_numpy_array(G, weight=None)
     assert np.allclose(A_u, want_u)
     assert not np.allclose(A_w, A_u)
+
+
+def test_kwarg_parity_extras(spark):
+    from linkgraph.algos.distance import closeness_centrality
+    from linkgraph.algos.triangles import clustering, average_clustering
+    from linkgraph.algos.bridges import bridges
+    from linkgraph.algos.neighborhood import closeness_vitality, wiener_index
+
+    G = _wG()
+    g = from_nx(spark, G)
+    # single-node closeness returns a float like the reference
+    assert closeness_centrality(g, 2) == pytest.approx(
+        nx.closeness_centrality(G, 2)
+    )
+    # clustering over a node subset
+    want = nx.clustering(G, nodes=[0, 2])
+    got = {r["id"]: r["clustering"] for r in clustering(g, nodes=[0, 2]).collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v])
+    assert average_clustering(g, nodes=[0, 2]) == pytest.approx(
+        sum(want.values()) / 2
+    )
+    # bridges restricted to a root's component
+    H = nx.disjoint_union(nx.path_graph(3), nx.cycle_graph(4))
+    gh = from_nx(spark, H)
+    got_b = {(r["u"], r["v"]) for r in bridges(gh, root=0).collect()}
+    want_b = {tuple(sorted(e)) for e in nx.bridges(H, root=0)}
+    assert got_b == want_b
+    # precomputed wiener passthrough
+    wi = wiener_index(g)
+    assert closeness_vitality(g, 2, wiener_index=wi) == pytest.approx(
+        nx.closeness_vitality(G, node=2)
+    )
