@@ -134,9 +134,14 @@ def test_matcher_classes(spark):
     assert m.mapping is not None
     count = sum(1 for _ in m.isomorphisms_iter())
     assert count == 10  # dihedral group of C5
-    with pytest.raises(NotImplementedError):
-        lg.GraphMatcher(from_nx(spark, G1), from_nx(spark, G2),
-                        node_match=lambda a, b: True)
+    # matchers are supported since round 5: an always-true node_match
+    # changes nothing, an always-false one kills every mapping
+    assert lg.GraphMatcher(
+        from_nx(spark, G1), from_nx(spark, G2), node_match=lambda a, b: True
+    ).is_isomorphic()
+    assert not lg.GraphMatcher(
+        from_nx(spark, G1), from_nx(spark, G2), node_match=lambda a, b: False
+    ).is_isomorphic()
 
 
 def test_match_factories():
