@@ -202,16 +202,122 @@ def _without_selfloops(g: SparkGraph) -> SparkGraph:
     )
 
 
-def local_reaching_centrality(
-    g: SparkGraph, *, sources: Optional[DataFrame] = None
-) -> DataFrame:
-    """(id, lrc): unweighted local reaching centrality, normalized
-    (``networkx/algorithms/centrality/reaching.py:121``). Directed graphs:
-    the fraction of the other nodes reachable from each node. Undirected
-    graphs: the reference sums the per-path average weight ``1/d(v, u)``,
-    i.e. ``Σ_{u≠v} 1/d(v, u) / (n − 1)`` — the outward harmonic sum.
+def _weighted_reach_table(g: SparkGraph, weight, sources):
+    """Per (source, target≠source) reach rows for the weighted reaching
+    centralities: ``(source, id, wsum, hops)`` along the shortest path
+    under the reference's INVERTED metric (``reaching.py:123``:
+    ``as_distance = total_weight / w`` — strong edges are short). The
+    relaxation carries a lexicographic struct (dist, hops, wsum) so the
+    per-path average weight ``wsum / hops`` is deterministic; the
+    reference's tie choice among equal-distance paths is dict-order
+    arbitrary, so only tie-free fixtures are parity-comparable."""
+    from linkgraph.graph import resolve_weight_column
+    from linkgraph.iterutils import SuperstepCache
 
-    One batched multi-source BFS; ``sources=`` restricts the sweep (the
+    base = g.edges if g.directed else g.symmetric_edges()
+    arcs = (
+        base.select(
+            "src", "dst", resolve_weight_column(base, weight).alias("w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("w").alias("w"))
+        .persist()
+    )
+    if arcs.filter(F.col("w") <= 0).limit(1).count():
+        arcs.unpersist()
+        raise NetworkXError("edge weights must be positive")
+    total_w = float(
+        g.edges.select(resolve_weight_column(g.edges, weight).alias("w"))
+        .agg(F.sum("w"))
+        .first()[0]
+        or 0.0
+    )
+    if total_w <= 0:
+        arcs.unpersist()
+        raise NetworkXError("Size of G must be positive")
+    warcs = arcs.select(
+        "src", "dst", "w", (F.lit(total_w) / F.col("w")).alias("inv")
+    )
+    spark = g.spark
+    cache = SuperstepCache(spark)
+    src_df = (
+        g.vertices.select(F.col("id").alias("source"))
+        if sources is None
+        else sources.select(
+            F.col(sources.columns[0]).cast("long").alias("source")
+        )
+    )
+    init = src_df.select(
+        "source",
+        F.col("source").alias("id"),
+        F.struct(
+            F.lit(0.0).alias("dist"),
+            F.lit(0).cast("long").alias("hops"),
+            F.lit(0.0).alias("wsum"),
+        ).alias("s"),
+    )
+    state = cache.truncate(init)
+    frontier = state
+    while True:
+        cand = (
+            warcs.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(
+                "source",
+                F.col("dst").alias("id"),
+                F.struct(
+                    (F.col("s.dist") + F.col("inv")).alias("dist"),
+                    (F.col("s.hops") + F.lit(1)).alias("hops"),
+                    (F.col("s.wsum") + F.col("w")).alias("wsum"),
+                ).alias("s"),
+            )
+            .groupBy("source", "id")
+            .agg(F.min("s").alias("s"))
+        )
+        improved = cache.truncate(
+            cand.join(
+                state.select("source", "id", F.col("s").alias("_old")),
+                ["source", "id"],
+                "left",
+            )
+            .filter(F.col("_old").isNull() | (F.col("s") < F.col("_old")))
+            .select("source", "id", "s")
+        )
+        if improved.limit(1).count() == 0:
+            cache.release(improved)
+            break
+        state = cache.truncate(
+            state.join(
+                improved.select("source", "id"), ["source", "id"], "left_anti"
+            ).unionByName(improved)
+        )
+        frontier = improved
+    out = state.filter(F.col("source") != F.col("id")).select(
+        "source", "id", F.col("s.wsum").alias("wsum"), F.col("s.hops").alias("hops")
+    )
+    out = out.localCheckpoint(eager=True)
+    arcs.unpersist()
+    cache.close()
+    return out, total_w
+
+
+def local_reaching_centrality(
+    g: SparkGraph,
+    *,
+    sources: Optional[DataFrame] = None,
+    weight=None,
+    normalized: bool = True,
+) -> DataFrame:
+    """(id, lrc): local reaching centrality
+    (``networkx/algorithms/centrality/reaching.py:121``). Unweighted
+    directed graphs: the fraction of the other nodes reachable from each
+    node. Undirected graphs: the reference sums the per-path average
+    weight ``1/d(v, u)``, i.e. ``Σ_{u≠v} 1/d(v, u) / (n − 1)`` — the
+    outward harmonic sum. ``weight=`` follows the reference exactly:
+    paths minimize the INVERTED metric total_weight/w (strong edges are
+    short), each reached target contributes its path's average original
+    weight, and ``normalized`` divides by total_weight/m.
+
+    One batched multi-source sweep; ``sources=`` restricts it (the
     landmark estimator for web scale — exact all-pairs reachability is
     inherently O(n·reach), the same cost the reference pays per call).
     """
@@ -220,6 +326,26 @@ def local_reaching_centrality(
     n = g.number_of_nodes()
     if n <= 1:
         raise NetworkXError("local_reaching_centrality is undefined on <2 nodes.")
+    base = (
+        g.vertices.select("id")
+        if sources is None
+        else sources.select(F.col(sources.columns[0]).cast("long").alias("id"))
+    )
+    if weight is not None:
+        reach, total_w = _weighted_reach_table(g, weight, sources)
+        m = g.edges.count()
+        norm = total_w / m if normalized else 1.0
+        agg = reach.groupBy(F.col("source").alias("id")).agg(
+            F.sum(F.col("wsum") / F.col("hops")).alias("m")
+        )
+        return base.join(agg, "id", "left").select(
+            "id",
+            (
+                F.coalesce(F.col("m"), F.lit(0.0))
+                / F.lit(float(norm))
+                / F.lit(float(n - 1))
+            ).alias("lrc"),
+        )
     pairs = all_pairs_shortest_path_lengths(g, sources).filter(
         F.col("distance") > 0
     )
@@ -229,11 +355,6 @@ def local_reaching_centrality(
         else F.sum(1.0 / F.col("distance")).alias("m")
     )
     reached = pairs.groupBy(F.col("source").alias("id")).agg(measure)
-    base = (
-        g.vertices.select("id")
-        if sources is None
-        else sources.select(F.col(sources.columns[0]).cast("long").alias("id"))
-    )
     return base.join(reached, "id", "left").select(
         "id",
         (F.coalesce(F.col("m"), F.lit(0.0)) / F.lit(float(n - 1))).alias("lrc"),
@@ -241,12 +362,19 @@ def local_reaching_centrality(
 
 
 def global_reaching_centrality(
-    g: SparkGraph, *, sources: Optional[DataFrame] = None
+    g: SparkGraph,
+    *,
+    sources: Optional[DataFrame] = None,
+    weight=None,
+    normalized: bool = True,
 ) -> float:
-    """``Σ_v (max lrc − lrc(v)) / (n − 1)`` (``reaching.py:14``,
-    unweighted). With ``sources=`` both the max and the sum run over the
-    landmark set (and the denominator is its size − 1)."""
-    lrc = local_reaching_centrality(g, sources=sources).persist()
+    """``Σ_v (max lrc − lrc(v)) / (n − 1)`` (``reaching.py:14``;
+    ``weight``/``normalized`` thread into the per-node lrc exactly like
+    the reference). With ``sources=`` both the max and the sum run over
+    the landmark set (and the denominator is its size − 1)."""
+    lrc = local_reaching_centrality(
+        g, sources=sources, weight=weight, normalized=normalized
+    ).persist()
     try:
         row = lrc.agg(
             F.max("lrc").alias("mx"),

@@ -361,3 +361,38 @@ def test_kwarg_parity_extras(spark):
     assert closeness_vitality(g, 2, wiener_index=wi) == pytest.approx(
         nx.closeness_vitality(G, node=2)
     )
+
+
+def test_weighted_reaching_centrality(spark):
+    from linkgraph.algos.hierarchy import (
+        local_reaching_centrality, global_reaching_centrality,
+    )
+
+    D = nx.DiGraph()
+    # distinct weights -> unique shortest paths under the inverted metric
+    for u, v, w in [(0, 1, 2.0), (0, 2, 7.0), (1, 3, 3.0), (2, 3, 1.0),
+                    (3, 4, 5.0), (1, 4, 11.0)]:
+        D.add_edge(u, v, weight=w)
+    g = from_nx(spark, D)
+    for norm in (True, False):
+        got = {
+            r["id"]: r["lrc"]
+            for r in local_reaching_centrality(
+                g, weight="weight", normalized=norm
+            ).collect()
+        }
+        for v in D:
+            want = nx.local_reaching_centrality(
+                D, v, weight="weight", normalized=norm
+            )
+            assert got[v] == pytest.approx(want, abs=1e-9), (v, norm)
+        assert global_reaching_centrality(
+            g, weight="weight", normalized=norm
+        ) == pytest.approx(
+            nx.global_reaching_centrality(D, weight="weight", normalized=norm),
+            abs=1e-9,
+        )
+    # unweighted stays green
+    assert global_reaching_centrality(g) == pytest.approx(
+        nx.global_reaching_centrality(D)
+    )
