@@ -232,7 +232,8 @@ def edge_boundary(
 
 
 def local_bridges(
-    g: SparkGraph, *, with_span: bool = False, max_span: int = 10
+    g: SparkGraph, *, with_span: bool = False, max_span: int = 10,
+    weight=None,
 ) -> DataFrame:
     """Edges (u, v) whose endpoints have no common neighbor
     (``bridges.py:160``), canonical u < v.
@@ -259,6 +260,8 @@ def local_bridges(
         return bridges.select("u", "v")
 
     bridges = bridges.persist()
+    if weight is not None:
+        return _local_bridge_spans_weighted(g, bridges, weight)
     arcs = sym.select(F.col("u").alias("a_src"), F.col("v").alias("a_dst"))
     cache = SuperstepCache(g.spark)
     # state: one BFS per bridge pair, rooted at u, looking for v,
@@ -299,6 +302,76 @@ def local_bridges(
         return out
     finally:
         cache.close()
+        bridges.unpersist()
+
+
+def _local_bridge_spans_weighted(g, bridges, weight):
+    """Weighted spans for the local bridges (the reference's ``weight=``:
+    span = Dijkstra distance between the endpoints with the edge
+    removed): one relaxation fixpoint keyed by bridge pair, each pair's
+    own edge filtered from its copy of the arc table."""
+    from linkgraph.graph import resolve_weight_column
+    from linkgraph.iterutils import SuperstepCache
+
+    base = g.symmetric_edges().filter(F.col("src") != F.col("dst"))
+    warcs = (
+        base.select(
+            F.col("src").alias("a_src"),
+            F.col("dst").alias("a_dst"),
+            resolve_weight_column(base, weight).alias("w"),
+        )
+        .groupBy("a_src", "a_dst")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    cache = SuperstepCache(g.spark)
+    state = cache.truncate(
+        bridges.select("u", "v", F.col("u").alias("id"), F.lit(0.0).alias("d"))
+    )
+    frontier = state
+    try:
+        while True:
+            cand = (
+                frontier.join(warcs, frontier["id"] == F.col("a_src"))
+                .filter(
+                    ~(
+                        (F.least(F.col("id"), F.col("a_dst")) == F.col("u"))
+                        & (F.greatest(F.col("id"), F.col("a_dst")) == F.col("v"))
+                    )
+                )
+                .select(
+                    "u", "v", F.col("a_dst").alias("id"),
+                    (F.col("d") + F.col("w")).alias("d"),
+                )
+                .groupBy("u", "v", "id")
+                .agg(F.min("d").alias("d"))
+            )
+            improved = cache.truncate(
+                cand.join(
+                    state.select("u", "v", "id", F.col("d").alias("_old")),
+                    ["u", "v", "id"],
+                    "left",
+                )
+                .filter(F.col("_old").isNull() | (F.col("d") < F.col("_old")))
+                .select("u", "v", "id", "d")
+            )
+            if improved.limit(1).count() == 0:
+                cache.release(improved)
+                break
+            state = cache.truncate(
+                state.join(
+                    improved.select("u", "v", "id"), ["u", "v", "id"], "left_anti"
+                ).unionByName(improved)
+            )
+            frontier = improved
+        spans = state.filter(F.col("id") == F.col("v")).select(
+            "u", "v", F.col("d").alias("span")
+        )
+        out = bridges.join(spans, ["u", "v"], "left").select("u", "v", "span")
+        return out.localCheckpoint()
+    finally:
+        cache.close()
+        warcs.unpersist()
         bridges.unpersist()
 
 

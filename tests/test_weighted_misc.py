@@ -396,3 +396,31 @@ def test_weighted_reaching_centrality(spark):
     assert global_reaching_centrality(g) == pytest.approx(
         nx.global_reaching_centrality(D)
     )
+
+
+def test_weighted_local_bridges_span(spark):
+    import math
+
+    from linkgraph.algos.neighborhood import local_bridges
+
+    G = nx.Graph()
+    # a bridge (3,4) between two triangles plus a weighted detour
+    for u, v, w in [(0, 1, 1.0), (1, 2, 2.0), (2, 0, 3.0), (2, 3, 1.0),
+                    (3, 4, 5.0), (4, 5, 1.0), (5, 6, 2.0), (6, 4, 3.0),
+                    (0, 6, 10.0)]:
+        G.add_edge(u, v, weight=w)
+    g = from_nx(spark, G)
+    want = {
+        (min(u, v), max(u, v)): s
+        for u, v, s in nx.local_bridges(G, weight="weight")
+    }
+    got = {
+        (r["u"], r["v"]): r["span"]
+        for r in local_bridges(g, with_span=True, weight="weight").collect()
+    }
+    assert set(got) == set(want)
+    for k, s in want.items():
+        if math.isinf(s):
+            assert got[k] is None, k
+        else:
+            assert got[k] == pytest.approx(s), k
