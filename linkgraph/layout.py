@@ -135,15 +135,17 @@ def spiral_layout(
 
 
 def _deflated_eigvec(g, against: "list[DataFrame]", seed: int,
-                     tol: float, max_iter: int) -> DataFrame:
+                     tol: float, max_iter: int, weight=None) -> DataFrame:
     """One more nontrivial Laplacian eigenvector: inverse power iteration
     (the fiedler CG kernel) orthogonalized against the given unit vectors
-    and the ones vector each step."""
+    and the ones vector each step. ``weight`` selects the Laplacian's
+    edge weights (None → the blessed weight column, the reference
+    spectral_layout default)."""
     from linkgraph.algos.currentflow import _batched_cg_diag
     from linkgraph.graph import resolve_weight_column
 
     spark = g.spark
-    wcol = resolve_weight_column(g.edges, None)
+    wcol = resolve_weight_column(g.edges, weight)
     base = (
         g.symmetric_edges()
         .select("src", "dst", F.abs(wcol).alias("c"))
@@ -216,7 +218,7 @@ def _deflated_eigvec(g, against: "list[DataFrame]", seed: int,
 
 def spectral_layout(
     g: SparkGraph, dim: int = 2, *, tol: float = 1e-8, max_iter: int = 100,
-    seed: int = 42, scale: float = 1.0,
+    seed: int = 42, scale: float = 1.0, weight: "Optional[str]" = "weight",
 ) -> DataFrame:
     """``layout.py`` ``spectral_layout`` — coordinates from the first
     ``dim`` nontrivial Laplacian eigenvectors (same subspace the
@@ -228,7 +230,7 @@ def spectral_layout(
     for d in range(int(dim)):
         axes.append(
             _deflated_eigvec(g, axes, seed=seed + 17 * d, tol=tol,
-                             max_iter=max_iter)
+                             max_iter=max_iter, weight=weight)
         )
     pos = g.vertices.select("id")
     for d, vec in enumerate(axes):
