@@ -74,28 +74,50 @@ def _ids(nbunch: DataFrame) -> DataFrame:
 
 
 def average_neighbor_degree(
-    g: SparkGraph, *, weight: Optional[str] = None
+    g: SparkGraph,
+    source: str = "out",
+    target: str = "out",
+    nodes=None,
+    *,
+    weight: Optional[str] = None,
 ) -> DataFrame:
     """(id, avg_nbr_deg): mean (weighted) degree of each node's neighbors
-    (``neighbor_degree.py:10``; source/target both the full neighborhood).
+    (``neighbor_degree.py:10``).
 
-    One arc⋈degree join + one aggregation; for the weighted form each
-    neighbor's degree is weighted by the connecting edge's weight and
-    normalized by the node's strength, matching the reference. Directed
-    graphs use the reference defaults source="out", target="out"
-    (successors, out-degree).
+    ``source`` picks the neighborhood ("out" successors / "in"
+    predecessors / "in+out" both — directed only) and the normalizer
+    (that direction's degree, strength when weighted); ``target`` picks
+    which UNWEIGHTED degree of each neighbor is averaged (the reference:
+    "the target degree should not be weighted"); ``weight`` scales every
+    term by the connecting edge weight; ``nodes`` restricts the output.
+    One arc⋈degree join + one aggregation.
     """
-    sym = g.symmetric_edges()
-    # target degree is NEVER weighted (neighbor_degree.py "should *not* be
-    # weighted degree"); weight only scales each term and the normalizer.
-    if g.directed:
-        from linkgraph.algos.degrees import out_degrees
+    from linkgraph.algos.degrees import in_degrees, out_degrees
 
-        deg = out_degrees(g)
+    if not g.directed:
+        arcs = g.symmetric_edges()
+        tdeg = degrees(g)
     else:
-        deg = degrees(g)
-    nbr_deg = sym.join(
-        deg.select(F.col("id").alias("dst"), F.col("degree").alias("ndeg")), "dst"
+        if source not in ("in", "out", "in+out") or target not in (
+            "in", "out", "in+out"
+        ):
+            raise NetworkXError(
+                'source and target must be one of "in", "out", "in+out"'
+            )
+        fwd = g.edges
+        rev = g.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            *[c for c in g.edges.columns if c not in ("src", "dst")],
+        )
+        arcs = {"out": fwd, "in": rev, "in+out": fwd.unionByName(rev)}[source]
+        tdeg = {
+            "out": out_degrees(g),
+            "in": in_degrees(g),
+            "in+out": degrees(g),  # directed G.degree = in+out
+        }[target]
+    nbr_deg = arcs.join(
+        tdeg.select(F.col("id").alias("dst"), F.col("degree").alias("ndeg")),
+        "dst",
     )
     if weight is not None:
         num = F.sum(F.col(weight) * F.col("ndeg"))
@@ -106,11 +128,15 @@ def average_neighbor_degree(
     agg = nbr_deg.groupBy(F.col("src").alias("id")).agg(
         (num / den).alias("avg_nbr_deg")
     )
-    return (
+    out = (
         g.vertices.select("id")
         .join(agg, "id", "left")
         .select("id", F.coalesce("avg_nbr_deg", F.lit(0.0)).alias("avg_nbr_deg"))
     )
+    if nodes is not None:
+        keep = g.spark.createDataFrame([(int(x),) for x in nodes], "id long")
+        out = out.join(keep, "id", "left_semi")
+    return out
 
 
 def average_degree_connectivity(g: SparkGraph, weight=None) -> DataFrame:
@@ -703,22 +729,45 @@ def harmonic_diameter(g: SparkGraph, weight=None) -> float:
 
 
 def closeness_vitality(
-    g: SparkGraph, node: int, weight=None, wiener_index: "float | None" = None
-) -> float:
+    g: SparkGraph,
+    node: "int | None" = None,
+    weight=None,
+    wiener_index: "float | None" = None,
+    *,
+    max_nodes: int = 200,
+):
     """Wiener-index drop when ``node`` is removed —
-    ``networkx/algorithms/vitality.py:11`` (single-node form; the
-    reference's all-nodes dict runs n+1 all-pairs sweeps, which is the
-    definition's cost — call per node of interest). Two APSP aggregates;
-    ``weight=`` threads through both."""
+    ``networkx/algorithms/vitality.py:11``. With a node: a float (two
+    APSP aggregates). ``node=None`` is the reference's all-nodes form —
+    n+1 all-pairs sweeps by definition (the reference pays the same), so
+    the node count is guarded by ``max_nodes``; returns a DataFrame
+    ``(id, closeness_vitality)``. ``weight=`` threads through every
+    sweep; ``wiener_index=`` reuses a precomputed W(G)."""
     before = (
         wiener_index if wiener_index is not None
         else globals()["wiener_index"](g, weight=weight)
     )
-    after = globals()["wiener_index"](
-        g.remove_nodes(g.spark.createDataFrame([(int(node),)], "id bigint")),
-        weight=weight,
-    )
-    return before - after
+    if node is not None:
+        after = globals()["wiener_index"](
+            g.remove_nodes(g.spark.createDataFrame([(int(node),)], "id bigint")),
+            weight=weight,
+        )
+        return before - after
+    ids = sorted(r["id"] for r in g.vertices.select("id").collect())
+    if len(ids) > max_nodes:
+        raise ValueError(
+            f"closeness_vitality(node=None) runs {len(ids)}+1 all-pairs "
+            f"sweeps (the definition's cost); {len(ids)} nodes > "
+            f"max_nodes={max_nodes} — call per node of interest instead"
+        )
+    rows = []
+    for v in ids:
+        after = globals()["wiener_index"](
+            g.remove_nodes(g.spark.createDataFrame([(int(v),)], "id bigint")),
+            weight=weight,
+        )
+        rows.append((int(v), float(before - after)))
+    return g.spark.createDataFrame(rows, "id long, closeness_vitality double")
 
 
 def group_degree_centrality(g: SparkGraph, S: DataFrame) -> float:

@@ -424,3 +424,44 @@ def test_weighted_local_bridges_span(spark):
             assert got[k] is None, k
         else:
             assert got[k] == pytest.approx(s), k
+
+
+def test_average_neighbor_degree_variants(spark):
+    from linkgraph.algos.neighborhood import average_neighbor_degree
+
+    D = nx.DiGraph()
+    for u, v, w in [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 3.0), (1, 3, 4.0),
+                    (3, 2, 1.0)]:
+        D.add_edge(u, v, weight=w)
+    g = from_nx(spark, D)
+    for src in ("in", "out", "in+out"):
+        for tgt in ("in", "out", "in+out"):
+            for w in (None, "weight"):
+                want = nx.average_neighbor_degree(
+                    D, source=src, target=tgt, weight=w
+                )
+                got = {
+                    r["id"]: r["avg_nbr_deg"]
+                    for r in average_neighbor_degree(
+                        g, source=src, target=tgt, weight=w
+                    ).collect()
+                }
+                for v in want:
+                    assert got[v] == pytest.approx(want[v]), (v, src, tgt, w)
+    # nodes filter
+    sub = average_neighbor_degree(g, nodes=[1, 2]).collect()
+    assert {r["id"] for r in sub} == {1, 2}
+
+
+def test_closeness_vitality_all_nodes(spark):
+    from linkgraph.algos.neighborhood import closeness_vitality
+
+    G = _wG()
+    g = from_nx(spark, G)
+    want = nx.closeness_vitality(G)
+    got = {
+        r["id"]: r["closeness_vitality"]
+        for r in closeness_vitality(g).collect()
+    }
+    for v in want:
+        assert got[v] == pytest.approx(want[v]), v
