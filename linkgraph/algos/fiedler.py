@@ -41,6 +41,7 @@ def _fiedler_state(
     tol: float,
     max_iter: int,
     seed: int,
+    normalized: bool = False,
 ) -> "tuple[DataFrame, float]":
     from linkgraph.algos.components import is_connected
     from linkgraph.algos.currentflow import _batched_cg_diag
@@ -70,17 +71,54 @@ def _fiedler_state(
         "id", F.coalesce("d", F.lit(0.0)).alias("d")
     )
 
-    # deterministic pseudo-random start, mean-centered
+    null = None  # normalized Laplacian's kernel direction D^{1/2}·1
+    if normalized:
+        # L_norm = D^{-1/2} L D^{-1/2}: unit diagonal (connected ⇒ no
+        # isolated nodes), off-diagonals scaled by 1/sqrt(d_u d_v); the
+        # constant null vector becomes sqrt(d), so deflation projects
+        # against it instead of mean-centering.
+        dsr = diag.select("id", F.sqrt(F.col("d")).alias("sq")).persist()
+        scaled = (
+            base.join(
+                dsr.select(F.col("id").alias("src"), F.col("sq").alias("_su")),
+                "src",
+            )
+            .join(
+                dsr.select(F.col("id").alias("dst"), F.col("sq").alias("_sv")),
+                "dst",
+            )
+            .select(
+                "src", "dst",
+                (F.col("c") / (F.col("_su") * F.col("_sv"))).alias("c"),
+            )
+            .persist()
+        )
+        base.unpersist()
+        base = scaled
+        diag = verts.select("id", F.lit(1.0).alias("d"))
+        nn = dsr.agg(F.sqrt(F.sum(F.col("sq") * F.col("sq")))).first()[0]
+        null = dsr.select("id", (F.col("sq") / F.lit(float(nn))).alias("w")).persist()
+
+    # deterministic pseudo-random start, deflated against the kernel
     x = verts.select(
         "id",
         (F.xxhash64("id", F.lit(seed)).cast("double") / F.lit(2.0**63)).alias("v"),
     )
 
     def center_normalize(df):
-        stats = df.agg(
-            F.avg("v").alias("mu"), F.count(F.lit(1)).alias("n")
-        ).collect()[0]
-        c = df.select("id", (F.col("v") - F.lit(float(stats["mu"]))).alias("v"))
+        if null is None:
+            mu = df.agg(F.avg("v")).collect()[0][0]
+            c = df.select("id", (F.col("v") - F.lit(float(mu))).alias("v"))
+        else:
+            dot = (
+                df.join(null, "id")
+                .agg(F.sum(F.col("v") * F.col("w")))
+                .first()[0]
+                or 0.0
+            )
+            c = df.join(null, "id").select(
+                "id", (F.col("v") - F.lit(float(dot)) * F.col("w")).alias("v")
+            )
         nrm = c.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("s")).collect()[0][
             "s"
         ]
@@ -123,16 +161,22 @@ def _fiedler_state(
 def fiedler_vector(
     g: SparkGraph,
     weight=None,
+    normalized: bool = False,
     *,
     tol: float = 1e-8,
     max_iter: int = 100,
     seed: int = 42,
+    method=None,
 ) -> DataFrame:
     """(id, value): the unit-norm eigenvector of the second-smallest
-    Laplacian eigenvalue (``algebraicconnectivity.py:445``). Sign is
-    normalized so the smallest node id carries a non-negative value (the
-    reference's sign is solver-dependent; eigenvectors are sign-free)."""
-    x, _ = _fiedler_state(g, weight, tol, max_iter, seed)
+    Laplacian eigenvalue (``algebraicconnectivity.py:445``;
+    ``normalized=True`` uses D^{-1/2} L D^{-1/2}). ``method`` is accepted
+    for signature parity — every reference method converges to the same
+    eigenpair; the engine always runs the distributed inverse-power/CG
+    kernel. Sign is normalized so the smallest node id carries a
+    non-negative value (the reference's sign is solver-dependent;
+    eigenvectors are sign-free)."""
+    x, _ = _fiedler_state(g, weight, tol, max_iter, seed, normalized)
     head = x.orderBy("id").limit(1).collect()[0]["v"]
     if head < 0:
         x = x.select("id", (-F.col("v")).alias("v"))
@@ -142,13 +186,17 @@ def fiedler_vector(
 def algebraic_connectivity(
     g: SparkGraph,
     weight=None,
+    normalized: bool = False,
     *,
     tol: float = 1e-8,
     max_iter: int = 100,
     seed: int = 42,
+    method=None,
 ) -> float:
-    """λ₂ of the (weighted) Laplacian (``algebraicconnectivity.py:385``)."""
-    _, lam = _fiedler_state(g, weight, tol, max_iter, seed)
+    """λ₂ of the (weighted) Laplacian (``algebraicconnectivity.py:385``);
+    ``normalized=True`` → λ₂ of D^{-1/2} L D^{-1/2}. ``method`` accepted
+    for parity (all reference methods compute the same value)."""
+    _, lam = _fiedler_state(g, weight, tol, max_iter, seed, normalized)
     return lam
 
 

@@ -465,3 +465,38 @@ def test_closeness_vitality_all_nodes(spark):
     }
     for v in want:
         assert got[v] == pytest.approx(want[v]), v
+
+
+def test_normalized_algebraic_connectivity(spark):
+    import numpy as np
+
+    from linkgraph.algos.fiedler import algebraic_connectivity, fiedler_vector
+
+    G = _wG()
+    g = from_nx(spark, G)
+    nodes = sorted(G)
+    idx = {n: i for i, n in enumerate(nodes)}
+    L = np.zeros((len(nodes), len(nodes)))
+    for u, v, d in G.edges(data=True):
+        w = d["weight"]
+        L[idx[u], idx[u]] += w
+        L[idx[v], idx[v]] += w
+        L[idx[u], idx[v]] -= w
+        L[idx[v], idx[u]] -= w
+    dinv = np.diag(1.0 / np.sqrt(np.diag(L)))
+    Ln = dinv @ L @ dinv
+    lam2 = np.sort(np.linalg.eigvalsh(Ln))[1]
+    got = algebraic_connectivity(g, weight="weight", normalized=True)
+    assert got == pytest.approx(lam2, rel=1e-5)
+    # the vector satisfies the eigen equation and is sqrt(d)-orthogonal
+    fv = {r["id"]: r["value"] for r in
+          fiedler_vector(g, weight="weight", normalized=True).collect()}
+    v = np.array([fv[n] for n in nodes])
+    assert np.linalg.norm(Ln @ v - lam2 * v) < 1e-4
+    sq = np.sqrt(np.diag(L))
+    assert abs(v @ sq) < 1e-6
+    # unnormalized path still matches the plain lambda2
+    lam2p = np.sort(np.linalg.eigvalsh(L))[1]
+    assert algebraic_connectivity(g, weight="weight") == pytest.approx(
+        lam2p, rel=1e-5
+    )
