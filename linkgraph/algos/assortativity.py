@@ -82,11 +82,18 @@ def degree_assortativity_coefficient(g: SparkGraph, weight=None) -> float:
     return joined.agg(F.corr(F.col("dx").cast("double"), F.col("dy").cast("double"))).first()[0]
 
 
-def _attr_arcs(g: SparkGraph, attribute: str):
+def _attr_arcs(g: SparkGraph, attribute: str, nodes=None):
     """(xa, xb): attribute values at the two ends of every arc (both
-    orientations for undirected — the symmetrized mixing matrix)."""
+    orientations for undirected — the symmetrized mixing matrix).
+    ``nodes`` keeps only arcs whose SOURCE endpoint is in the set, the
+    reference's ``node_attribute_xy`` restriction."""
     vals = g.node_data(attribute).withColumnRenamed(attribute, "_x")
     arcs = g.symmetric_edges().select("src", "dst")
+    if nodes is not None:
+        keep = g.spark.createDataFrame(
+            [(int(x),) for x in nodes], "src long"
+        )
+        arcs = arcs.join(keep, "src", "left_semi")
     return (
         arcs.join(vals.select(F.col("id").alias("src"), F.col("_x").alias("xa")), "src")
         .join(vals.select(F.col("id").alias("dst"), F.col("_x").alias("xb")), "dst")
@@ -94,7 +101,9 @@ def _attr_arcs(g: SparkGraph, attribute: str):
     )
 
 
-def attribute_assortativity_coefficient(g: SparkGraph, attribute: str) -> float:
+def attribute_assortativity_coefficient(
+    g: SparkGraph, attribute: str, nodes=None
+) -> float:
     """Categorical assortativity over a node attribute column
     (``correlation.py:192``): r = (tr e − Σ(e·e)) / (1 − Σ(e·e)) for the
     edge-wise joint distribution e of attribute pairs.
@@ -103,7 +112,7 @@ def attribute_assortativity_coefficient(g: SparkGraph, attribute: str) -> float:
     Σ_z rowsum(z)·colsum(z) — so the whole coefficient is three
     aggregations over the attribute-pair arc table, no matrices.
     """
-    pairs = _attr_arcs(g, attribute).persist()
+    pairs = _attr_arcs(g, attribute, nodes).persist()
     total = pairs.count()
     if total == 0:
         pairs.unpersist()
@@ -140,7 +149,7 @@ def numeric_assortativity_coefficient(g: SparkGraph, attribute: str) -> float:
 
 
 def attribute_mixing(
-    g: SparkGraph, attribute: str, *, normalized: bool = False
+    g: SparkGraph, attribute: str, *, nodes=None, normalized: bool = False
 ):
     """(x, y, n|p): the attribute mixing matrix in long form —
     ``networkx/algorithms/assortativity/mixing.py:63``
@@ -150,7 +159,7 @@ def attribute_mixing(
     self-loops once; directed arcs once. One arc⋈attr join + hash
     aggregation; zero-count cells are absent (relational long form instead
     of the dict-of-dicts)."""
-    pairs = _attr_arcs(g, attribute)
+    pairs = _attr_arcs(g, attribute, nodes)
     counts = pairs.groupBy(
         F.col("xa").alias("x"), F.col("xb").alias("y")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -254,11 +263,20 @@ def degree_mixing_dict(g: SparkGraph, weight=None) -> dict:
     return out
 
 
-def attribute_mixing_dict(g: SparkGraph, attribute: str) -> dict:
-    """{x: {y: count}} (``mixing.py:13`` ``attribute_mixing_dict``)."""
+def attribute_mixing_dict(
+    g: SparkGraph, attribute: str, nodes=None, normalized: bool = False
+) -> dict:
+    """{x: {y: count-or-probability}} (``mixing.py:13``
+    ``attribute_mixing_dict``; ``nodes``/``normalized`` per the
+    reference)."""
     out: dict = {}
-    for r in attribute_mixing(g, attribute).collect():
-        out.setdefault(r["x"], {})[r["y"]] = int(r["n"])
+    key = "p" if normalized else "n"
+    for r in attribute_mixing(
+        g, attribute, nodes=nodes, normalized=normalized
+    ).collect():
+        out.setdefault(r["x"], {})[r["y"]] = (
+            float(r[key]) if normalized else int(r[key])
+        )
     return out
 
 
@@ -300,15 +318,23 @@ def degree_mixing_matrix(
     return M, idx
 
 
-def attribute_mixing_matrix(g: SparkGraph, attribute: str, *, normalized: bool = True):
+def attribute_mixing_matrix(
+    g: SparkGraph, attribute: str, *, nodes=None, mapping=None,
+    normalized: bool = True,
+):
     """(matrix, mapping) — dense attribute mixing matrix
-    (``mixing.py:61``)."""
+    (``mixing.py:61``; ``mapping`` pins value → index like the
+    reference, ``nodes`` restricts the arc sweep)."""
     import numpy as np
 
-    rows = attribute_mixing(g, attribute).collect()
-    vals = sorted({r["x"] for r in rows} | {r["y"] for r in rows})
-    idx = {v: i for i, v in enumerate(vals)}
-    M = np.zeros((len(vals), len(vals)))
+    rows = attribute_mixing(g, attribute, nodes=nodes).collect()
+    if mapping is not None:
+        idx = dict(mapping)
+    else:
+        vals = sorted({r["x"] for r in rows} | {r["y"] for r in rows})
+        idx = {v: i for i, v in enumerate(vals)}
+    k = max(idx.values()) + 1 if idx else 0
+    M = np.zeros((k, k))
     for r in rows:
         M[idx[r["x"]], idx[r["y"]]] = r["n"]
     if normalized and M.sum() > 0:

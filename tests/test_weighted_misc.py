@@ -500,3 +500,38 @@ def test_normalized_algebraic_connectivity(spark):
     assert algebraic_connectivity(g, weight="weight") == pytest.approx(
         lam2p, rel=1e-5
     )
+
+
+def test_attribute_mixing_kwargs(spark):
+    from linkgraph.graph import SparkGraph
+    from linkgraph.algos.assortativity import (
+        attribute_assortativity_coefficient,
+        attribute_mixing_dict,
+        attribute_mixing_matrix,
+    )
+
+    G = nx.Graph([(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])
+    colors = {0: "r", 1: "b", 2: "r", 3: "b"}
+    nx.set_node_attributes(G, colors, "color")
+    edf = spark.createDataFrame(list(G.edges()), "src long, dst long")
+    vdf = spark.createDataFrame(
+        [(n, c) for n, c in colors.items()], "id long, color string"
+    )
+    g = SparkGraph(edf, vertices=vdf, directed=False, coalesce_edges=False)
+    sub = [0, 1, 2]
+    assert attribute_assortativity_coefficient(
+        g, "color", nodes=sub
+    ) == pytest.approx(
+        nx.attribute_assortativity_coefficient(G, "color", nodes=sub)
+    )
+    got = attribute_mixing_dict(g, "color", normalized=True)
+    want = nx.attribute_mixing_dict(G, "color", normalized=True)
+    for x in want:
+        for y in want[x]:
+            assert got[x][y] == pytest.approx(want[x][y]), (x, y)
+    mapping = {"r": 0, "b": 1}
+    M, idx = attribute_mixing_matrix(g, "color", mapping=mapping)
+    import numpy as np
+    Mref = nx.attribute_mixing_matrix(G, "color", mapping=mapping)
+    assert np.allclose(M, Mref)
+    assert idx == mapping
