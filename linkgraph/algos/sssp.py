@@ -404,7 +404,8 @@ def floyd_warshall(g: SparkGraph, *, weight=None, sources=None) -> DataFrame:
 
 
 def _astar(
-    g: SparkGraph, source, target, heuristic, weight, max_driver_edges: int
+    g: SparkGraph, source, target, heuristic, weight, max_driver_edges: int,
+    cutoff=None,
 ):
     """Textbook A* on a driver-collected weighted arc list (size-guarded).
 
@@ -470,6 +471,8 @@ def _astar(
                     continue
             else:
                 hval = h(nbr, target)
+            if cutoff and ncost + hval > cutoff:
+                continue
             enqueued[nbr] = ncost, hval
             heapq.heappush(queue, (ncost + hval, next(c), nbr, ncost, cur))
     raise NetworkXError(f"Node {target} not reachable from {source}")
@@ -482,13 +485,18 @@ def astar_path(
     heuristic=None,
     *,
     weight=None,
+    cutoff=None,
     max_driver_edges: int = 5_000_000,
 ) -> DataFrame:
     """(order, id): nodes of a minimum-weight source→target path under an
     admissible ``heuristic(u, target)`` (``astar.py:22`` ``astar_path``) —
     identical path cost to the reference; tie paths may differ by heap
-    order, so tests pin the COST, the endpoints, and edge validity."""
-    path, _ = _astar(g, source, target, heuristic, weight, max_driver_edges)
+    order, so tests pin the COST, the endpoints, and edge validity.
+    ``cutoff`` prunes nodes whose g+h exceeds it, exactly the reference's
+    rule (``astar.py:165``)."""
+    path, _ = _astar(
+        g, source, target, heuristic, weight, max_driver_edges, cutoff
+    )
     return g.spark.createDataFrame(
         [(i, int(v)) for i, v in enumerate(path)], "order int, id bigint"
     )
@@ -501,10 +509,13 @@ def astar_path_length(
     heuristic=None,
     *,
     weight=None,
+    cutoff=None,
     max_driver_edges: int = 5_000_000,
 ) -> float:
     """``astar.py:160`` ``astar_path_length`` — the cost of the A* path."""
-    _, dist = _astar(g, source, target, heuristic, weight, max_driver_edges)
+    _, dist = _astar(
+        g, source, target, heuristic, weight, max_driver_edges, cutoff
+    )
     return float(dist)
 
 

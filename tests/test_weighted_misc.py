@@ -535,3 +535,21 @@ def test_attribute_mixing_kwargs(spark):
     Mref = nx.attribute_mixing_matrix(G, "color", mapping=mapping)
     assert np.allclose(M, Mref)
     assert idx == mapping
+
+
+def test_astar_cutoff(spark):
+    from linkgraph.algos.sssp import astar_path_length
+    from linkgraph.exceptions import NetworkXError
+
+    G = _wG()
+    g = from_nx(spark, G)
+    want = nx.astar_path_length(G, 0, 4, weight="weight")
+    assert astar_path_length(g, 0, 4, weight="weight") == pytest.approx(want)
+    # generous cutoff: same answer; tight cutoff: unreachable, like nx
+    assert astar_path_length(
+        g, 0, 4, weight="weight", cutoff=want + 1
+    ) == pytest.approx(want)
+    with pytest.raises(NetworkXError):
+        astar_path_length(g, 0, 4, weight="weight", cutoff=want - 0.5)
+    with pytest.raises(nx.NetworkXNoPath):
+        nx.astar_path_length(G, 0, 4, weight="weight", cutoff=want - 0.5)
