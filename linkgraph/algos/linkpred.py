@@ -36,6 +36,18 @@ def _require_undirected(g: SparkGraph, fn: str):
         raise ValueError(f"{fn}: not implemented for directed type")
 
 
+def _ebunch_pairs(g: SparkGraph, pairs, ebunch):
+    """Merge the engine's ``pairs`` DataFrame spelling with the
+    reference's ``ebunch`` iterable-of-(u, v)-tuples spelling."""
+    if ebunch is None:
+        return pairs
+    if pairs is not None:
+        raise ValueError("pass either pairs= or ebunch=, not both")
+    return g.spark.createDataFrame(
+        [(int(u), int(v)) for u, v in ebunch], "u long, v long"
+    )
+
+
 def _sym(g: SparkGraph) -> DataFrame:
     """Symmetric simple neighbor arcs (id, nbr), self-loops dropped."""
     e = g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
@@ -97,18 +109,20 @@ def _pair_stats(g: SparkGraph, pairs: Optional[DataFrame]) -> DataFrame:
     )
 
 
-def common_neighbors(g: SparkGraph, pairs: Optional[DataFrame] = None) -> DataFrame:
+def common_neighbors(g: SparkGraph, pairs: Optional[DataFrame] = None, ebunch=None) -> DataFrame:
     """(u, v, common_neighbors BIGINT)."""
     _require_undirected(g, "common_neighbors")
+    pairs = _ebunch_pairs(g, pairs, ebunch)
     return _pair_stats(g, pairs).select(
         "u", "v", F.col("cn").cast("long").alias("common_neighbors")
     )
 
 
-def jaccard_coefficient(g: SparkGraph, pairs: Optional[DataFrame] = None) -> DataFrame:
+def jaccard_coefficient(g: SparkGraph, pairs: Optional[DataFrame] = None, ebunch=None) -> DataFrame:
     """(u, v, jaccard DOUBLE) — |∩| / |∪|, 0 when the union is empty
     (``link_prediction.py:150-153``)."""
     _require_undirected(g, "jaccard_coefficient")
+    pairs = _ebunch_pairs(g, pairs, ebunch)
     s = _pair_stats(g, pairs)
     union = F.col("du") + F.col("dv") - F.col("cn")
     return s.select(
@@ -121,21 +135,24 @@ def jaccard_coefficient(g: SparkGraph, pairs: Optional[DataFrame] = None) -> Dat
 
 
 def resource_allocation_index(
-    g: SparkGraph, pairs: Optional[DataFrame] = None
+    g: SparkGraph, pairs: Optional[DataFrame] = None, ebunch=None
 ) -> DataFrame:
     _require_undirected(g, "resource_allocation_index")
+    pairs = _ebunch_pairs(g, pairs, ebunch)
     return _pair_stats(g, pairs).select("u", "v", F.col("ra").alias("ra_index"))
 
 
-def adamic_adar_index(g: SparkGraph, pairs: Optional[DataFrame] = None) -> DataFrame:
+def adamic_adar_index(g: SparkGraph, pairs: Optional[DataFrame] = None, ebunch=None) -> DataFrame:
     _require_undirected(g, "adamic_adar_index")
+    pairs = _ebunch_pairs(g, pairs, ebunch)
     return _pair_stats(g, pairs).select("u", "v", F.col("aa").alias("aa_index"))
 
 
 def preferential_attachment(
-    g: SparkGraph, pairs: Optional[DataFrame] = None
+    g: SparkGraph, pairs: Optional[DataFrame] = None, ebunch=None
 ) -> DataFrame:
     _require_undirected(g, "preferential_attachment")
+    pairs = _ebunch_pairs(g, pairs, ebunch)
     return _pair_stats(g, pairs).select(
         "u", "v", (F.col("du") * F.col("dv")).cast("long").alias("pa")
     )
@@ -289,12 +306,13 @@ def _community_pair_stats(g: SparkGraph, community, pairs: Optional[DataFrame]):
 
 
 def cn_soundarajan_hopcroft(
-    g: SparkGraph, community, pairs: Optional[DataFrame] = None
+    g: SparkGraph, community, pairs: Optional[DataFrame] = None, ebunch=None
 ) -> DataFrame:
     """(u, v, score): common neighbors plus the same-community bonus —
     ``networkx/algorithms/link_prediction.py:462``. ``community`` is an
     (id, community) DataFrame or a node-attr column name."""
     _require_undirected(g, "cn_soundarajan_hopcroft")
+    pairs = _ebunch_pairs(g, pairs, ebunch)
     s = _community_pair_stats(g, community, pairs)
     return s.select(
         "u",
@@ -307,11 +325,12 @@ def cn_soundarajan_hopcroft(
 
 
 def ra_index_soundarajan_hopcroft(
-    g: SparkGraph, community, pairs: Optional[DataFrame] = None
+    g: SparkGraph, community, pairs: Optional[DataFrame] = None, ebunch=None
 ) -> DataFrame:
     """(u, v, score): resource allocation restricted to same-community
     shared neighbors, 0 across communities (``link_prediction.py:524``)."""
     _require_undirected(g, "ra_index_soundarajan_hopcroft")
+    pairs = _ebunch_pairs(g, pairs, ebunch)
     s = _community_pair_stats(g, community, pairs)
     return s.select(
         "u",
@@ -324,6 +343,7 @@ def within_inter_cluster(
     g: SparkGraph,
     community,
     pairs: Optional[DataFrame] = None,
+    ebunch=None,
     *,
     delta: float = 0.001,
 ) -> DataFrame:
@@ -333,6 +353,7 @@ def within_inter_cluster(
     _require_undirected(g, "within_inter_cluster")
     if delta <= 0:
         raise ValueError("Delta must be greater than zero")
+    pairs = _ebunch_pairs(g, pairs, ebunch)
     s = _community_pair_stats(g, community, pairs)
     return s.select(
         "u",
@@ -347,7 +368,8 @@ def within_inter_cluster(
 
 
 def common_neighbor_centrality(
-    g: SparkGraph, pairs: Optional[DataFrame] = None, *, alpha: float = 0.8
+    g: SparkGraph, pairs: Optional[DataFrame] = None, ebunch=None,
+    *, alpha: float = 0.8
 ) -> DataFrame:
     """(u, v, score): the CCPA score ``α·|CN| + (1−α)·n/d(u, v)``
     (``link_prediction.py:229``). With the default candidate set — the
@@ -358,6 +380,7 @@ def common_neighbor_centrality(
     no distance is needed; the reference's arbitrary-ebunch distance walk
     is a per-pair BFS that has no place at scale."""
     _require_undirected(g, "common_neighbor_centrality")
+    pairs = _ebunch_pairs(g, pairs, ebunch)
     if alpha == 1:
         st = _pair_stats(g, pairs)
         return st.select(

@@ -553,3 +553,25 @@ def test_astar_cutoff(spark):
         astar_path_length(g, 0, 4, weight="weight", cutoff=want - 0.5)
     with pytest.raises(nx.NetworkXNoPath):
         nx.astar_path_length(G, 0, 4, weight="weight", cutoff=want - 0.5)
+
+
+def test_linkpred_ebunch_spelling(spark):
+    from linkgraph.algos.linkpred import (
+        jaccard_coefficient, adamic_adar_index, preferential_attachment,
+        resource_allocation_index,
+    )
+
+    G = _wG()
+    g = from_nx(spark, G)
+    eb = [(0, 4), (1, 3)]
+    for ours, ref, col in [
+        (jaccard_coefficient, nx.jaccard_coefficient, "jaccard"),
+        (adamic_adar_index, nx.adamic_adar_index, "aa_index"),
+        (preferential_attachment, nx.preferential_attachment, "pa"),
+        (resource_allocation_index, nx.resource_allocation_index, "ra_index"),
+    ]:
+        got = {(r["u"], r["v"]): r[col] for r in ours(g, ebunch=eb).collect()}
+        want = {(u, v): s for u, v, s in ref(G, ebunch=eb)}
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k]), (col, k)
