@@ -1241,7 +1241,7 @@ def _k1_connected(g: SparkGraph) -> bool:
 
 
 def average_node_connectivity(
-    g: SparkGraph, *, max_pairs: int = 2000, seed: int = 0
+    g: SparkGraph, flow_func=None, *, max_pairs: int = 2000, seed: int = 0
 ) -> float:
     """``connectivity.py`` ``average_node_connectivity`` — mean local
     κ(u, v) over distinct node pairs. Each κ is one distributed Dinitz

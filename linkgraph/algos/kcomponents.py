@@ -140,7 +140,7 @@ def _connected(adj: dict, removed: frozenset) -> bool:
 
 
 def all_node_cuts(
-    g: SparkGraph, k: int = None, *, max_combinations: int = 2_000_000,
+    g: SparkGraph, k: int = None, flow_func=None, *, max_combinations: int = 2_000_000,
     max_driver_edges: int = 1_000_000,
 ) -> "list[set]":
     """Every minimum-size separating node set of an undirected connected
@@ -334,7 +334,8 @@ def _all_cuts_local(adj: dict, k: int, max_combinations: int):
 
 
 def all_pairs_node_connectivity(
-    g: SparkGraph, nbunch=None, *, max_driver_edges: int = 1_000_000
+    g: SparkGraph, nbunch=None, flow_func=None, *,
+    max_driver_edges: int = 1_000_000
 ) -> DataFrame:
     """(u, v, connectivity): local node connectivity for every node pair
     (ordered for digraphs, unordered u < v otherwise) —

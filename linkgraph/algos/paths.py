@@ -710,7 +710,8 @@ _INF_ = float("inf")
 
 
 def all_shortest_paths(
-    g: SparkGraph, source, target, weight=None, *, max_paths: int = 100_000
+    g: SparkGraph, source, target, weight=None, method=None,
+    *, max_paths: int = 100_000
 ) -> "list[list[int]]":
     """``generic.py:434`` — EVERY shortest s→t path. The predecessor DAG
     is built distributed (one join); enumeration is a driver walk bounded
@@ -778,7 +779,7 @@ def single_source_all_shortest_paths(
 
 
 def all_pairs_all_shortest_paths(
-    g: SparkGraph, weight=None, *, max_sources: int = 500
+    g: SparkGraph, weight=None, method=None, *, max_sources: int = 500
 ) -> "dict[int, dict[int, list[list[int]]]]":
     """``generic.py:604`` — guarded driver composition."""
     ids = sorted(r["id"] for r in g.vertices.select("id").collect())

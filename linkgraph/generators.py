@@ -178,7 +178,8 @@ def lollipop_graph(spark: SparkSession, m: int, n: int) -> SparkGraph:
 
 
 def barabasi_albert_graph(
-    spark: SparkSession, n: int, m: int, seed: int = 0
+    spark: SparkSession, n: int, m: int, seed: int = 0,
+    initial_graph: "SparkGraph | None" = None,
 ) -> SparkGraph:
     """Preferential attachment (``random_graphs.py:661``) — the SURVEY's
     named hub-skew proxy — via the static sampling shortcut instead of the
@@ -198,8 +199,25 @@ def barabasi_albert_graph(
         raise ValueError(
             f"Barabási–Albert network must have m >= 1 and m < n, m = {m}, n = {n}"
         )
+    start = m
+    seed_edges = None
+    if initial_graph is not None:
+        # the reference's initial_graph kwarg: growth starts from the given
+        # graph's node count with its edges kept; it must have >= m nodes
+        # (random_graphs.py ``barabasi_albert_graph`` contract). Same
+        # statistical-parity caveat as the base generator.
+        n0 = initial_graph.number_of_nodes()
+        if n0 < m or n0 > n:
+            raise ValueError(
+                f"Barabási–Albert initial graph needs between m={m} and "
+                f"n={n} nodes"
+            )
+        start = n0
+        seed_edges = initial_graph.edges.select(
+            "src", "dst", F.lit(1.0).alias("weight")
+        )
     draws = (
-        spark.range(m, n)
+        spark.range(start, n)
         .select(F.col("id").alias("t"))
         .crossJoin(spark.range(m).select(F.col("id").alias("j")))
     )
@@ -215,6 +233,8 @@ def barabasi_albert_graph(
         .distinct()
         .withColumn("weight", F.lit(1.0))
     )
+    if seed_edges is not None:
+        e = seed_edges.unionByName(e)
     return SparkGraph(
         e, vertices=_vertices(spark, n), directed=False, coalesce_edges=False
     )

@@ -575,3 +575,27 @@ def test_linkpred_ebunch_spelling(spark):
         assert set(got) == set(want)
         for k in want:
             assert got[k] == pytest.approx(want[k]), (col, k)
+
+
+def test_param_parity_batch(spark):
+    from linkgraph.generators import barabasi_albert_graph, cycle_graph
+    from linkgraph.algos.paths import all_shortest_paths
+    from linkgraph.algos.kcomponents import all_pairs_node_connectivity
+    from linkgraph.algos.flow import average_node_connectivity
+
+    # BA with an initial graph: seed edges preserved, growth attaches
+    g0 = cycle_graph(spark, 5)
+    g = barabasi_albert_graph(spark, 30, 2, seed=3, initial_graph=g0)
+    assert g.number_of_nodes() == 30
+    edges = {(r["src"], r["dst"]) for r in g.edges.select("src", "dst").collect()}
+    for u, v in [(0, 1), (1, 2), (2, 3), (3, 4)]:
+        assert (u, v) in edges or (v, u) in edges
+    # method/flow_func accepted (same results by construction)
+    G = nx.path_graph(4)
+    gp = from_nx(spark, G)
+    assert all_shortest_paths(gp, 0, 3, method="dijkstra") == [[0, 1, 2, 3]]
+    assert average_node_connectivity(gp, flow_func="anything") == pytest.approx(
+        nx.average_node_connectivity(G)
+    )
+    out = all_pairs_node_connectivity(gp, flow_func=None)
+    assert out.count() > 0
